@@ -1,0 +1,183 @@
+package graft
+
+/** DuckDB oracle SQL for every entry in [[Queries.all]].
+  *
+  * Each statement mirrors the Spark query 1:1 — same star-adapter
+  * mapping (see [[graft.sources.TestData]]), same aliases, same ORDER
+  * BY — so the driver's hash-compare sees identical column names,
+  * types, and row order. Money sums mirror [[graft.functions.money]]:
+  * `SUM(CAST(ROUND(x*100) AS BIGINT))/100.0` (exact cents, then one
+  * exact final division). Integer sums are cast to BIGINT to match
+  * Spark's LongType (DuckDB would otherwise widen to HUGEINT).
+  */
+object Oracle {
+
+  /** Shared prelude: reference-shaped frames over the TPC-H testdata,
+    * the flagship view, and per-customer spending. Mirrors
+    * `TestData.star` + `PurchaseSummary.customerPurchaseSummary` +
+    * `Dashboard.calculateCustomerSpending(low=20000, high=60000)`.
+    */
+  val star: String = """WITH
+cust AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         CAST(18 + c_custkey % 73 AS INTEGER) AS age,
+         c_mktsegment AS segment, c_nationkey AS nation_id
+  FROM customer),
+merch AS (
+  SELECT s_suppkey AS merchant_id, s_name AS merchant_name,
+         n_name AS merchant_category
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+prod AS (
+  SELECT p_partkey AS product_id, p_name AS product_name,
+         n_name AS product_category, p_retailprice AS price
+  FROM part JOIN nation ON p_partkey % 25 = n_nationkey),
+tx AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS transaction_id,
+         o_custkey AS customer_id, l_partkey AS product_id, l_suppkey AS merchant_id,
+         CAST(o_orderdate AS DATE) AS transaction_date,
+         strftime(o_orderdate, '%H:%M:%S') AS transaction_time,
+         CAST(FLOOR(l_quantity) AS INTEGER) AS quantity,
+         l_extendedprice AS total_price,
+         o_orderpriority AS transaction_card,
+         CASE WHEN l_returnflag = 'R' THEN 'Refund' ELSE 'Purchase' END AS transaction_category
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+summary AS (
+  SELECT t.transaction_id, t.customer_id, c.age AS customer_age, t.product_id,
+         p.product_name, p.product_category, t.merchant_id, m.merchant_name,
+         m.merchant_category, t.transaction_date, t.transaction_time, t.quantity,
+         t.quantity * p.price AS total_price, t.transaction_card, t.transaction_category
+  FROM tx t
+  JOIN cust c ON t.customer_id = c.customer_id
+  JOIN prod p ON t.product_id = p.product_id
+  JOIN merch m ON t.merchant_id = m.merchant_id
+             AND m.merchant_category = p.product_category),
+spending AS (
+  SELECT customer_id,
+         CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+  FROM summary WHERE transaction_category = 'Purchase' GROUP BY customer_id),
+customer_spending AS (
+  SELECT customer_id, total_price,
+         CASE WHEN total_price < 20000 THEN 'Low Spenders'
+              WHEN total_price >= 20000 AND total_price < 60000 THEN 'Medium Spenders'
+              ELSE 'High Spenders' END AS spend_status
+  FROM spending)
+"""
+
+  val all: Map[String, String] = Map(
+    // transaction_id is not unique in the synthetic testdata, so every
+    // positional-order-sensitive query sorts by a key set that
+    // functionally determines all output columns (ties = identical rows).
+    "q01_purchase_summary" -> (star +
+      "SELECT * FROM summary ORDER BY transaction_id, product_id, merchant_id, quantity, transaction_category"),
+
+    "q02_customer_spending" -> (star +
+      "SELECT * FROM customer_spending ORDER BY customer_id"),
+
+    "q03_age_groups" -> (star + """
+SELECT transaction_id, customer_id, customer_age,
+       CASE WHEN customer_age BETWEEN 18 AND 25 THEN 'Gen Z'
+            WHEN customer_age BETWEEN 26 AND 41 THEN 'Millennials'
+            WHEN customer_age BETWEEN 42 AND 57 THEN 'Gen X'
+            WHEN customer_age BETWEEN 58 AND 76 THEN 'Boomers'
+            WHEN customer_age BETWEEN 77 AND 90 THEN 'Silent Generation'
+       END AS age_group
+FROM summary ORDER BY transaction_id"""),
+
+    "q04_spend_status_counts" -> (star + """
+SELECT b.spend_status, COALESCE(c.cnt, 0) AS count
+FROM (VALUES ('High Spenders'), ('Medium Spenders'), ('Low Spenders')) b(spend_status)
+LEFT JOIN (
+  SELECT spend_status, COUNT(*) AS cnt FROM customer_spending
+  WHERE total_price > 0 GROUP BY spend_status) c
+USING (spend_status)
+ORDER BY spend_status"""),
+
+    "q05_date_range" -> (star + """
+SELECT * FROM summary
+WHERE transaction_date >= DATE '1998-01-01' AND transaction_date <= DATE '1999-12-31'
+ORDER BY transaction_id, product_id, merchant_id, quantity, transaction_category"""),
+
+    "q06_total_spent" -> (star + """
+SELECT COALESCE(CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0, 0.0) AS total_spent
+FROM summary WHERE transaction_category = 'Purchase'"""),
+
+    "q07_earliest_date" -> (star +
+      "SELECT MIN(transaction_date) AS earliest_date FROM summary"),
+
+    "q08_distinct_customers" -> (star +
+      "SELECT DISTINCT customer_id FROM summary ORDER BY customer_id"),
+
+    "q09_with_spend_status" -> (star + """
+SELECT s.transaction_id, s.customer_id, s.merchant_name, s.total_price, cs.spend_status
+FROM summary s LEFT JOIN customer_spending cs ON s.customer_id = cs.customer_id
+ORDER BY s.transaction_id, s.merchant_name, s.total_price"""),
+
+    "q10_semi_high_spenders" -> (star + """
+SELECT transaction_id, customer_id, total_price FROM summary
+WHERE customer_id IN (SELECT customer_id FROM customer_spending WHERE spend_status = 'High Spenders')
+ORDER BY transaction_id, total_price"""),
+
+    "q11_daily_items" -> (star + """
+SELECT transaction_date, transaction_category,
+       CAST(SUM(quantity) AS BIGINT) AS total_items
+FROM summary GROUP BY transaction_date, transaction_category
+ORDER BY transaction_date, transaction_category"""),
+
+    "q12_card_counts" -> (star + """
+SELECT transaction_card, COUNT(transaction_id) AS transaction_count
+FROM summary GROUP BY transaction_card ORDER BY transaction_card"""),
+
+    "q13_category_counts" -> (star + """
+SELECT product_category, COUNT(transaction_id) AS purchase_count
+FROM summary GROUP BY product_category ORDER BY product_category"""),
+
+    "q14_merchant_stats" -> (star + """
+SELECT merchant_name, COUNT(transaction_id) AS transaction_count,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM summary GROUP BY merchant_name ORDER BY merchant_name"""),
+
+    "q15_top_merchant" -> (star + """
+SELECT merchant_name,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM summary GROUP BY merchant_name
+ORDER BY total_price DESC, merchant_name LIMIT 1"""),
+
+    "q16_topk_merchants" -> (star + """
+SELECT merchant_name,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM summary GROUP BY merchant_name
+ORDER BY total_price DESC, merchant_name LIMIT 5"""),
+
+    "q17_refunds" -> (star + """
+SELECT transaction_id, customer_id, merchant_name, total_price
+FROM summary WHERE transaction_category = 'Refund'
+ORDER BY transaction_id, merchant_name, total_price"""),
+
+    "q18_scalar_exprs" -> ("""
+SELECT 'TX' || CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR) AS gen_id,
+       list_extract(['American Express', 'Visa', 'Mastercard', 'Discover'],
+                    CAST(l_orderkey % 4 + 1 AS INTEGER)) AS card,
+       CAST((l_orderkey + l_linenumber) % 7 + 1 AS INTEGER) AS gen_quantity,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS ship_year,
+       CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS ship_month,
+       CAST(EXTRACT(DAY FROM l_shipdate) AS INTEGER) AS ship_day,
+       strftime(l_shipdate, '%H:%M:%S') AS ship_time
+FROM lineitem ORDER BY gen_id, ship_year, ship_month, ship_day, ship_time"""),
+
+    "q19_category_revenue" -> (star + """
+SELECT transaction_category,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price
+FROM summary GROUP BY transaction_category ORDER BY transaction_category"""),
+
+    "q20_event_type_stats" -> ("""
+SELECT event_type, COUNT(*) AS event_count,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(value) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    "q21_last_event_per_user" -> ("""
+SELECT user_id, event_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id"""),
+  )
+}

@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's TPC-H-ish testdata (`TESTDATA.md`) plus the
+  * reference-shaped "star adapter" of `FIXTURES.md` §B.
+  *
+  * The operator library (graft.operators) is written against the
+  * reference's schema — lowercase column names from
+  * `scripts/postgresql_setup.sql:9-42` of the reference repo. The
+  * adapter derives those frames from the TPC-H tables with purely
+  * deterministic expressions so the DuckDB oracle can mirror the
+  * mapping 1:1 in SQL (see [[graft.Oracle.star]]).
+  *
+  * Mapping:
+  *  - customers  ← customer  (age synthesized as 18 + c_custkey % 73 → [18,90])
+  *  - merchants  ← supplier ⋈ nation  (merchant_category = nation name)
+  *  - products   ← part ⋈ nation on p_partkey % 25  (product_category =
+  *    nation name — shares the 25-value domain with merchant_category so
+  *    the view's cross-dimension join conjunct is exercised, mirroring
+  *    the reference's 7-value shared category domain)
+  *  - transactions ← lineitem ⋈ orders (fact; transaction_id =
+  *    "orderkey-linenumber", date/customer from orders)
+  *
+  * Scale notes: the dimension adapters join `nation` (25 rows) — always
+  * broadcast. The fact adapter joins lineitem⋈orders on l_orderkey,
+  * which at production scale is a co-partitioned key join (both sides
+  * keyed by orderkey); it exists only to shape testdata — a real
+  * deployment lands `transactions` as one table via the CDC layer.
+  */
+object TestData {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events stream table. Its `ts` column is a nanosecond parquet
+    * timestamp, which Spark's reader rejects by default; we read it as
+    * `LongType` nanos-since-epoch (`spark.sql.legacy.parquet.nanosAsLong`)
+    * — exact, totally ordered, and identical to DuckDB's ns semantics.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  /** customer_id, customer_name, age, segment, nation_id */
+  def customers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select(
+      col("c_custkey").as("customer_id"),
+      col("c_name").as("customer_name"),
+      (lit(18) + pmod(col("c_custkey"), lit(73))).cast("int").as("age"),
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").as("nation_id"))
+
+  /** merchant_id, merchant_name, merchant_category */
+  def merchants(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .select(
+        col("s_suppkey").as("merchant_id"),
+        col("s_name").as("merchant_name"),
+        col("n_name").as("merchant_category"))
+  }
+
+  /** product_id, product_name, product_category, price */
+  def products(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val n = table(spark, dir, "nation")
+    p.join(broadcast(n), pmod(p("p_partkey"), lit(25)) === n("n_nationkey"))
+      .select(
+        col("p_partkey").as("product_id"),
+        col("p_name").as("product_name"),
+        col("n_name").as("product_category"),
+        col("p_retailprice").as("price"))
+  }
+
+  /** transaction_id, customer_id, product_id, merchant_id,
+    * transaction_date, transaction_time, quantity, total_price,
+    * transaction_card, transaction_category
+    *
+    * `transaction_time` stays a string (the reference models time-of-day
+    * as text — `postgresql_setup.sql:37`); `total_price` carries the
+    * stored amount, which the purchase-summary view deliberately
+    * ignores and recomputes (reference `0_start_here.ipynb:233`).
+    */
+  def transactions(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+               col("l_linenumber").cast("string")).as("transaction_id"),
+        col("o_custkey").as("customer_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("merchant_id"),
+        col("o_orderdate").cast("date").as("transaction_date"),
+        date_format(col("o_orderdate"), "HH:mm:ss").as("transaction_time"),
+        floor(col("l_quantity")).cast("int").as("quantity"),
+        col("l_extendedprice").as("total_price"),
+        col("o_orderpriority").as("transaction_card"),
+        when(col("l_returnflag") === "R", "Refund")
+          .otherwise("Purchase").as("transaction_category"))
+  }
+
+  /** All four reference-shaped frames at once. */
+  case class Star(transactions: DataFrame, customers: DataFrame,
+                  products: DataFrame, merchants: DataFrame)
+
+  def star(spark: SparkSession, dir: String): Star =
+    Star(transactions(spark, dir), customers(spark, dir),
+         products(spark, dir), merchants(spark, dir))
+}

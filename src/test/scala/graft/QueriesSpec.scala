@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class QueriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query has rows and every oracle key exists") {
+    assert(Oracle.all.keySet.subsetOf(Queries.all.keySet),
+      s"oracle keys without queries: ${Oracle.all.keySet -- Queries.all.keySet}")
+    Queries.all.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("flagship summary has the 15 reference columns and recomputes total_price") {
+    val df = Queries.all("q01_purchase_summary")(spark, sf)
+    val expected = Seq("transaction_id", "customer_id", "customer_age",
+      "product_id", "product_name", "product_category", "merchant_id",
+      "merchant_name", "merchant_category", "transaction_date",
+      "transaction_time", "quantity", "total_price", "transaction_card",
+      "transaction_category")
+    assert(df.columns.toSeq == expected)
+    // the view's join conjunct drops category-mismatched rows
+    import org.apache.spark.sql.functions._
+    assert(df.filter(col("merchant_category") =!= col("product_category")).count() == 0)
+    // total_price is recomputed from quantity * price, not the stored amount
+    val bad = df.filter(abs(col("total_price") -
+      col("quantity") * (col("total_price") / col("quantity"))) > 1e-9).count()
+    assert(bad == 0)
+  }
+
+  test("spend buckets partition customers and null-age semantics hold") {
+    val spending = Queries.all("q02_customer_spending")(spark, sf)
+    val statuses = spending.select("spend_status").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("Low Spenders", "Medium Spenders", "High Spenders")))
+
+    val ages = Queries.all("q03_age_groups")(spark, sf)
+    import org.apache.spark.sql.functions._
+    // adapter ages land in [18,90], so the no-otherwise CASE never yields null here
+    assert(ages.filter(col("age_group").isNull).count() == 0)
+    assert(ages.filter(col("customer_age") < 18 || col("customer_age") > 90).count() == 0)
+  }
+
+  test("spend_status_counts always yields the three buckets") {
+    val counts = Queries.all("q04_spend_status_counts")(spark, sf)
+    assert(counts.count() == 3)
+    assert(counts.columns.toSeq == Seq("spend_status", "count"))
+  }
+
+  test("top merchant is the argmax of merchant revenue") {
+    val stats = Queries.all("q14_merchant_stats")(spark, sf).collect()
+    val top = Queries.all("q15_top_merchant")(spark, sf).collect()
+    assert(top.length == 1)
+    val best = stats.maxBy(r => (r.getDouble(2), r.getString(0)))
+    assert(top.head.getString(0) == best.getString(0))
+  }
+
+  test("last_event_per_user returns one row per user") {
+    val df = Queries.all("q21_last_event_per_user")(spark, sf)
+    assert(df.count() == df.select("user_id").distinct().count())
+  }
+}

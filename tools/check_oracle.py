@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
+testdata parquet tables, loads the corresponding Spark result written by
+graft.Verify, and compares columns / row counts / values (exact).
+
+Usage: python3 tools/check_oracle.py [sfDir] [outDir]
+Dev-only tool — the shipped Scala library never depends on Python.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def col_equal(name, e, g):
+    if len(e) == 0:
+        return True
+    # exact numeric compare (with NaN==NaN)
+    try:
+        ef, gf = e.astype("float64"), g.astype("float64")
+        return bool(((ef == gf) | (ef.isna() & gf.isna())).all())
+    except (ValueError, TypeError):
+        pass
+    es, gs = e.astype(str), g.astype(str)
+    if bool((es == gs).all()):
+        return True
+    try:
+        et = pd.to_datetime(e.astype(str))
+        gt = pd.to_datetime(g.astype(str))
+        return bool((et == gt).all())
+    except (ValueError, TypeError):
+        return False
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_smoke"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok, fails = 0, []
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle error: {ex}")
+            fails.append(name)
+            continue
+        files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            fails.append(name)
+            continue
+        got = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                        ignore_index=True)
+        exp = exp.reindex(sorted(exp.columns), axis=1).reset_index(drop=True)
+        got = got.reindex(sorted(got.columns), axis=1).reset_index(drop=True)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            fails.append(name)
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            fails.append(name)
+            continue
+        bad = [c for c in exp.columns if not col_equal(name, exp[c], got[c])]
+        if bad:
+            for c in bad:
+                print(f"FAIL {name}: column {c} mismatch "
+                      f"(exp dtype {exp[c].dtype}, got {got[c].dtype})")
+                m = (exp[c].astype(str) != got[c].astype(str))
+                idx = list(m[m].index[:3])
+                for i in idx:
+                    print(f"   row {i}: exp={exp[c][i]!r} got={got[c][i]!r}")
+            fails.append(name)
+        else:
+            n_ok += 1
+            print(f"OK   {name} ({len(exp)} rows)")
+    print(f"\n{n_ok}/{len(oracle)} queries match; fails: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
