@@ -64,7 +64,7 @@ object Dashboard {
     val counts = customerSpending
       .filter(col("total_price") > 0)
       .groupBy("spend_status").agg(count(lit(1)).as("cnt"))
-    broadcast(buckets).join(counts, Seq("spend_status"), "left")
+    buckets.join(broadcast(counts), Seq("spend_status"), "left")
       .select(col("spend_status"), coalesce(col("cnt"), lit(0L)).as("count"))
   }
 
