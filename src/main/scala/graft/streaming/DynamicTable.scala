@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.cdc.{CdcApply, ReplicatedTable}
+
+/** The engine's Dynamic Table runtime — an incrementally-maintained
+  * materialized view, re-expressing the reference's
+  * `CREATE DYNAMIC TABLE … TARGET_LAG='1 minute'
+  * REFRESH_MODE=INCREMENTAL` (`0_start_here.ipynb:215-245`).
+  *
+  * `viewOf` maps fact rows to view rows and must be *row-local in the
+  * fact*: each fact row yields at most one view row, keyed by the fact
+  * primary key (joins against dimensions may drop rows — e.g. the
+  * flagship view's category-matching conjunct). That property is what
+  * makes the delta algebra exact:
+  *
+  *  - winners   = last-writer-wins collapse of the change batch
+  *  - upserts   = viewOf(after-images of non-deletes)
+  *  - deletions = changed keys with no surviving view row
+  *    (covers explicit DELETEs *and* updates that fall out of the join)
+  *
+  * The defining invariant — incremental refresh ≡ full recompute — is
+  * property-tested in DynamicTableSpec.
+  *
+  * Scale posture: a refresh touches only Δ-keys; the delta joins the
+  * (broadcast) dims, never the full fact. Dimension changes invalidate
+  * arbitrary view rows (membership can flip), so they trigger
+  * [[fullRefresh]] — the documented v1 fallback (SURVEY.md §7.4).
+  * Triggers map TARGET_LAG: `ProcessingTime(lag)` in production,
+  * `AvailableNow` in tests.
+  */
+final class DynamicTable(fact: ReplicatedTable,
+                         result: ReplicatedTable,
+                         viewOf: DataFrame => DataFrame) {
+
+  require(fact.keys == result.keys,
+    s"view key ${result.keys} must equal the fact key ${fact.keys}")
+  private val keys = fact.keys
+
+  /** REFRESH_MODE = FULL: recompute the whole view from current inputs. */
+  def fullRefresh(): Unit = {
+    val view = viewOf(fact.current())
+    if (result.isSnapshotDone) {
+      // express the recompute as one change batch: upsert every current
+      // row, delete every vanished key — keeps the versioned history.
+      val upserts = withMeta(view, CdcApply.Update)
+      val vanished = result.current().select(keys.map(col): _*)
+        .join(view.select(keys.map(col): _*), keys, "left_anti")
+      result.applyChanges(upserts.unionByName(
+        deleteEvents(vanished, view), allowMissingColumns = false))
+    } else result.snapshot(view)
+  }
+
+  /** REFRESH_MODE = INCREMENTAL: fold one fact change batch into the
+    * materialized result. `factChanges` = fact columns + CDC meta. */
+  def incrementalRefresh(factChanges: DataFrame): Unit = {
+    if (!result.isSnapshotDone) { fullRefresh(); return }
+    val winners = CdcApply.latest(factChanges, keys)
+    val after = winners.filter(col(CdcApply.OpCol) =!= CdcApply.Delete)
+      .drop(CdcApply.MetaCols: _*)
+    val upserts = viewOf(after)
+    val deletions = winners.select(keys.map(col): _*)
+      .join(upserts.select(keys.map(col): _*), keys, "left_anti")
+    result.applyChanges(
+      withMeta(upserts, CdcApply.Update)
+        .unionByName(deleteEvents(deletions, upserts)))
+  }
+
+  private def withMeta(df: DataFrame, op: String): DataFrame =
+    df.withColumn(CdcApply.OpCol, lit(op))
+      .withColumn(CdcApply.LsnCol, lit(1L))
+      .withColumn(CdcApply.CommitTsCol, current_timestamp())
+
+  /** Null-padded delete events shaped like the view schema. */
+  private def deleteEvents(keysDf: DataFrame, shaped: DataFrame): DataFrame = {
+    val padded = keysDf.select(shaped.columns.toIndexedSeq.map { c =>
+      if (keys.contains(c)) col(c)
+      else lit(null).cast(shaped.schema(c).dataType).as(c)
+    }: _*)
+    withMeta(padded, CdcApply.Delete)
+  }
+
+  /** Wire a streaming change feed: every micro-batch maintains the
+    * replicated fact table, then folds the same batch into the view —
+    * change → view latency is one trigger interval (the TARGET_LAG).
+    */
+  def start(factChanges: DataFrame, checkpoint: String,
+            trigger: Trigger = Trigger.AvailableNow(),
+            incremental: Boolean = true,
+            queryName: String = "dynamic-table"): StreamingQuery =
+    factChanges.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fact.applyChanges(batch)
+        if (incremental) incrementalRefresh(batch) else fullRefresh()
+      }
+      .start()
+}
+
+object DynamicTable {
+  /** TARGET_LAG → trigger (`'1 minute'` ↦ ProcessingTime). */
+  def targetLag(lag: String): Trigger = Trigger.ProcessingTime(lag)
+}

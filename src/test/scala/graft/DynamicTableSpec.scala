@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+import graft.operators.PurchaseSummary
+import graft.sources.ReferenceCsv
+import graft.streaming.DynamicTable
+
+case class Item(item_id: Int, grp: Int, qty: Int)
+case class ItemChange(item_id: Int, grp: Int, qty: Int,
+                      _op: String, _lsn: Long, _commit_ts: Timestamp)
+case class TxChange(transaction_id: String, customer_id: Int, product_id: Int,
+                    merchant_id: Int, transaction_date: Date,
+                    transaction_time: String, quantity: Int,
+                    total_price: Double, transaction_card: String,
+                    transaction_category: String,
+                    _op: String, _lsn: Long, _commit_ts: Timestamp)
+
+class DynamicTableSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, hint: String): Unit = {
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"$hint: incremental and full recompute diverge")
+  }
+
+  test("property: incremental refresh ≡ full recompute over random change sequences") {
+    // dim covers only grp 0..2 → inserts/updates into grp 3..4 drop out
+    // of the view, exercising membership flips, not just value changes.
+    val dim = Seq((0, 2), (1, 3), (2, 5)).toDF("grp", "factor")
+    def viewOf(fact: DataFrame): DataFrame =
+      fact.join(broadcast(dim), Seq("grp"))
+        .select(col("item_id"), col("grp"),
+                (col("qty") * col("factor")).as("measure"))
+
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new Random(seed)
+      val dir = Files.createTempDirectory(s"graft-ivm-$seed").toString
+      val fact = new ReplicatedTable(spark, s"$dir/fact", Seq("item_id"))
+      val result = new ReplicatedTable(spark, s"$dir/view", Seq("item_id"))
+      val dt = new DynamicTable(fact, result, viewOf)
+
+      fact.snapshot(
+        (0 until 10).map(i => Item(i, rnd.nextInt(5), 1 + rnd.nextInt(9))).toDF())
+      dt.fullRefresh()
+      var lsn = 0L
+      for (batch <- 1 to 4) {
+        val ops = (0 until 25).map { _ =>
+          lsn += 1
+          val id = rnd.nextInt(20)
+          rnd.nextInt(3) match {
+            case 0 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+              CdcApply.Insert, lsn, new Timestamp(lsn))
+            case 1 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+              CdcApply.Update, lsn, new Timestamp(lsn))
+            case _ => ItemChange(id, 0, 0, CdcApply.Delete, lsn,
+              new Timestamp(lsn))
+          }
+        }
+        val changes = ops.toDF()
+        fact.applyChanges(changes)
+        dt.incrementalRefresh(changes)
+        assertSameRows(result.current(), viewOf(fact.current()),
+          s"seed=$seed batch=$batch")
+      }
+    }
+  }
+
+  test("flagship dynamic table: streamed CDC lands in the view (end-to-end)") {
+    val tables = ReferenceCsv.loadAll(spark, "/root/reference/scripts/postgres_csv")
+    def viewOf(tx: DataFrame): DataFrame =
+      PurchaseSummary.customerPurchaseSummary(
+        tx, tables("customers"), tables("products"), tables("merchants"))
+
+    val dir = Files.createTempDirectory("graft-dt").toString
+    val fact = new ReplicatedTable(spark, s"$dir/tx", Seq("transaction_id"))
+    val result = new ReplicatedTable(spark, s"$dir/view", Seq("transaction_id"))
+    fact.snapshot(tables("transactions"))
+    val dt = new DynamicTable(fact, result, viewOf)
+    dt.fullRefresh()
+    val viewRowsBefore = result.current().count()
+    assert(viewRowsBefore > 0 && viewRowsBefore < 1000)
+
+    // tail: generated inserts + a hand-built update & delete of seed rows
+    val gen = TransactionGenerator.generate(
+      spark, tables("customers"), tables("products"), tables("merchants"),
+      n = 200, seed = 7L, startLsn = 100L)
+    val genChanges = gen.as[TxChange].collect()
+    val seedIds = result.current().select("transaction_id")
+      .orderBy("transaction_id").limit(2).collect().map(_.getString(0))
+    val seedRow = tables("transactions")
+      .filter(col("transaction_id") === seedIds(0)).as[TxRow].head()
+    val tailEdits = Seq(
+      // bump quantity of a seed row that is currently in the view
+      TxChange(seedRow.transaction_id, seedRow.customer_id, seedRow.product_id,
+        seedRow.merchant_id, seedRow.transaction_date, seedRow.transaction_time,
+        seedRow.quantity + 1, seedRow.total_price, seedRow.transaction_card,
+        seedRow.transaction_category, CdcApply.Update, 1000L, new Timestamp(0)),
+      // delete another row that is currently in the view
+      TxChange(seedIds(1), 0, 0, 0, null, null, 0, 0.0, null, null,
+        CdcApply.Delete, 1001L, new Timestamp(0)))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[TxChange]
+    val q = dt.start(stream.toDF(), s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    stream.addData(genChanges.take(100).toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(genChanges.drop(100).toIndexedSeq ++ tailEdits)
+    q.processAllAvailable()
+    q.stop()
+
+    // invariant: materialized view ≡ full recompute over the final fact
+    assertSameRows(result.current(), viewOf(fact.current()), "flagship")
+    // the deleted seed row left the view; the updated row reflects new qty
+    assert(result.current()
+      .filter(col("transaction_id") === seedIds(1)).count() == 0)
+    val updated = result.current()
+      .filter(col("transaction_id") === seedRow.transaction_id).collect()
+    updated.foreach { r =>
+      assert(r.getAs[Int]("quantity") == seedRow.quantity + 1)
+    }
+    // generated purchases joined in: view grew
+    assert(result.current().count() > viewRowsBefore - 2)
+  }
+}
+
+case class TxRow(transaction_id: String, customer_id: Int, product_id: Int,
+                 merchant_id: Int, transaction_date: Date,
+                 transaction_time: String, quantity: Int, total_price: Double,
+                 transaction_card: String, transaction_category: String)
