@@ -179,5 +179,101 @@ FROM events GROUP BY event_type ORDER BY event_type"""),
 SELECT user_id, event_id, event_type, value FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id"""),
+
+    // ---- training-data pipeline extensions ----
+    // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
+    //  and take the driver's weaker rows-only check)
+
+    "d01_exact_dedup" -> ("""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text ORDER BY doc_id"""),
+
+    "j01_word_jaccard_pairs" -> ("""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       ROUND(1.0 * len(list_intersect(x.w, y.w))
+             / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))), 4) AS jaccard
+FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE 1.0 * len(list_intersect(x.w, y.w))
+      / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7
+ORDER BY a, b"""),
+
+    "t01_token_stats" -> ("""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subwords,
+       CASE WHEN len(toks) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+       END AS mean_token_len
+FROM t ORDER BY doc_id"""),
+
+    "t02_quality_scores" -> ("""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+                   / len(toks)
+         END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl
+  FROM t)
+SELECT doc_id, punct_ratio, stopword_ratio,
+       ROUND((least(length(text) / 500.0, 1.0)
+              + CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio / 0.2 END
+              + least(stopword_ratio * 4.0, 1.0)
+              + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
+         AS quality_score
+FROM c ORDER BY doc_id"""),
+
+    "t03_langid" -> ("""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS c_en,
+         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+         len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une'], x))) AS c_fr,
+         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de
+  FROM t)
+SELECT doc_id, lang,
+       CASE WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
+            WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
+            WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
+            WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM c ORDER BY doc_id"""),
+
+    "t04_fingerprints" -> ("""
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id"""),
+
+    "s01_cosine_topk" -> ("""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
   )
 }

@@ -7,6 +7,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.TestData
 import graft.operators.{Dashboard, PurchaseSummary}
 import graft.functions.money._
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextFunctions
 
 /** The engine's query catalog — one named query per operator of
   * `SURVEY.md` §2, each runnable over a testdata scale-factor directory
@@ -165,6 +169,104 @@ object Queries {
         .filter(col("rn") === 1)
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")
+    }),
+
+    // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
+
+    // Exact dedup: hash-partitioned group by content, keep min id.
+    "d01_exact_dedup" -> ((s, d) =>
+      Dedup.exact(TestData.table(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "dup_count").orderBy("doc_id")),
+
+    // MinHash + banded LSH near-dup (hash-based: no SQL oracle).
+    "d02_minhash_neardups" -> ((s, d) =>
+      Dedup.nearDuplicates(TestData.table(s, d, "documents"), "doc_id", "text",
+        shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7)
+        .orderBy("a", "b")),
+
+    // SimHash near-dup via chunk-collision candidates (no SQL oracle).
+    "d03_simhash_neardups" -> ((s, d) =>
+      Dedup.simhashNearDuplicates(TestData.table(s, d, "documents"),
+        "doc_id", "text", maxHamming = 16).orderBy("a", "b")),
+
+    // Exact n-gram (unigram) Jaccard pairs within a source.
+    "j01_word_jaccard_pairs" -> ((s, d) => {
+      val t = TestData.table(s, d, "documents").select(col("doc_id"),
+        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val x = t.alias("x"); val y = t.alias("y")
+      x.join(y, col("x.source") === col("y.source") &&
+               col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("x.w"), col("y.w")))
+        .filter(col("jaccard") >= 0.7)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+                round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("a", "b")
+    }),
+
+    // Token statistics (whitespace + BPE-ish subword counting).
+    "t01_token_stats" -> ((s, d) =>
+      TestData.table(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")),
+
+    // Quality scoring (length/punctuation/stopword heuristics).
+    "t02_quality_scores" -> ((s, d) =>
+      TestData.table(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text"),
+          TextFunctions.EnglishStopwords).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Language ID: marker-token argmax heuristic.
+    "t03_langid" -> ((s, d) =>
+      TestData.table(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // Canonical-form md5 document fingerprints.
+    "t04_fingerprints" -> ((s, d) =>
+      TestData.table(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Brute-force cosine top-k against vec_id 0 (the exact baseline).
+    "s01_cosine_topk" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+    }),
+
+    // Hyperplane-LSH ANN top-k (hash-based buckets: no SQL oracle).
+    "s02_ann_topk" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      Similarity.annTopK(
+        Similarity.withLshBuckets(emb.filter(col("vec_id") =!= 0), "embedding"),
+        "vec_id", "embedding", q, 10)
+    }),
+
+    // Multimodal decode plumbing over binary content (stubbed codec).
+    "m01_multimodal_decode" -> ((s, d) => {
+      val assets = Multimodal.assetsFromDocuments(TestData.table(s, d, "documents"))
+      assets.select(
+        col("asset_id"),
+        Multimodal.decodeMeta(col("content")).as("meta"),
+        length(col("content")).as("n_bytes"),
+        Multimodal.features(col("content"), 8).as("features"))
+        .select(col("asset_id"), col("meta.mime"), col("meta.width"),
+                col("meta.height"), col("n_bytes"),
+                element_at(col("features"), 1).as("f0"))
+        .orderBy("asset_id")
     }),
   )
 }

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with a typed metadata struct, plus the decode /
+  * feature-extract / thumbnail / frame-sample operator shapes a
+  * training-data pipeline needs.
+  *
+  * The Spark-side plumbing — schema, partitioning, per-partition batch
+  * shape — is real and tested. The codec itself is STUBBED with a
+  * deterministic fake (this environment has no image/audio libraries):
+  * every function marked "STUB DECODER" derives its output from the
+  * bytes via hashing, standing in for a real libjpeg/ffmpeg call with
+  * identical schema and batch shape. Swapping in a real decoder touches
+  * only those marked lines.
+  */
+object Multimodal {
+
+  case class AssetMeta(mime: String, width: Int, height: Int)
+  case class Asset(asset_id: Long, content: Array[Byte], mime: String)
+  case class DecodedAsset(asset_id: Long, mime: String, width: Int,
+                          height: Int, n_bytes: Long)
+
+  /** Shape a text corpus into a binary-asset table — the stand-in for
+    * reading a real object-store asset manifest. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      to_binary(col("text"), lit("utf-8")).as("content"),
+      concat(lit("application/x-fake-"), col("source")).as("mime"))
+
+  /** STUB DECODER: metadata struct parsed "from the header bytes".
+    * Real impl: image header sniffing. Fake: deterministic from a
+    * content hash, same schema. Pure projection — runs in the scan. */
+  def decodeMeta(content: Column): Column = {
+    val h = xxhash64(content)
+    struct(
+      lit("image/fake").as("mime"),
+      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
+      (pmod(shiftright(h, 16), lit(1080L)) + 1).cast("int").as("height"))
+  }
+
+  /** Thumbnail = leading byte slice (STUB DECODER for a resize). */
+  def thumbnail(content: Column, nBytes: Int): Column =
+    substring(content, 1, nBytes)
+
+  /** Frame sampling: n fixed-stride byte windows (STUB DECODER for
+    * video frame extraction) — array<binary>. */
+  def frameSample(content: Column, frames: Int, frameBytes: Int): Column =
+    transform(sequence(lit(0), lit(frames - 1)),
+      i => content.substr(i * frameBytes + 1, lit(frameBytes)))
+
+  /** STUB DECODER: fixed-width float feature vector from content —
+    * stands in for a vision/audio embedding model. Deterministic:
+    * feature j = scaled hash of (content, j). */
+  def features(content: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      ((pmod(xxhash64(content, j), lit(2000L)) - 1000) / lit(1000.0)).cast("float"))
+
+  /** Batch decode through the typed per-partition path — the Scala
+    * equivalent of a pandas-batch UDF stage: one decoder instance per
+    * partition, rows streamed through it. This is where a real codec
+    * (heavyweight init) would live; the fake keeps the exact shape. */
+  def decodeBatched(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // per-partition init: a real pipeline would open the codec here
+      it.map { a =>
+        val h = java.util.Arrays.hashCode(a.content).toLong & 0x7fffffffL
+        DecodedAsset(a.asset_id, a.mime,
+          (h % 1920 + 1).toInt, ((h >> 8) % 1080 + 1).toInt,
+          a.content.length.toLong)
+      }
+    }
+  }
+}

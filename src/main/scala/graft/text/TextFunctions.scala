@@ -1,0 +1,110 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization stats, quality scoring, language ID,
+  * fingerprinting. All are pure projections built from Spark's
+  * codegen'd collection/regex expressions — no UDFs, no shuffles —
+  * so they stream through a scan at full width and scale linearly to
+  * arbitrary corpus size.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a document (lowercased). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword count: runs of word chars split at letter/digit
+    * boundaries plus standalone punctuation — a cheap, deterministic
+    * proxy for tokenizer load (no external vocab). */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Punctuation characters per character of text. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[.,;:!?]")).cast("double") / length(text))
+
+  /** Fraction of tokens found in the given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double")
+        / size(toks))
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks))
+  }
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Composite [0,1] quality score: length sweet-spot, moderate
+    * punctuation, nonzero stopword mass, plausible word lengths.
+    * Heuristic weights; each term is deterministic and documented. */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punct = punctRatio(text)
+    val punctScore = when(punct > 0.2, 0.0).otherwise(lit(1.0) - punct / 0.2)
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val mwl = meanTokenLength(text)
+    val wordScore = when(mwl >= 3.0 && mwl <= 8.0, 1.0).otherwise(0.5)
+    round((lenScore + punctScore + stopScore + wordScore) / 4.0, 4)
+  }
+
+  /** Language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the operator's shape (per-language
+    * token scoring + argmax) is the point, not lexical coverage. */
+  val LanguageMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"))
+
+  /** Marker-token count for one language. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Heuristic language ID: argmax of marker hits with deterministic
+    * first-listed-wins tie-break; "und" (undetermined) when nothing hits. */
+  def langId(text: Column): Column = {
+    val hits = LanguageMarkers.map { case (l, m) => l -> markerHits(text, m) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), els) =>
+      when(h === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  /** Canonical-form content fingerprint: md5 of
+    * lowercased, whitespace-collapsed text. Stable across engines
+    * (md5 is standard), used for exact near-canonical dedup. */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Word n-gram shingles (distinct). Documents shorter than n words
+    * collapse to a single whole-document shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Winnowing-style rolling sketch: the k smallest shingle hashes —
+    * a compact document signature for containment/overlap checks. */
+  def minKSketch(text: Column, n: Int, k: Int): Column =
+    slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
+}

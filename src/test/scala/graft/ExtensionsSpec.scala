@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.sources.TestData
+import graft.text.TextFunctions
+
+class ExtensionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("exact dedup keeps min id and counts duplicates") {
+    val df = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (5L, "alpha beta"),
+      (3L, "gamma"), (4L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and honors the threshold") {
+    val base = (0 until 40).map(i =>
+      (i.toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e tok${i}f tok${i}g tok${i}h"))
+    // plant: 100+i is a copy of i with one token changed → jaccard 7/9 ≈ 0.78
+    val nearDups = (0 until 10).map(i =>
+      ((100 + i).toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e tok${i}f tok${i}g CHANGED"))
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      shingleLen = 1, numHashes = 64, numBands = 16, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    // every planted pair recovered (b=16,r=4 at j=.78 → P≈1-(1-0.37)^16≈1)
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, (100 + i).toLong)), s"missing pair $i")
+    }
+    // nothing below the verify threshold sneaks through
+    assert(pairs.forall(_._3 >= 0.7))
+    // disjoint-vocab docs never pair
+    assert(pairs.forall(p => (p._2 - p._1 == 100) || (p._1 >= 100 && p._2 >= 100)))
+  }
+
+  test("simhash: identical docs collide, planted near-dups are low-hamming") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different text about spark catalyst expression codegen pipelines")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhashSignature(col("text")).as("sig"))
+    val Seq(s1, s2, s3) = sigs.orderBy("doc_id")
+      .collect().map(_.getSeq[Int](1)).toSeq
+    def ham(a: Seq[Int], b: Seq[Int]) = a.zip(b).count { case (x, y) => x != y }
+    assert(s1.length == 64)
+    assert(ham(s1, s2) < ham(s1, s3),
+      s"near-dup hamming ${ham(s1, s2)} !< unrelated ${ham(s1, s3)}")
+    val found = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = ham(s1, s2)).as[(Long, Long, Int)].collect()
+    assert(found.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("ANN probes a fraction of the corpus and overlaps the exact top-k") {
+    val emb = TestData.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+
+    val bucketed = Similarity.withLshBuckets(corpus, "embedding",
+      numPlanes = 4).cache()
+    val probed = bucketed.filter(col("bucket").isin(
+      Similarity.probeBuckets(q, 4, 42L): _*)).count()
+    val total = bucketed.count()
+    assert(probed < total, "multi-probe must not scan the whole corpus")
+
+    val ann = Similarity.annTopK(bucketed, "vec_id", "embedding", q, 10,
+      numPlanes = 4).as[(Long, Double)].collect().map(_._1).toSet
+    assert(ann.intersect(exact).size >= 3,
+      s"ANN recall too low: ${ann.intersect(exact).size}/10 (probed $probed/$total)")
+    bucketed.unpersist()
+  }
+
+  test("text functions: fingerprint canonicalization, langid, quality bounds") {
+    val df = Seq(
+      (1L, "The  Quick   Brown Fox"),
+      (2L, "the quick brown fox"),
+      (3L, "el la de que y los mas"),
+      (4L, "der die das und ist ein"),
+      (5L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getInt(4))).sortBy(_._1)
+    assert(out(0)._2 == out(1)._2, "fingerprint must canonicalize case+whitespace")
+    assert(out(0)._3 == "en" && out(2)._3 == "es" && out(3)._3 == "de")
+    assert(out(4)._3 == "und")
+    assert(out.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(out(0)._5 == 4)
+  }
+
+  test("multimodal: typed batch decode and binary plumbing shapes") {
+    val docs = TestData.table(spark, sf, "documents").limit(50)
+    val assets = Multimodal.assetsFromDocuments(docs)
+    assert(assets.schema("content").dataType.typeName == "binary")
+
+    val decoded = Multimodal.decodeBatched(
+      assets.as[Multimodal.Asset]).collect()
+    assert(decoded.length == 50)
+    assert(decoded.forall(d => d.width >= 1 && d.width <= 1920))
+    assert(decoded.forall(d => d.height >= 1 && d.height <= 1080))
+    assert(decoded.forall(_.n_bytes > 0))
+
+    val shaped = assets.select(
+      Multimodal.decodeMeta(col("content")).as("meta"),
+      Multimodal.thumbnail(col("content"), 16).as("thumb"),
+      Multimodal.frameSample(col("content"), 4, 8).as("frames"),
+      Multimodal.features(col("content"), 16).as("feat")).collect()
+    shaped.foreach { r =>
+      assert(r.getAs[Array[Byte]]("thumb").length <= 16)
+      assert(r.getSeq[Array[Byte]](2).length == 4)
+      assert(r.getSeq[Float](3).length == 16)
+    }
+  }
+}
