@@ -181,7 +181,8 @@ object Queries {
     // MinHash + banded LSH near-dup (hash-based: no SQL oracle).
     "d02_minhash_neardups" -> ((s, d) =>
       Dedup.nearDuplicates(TestData.table(s, d, "documents"), "doc_id", "text",
-        shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7)
+        shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,
+        maxBucket = 200)
         .orderBy("a", "b")),
 
     // SimHash near-dup via chunk-collision candidates (no SQL oracle).

@@ -97,7 +97,8 @@ object TextFunctions {
     * collapse to a single whole-document shingle. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
+    if (n == 1) array_distinct(toks)
+    else when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
