@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.PurchaseSummary
+import graft.sources.TestData
+
+/** The user-facing session surface: builds a tuned SparkSession and
+  * registers the reference-shaped tables and the flagship view as SQL
+  * views, so everything a reference user queries by name —
+  * `SELECT * FROM customer_purchase_summary` (`0_start_here.ipynb:270`),
+  * the raw_cdc tables (`ipynb:153-192`) — works verbatim through
+  * `spark.sql`.
+  */
+object Engine {
+
+  /** Session defaults for this engine: shuffle partitions sized to the
+    * machine (not Spark's 200 default), AQE on (runtime re-plan for
+    * skew/joins), UTC (oracle parity). */
+  def session(master: String = "local[*]",
+              shufflePartitions: Int =
+                Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Register the star tables + flagship view for SQL access over a
+    * testdata directory. Returns the view DataFrame. */
+  def registerViews(spark: SparkSession, dir: String): DataFrame = {
+    val st = TestData.star(spark, dir)
+    st.transactions.createOrReplaceTempView("transactions")
+    st.customers.createOrReplaceTempView("customers")
+    st.products.createOrReplaceTempView("products")
+    st.merchants.createOrReplaceTempView("merchants")
+    val view = PurchaseSummary.customerPurchaseSummary(
+      st.transactions, st.customers, st.products, st.merchants)
+    view.createOrReplaceTempView("customer_purchase_summary")
+    view
+  }
+
+  /** Same registration over reference-shaped frames (e.g. CSV seeds or
+    * CDC-replicated tables). */
+  def registerViews(spark: SparkSession,
+                    tables: Map[String, DataFrame]): DataFrame = {
+    tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val view = PurchaseSummary.customerPurchaseSummary(
+      tables("transactions"), tables("customers"),
+      tables("products"), tables("merchants"))
+    view.createOrReplaceTempView("customer_purchase_summary")
+    view
+  }
+}

@@ -180,6 +180,12 @@ SELECT user_id, event_id, event_type, value FROM events
 QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
 ORDER BY user_id"""),
 
+    "q22_hourly_event_stats" -> ("""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+
     // ---- training-data pipeline extensions ----
     // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
     //  and take the driver's weaker rows-only check)

@@ -171,6 +171,12 @@ object Queries {
         .orderBy("user_id")
     }),
 
+    // ST-family: event-time tumbling-window aggregation (same function
+    // serves the streaming path — see EventAnalyticsSpec).
+    "q22_hourly_event_stats" -> ((s, d) =>
+      graft.streaming.EventAnalytics.windowedStats(TestData.events(s, d), "1 hour")
+        .orderBy("window_start", "event_type")),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id.

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.money._
+
+/** Event-time analytics over the events stream — the Structured
+  * Streaming surface beyond CDC: tumbling-window aggregation with
+  * watermarked late-data handling. The same function body serves batch
+  * frames (tests, backfills) and streaming frames (readStream /
+  * MemoryStream) — one definition, two execution modes, which is the
+  * Spark-native analog of a continuously-maintained rollup.
+  */
+object EventAnalytics {
+
+  /** events.ts is nanos-since-epoch (see TestData.events); Spark
+    * windows want a timestamp. */
+  def eventTime(tsNanos: Column): Column =
+    timestamp_micros((tsNanos / 1000L).cast("long"))
+
+  /** Tumbling-window stats per event type. For a streaming input, pass
+    * `watermark` (e.g. "10 minutes") to bound state and admit
+    * bounded-late events; append-mode output finalizes a window once
+    * the watermark passes it. */
+  def windowedStats(events: DataFrame, windowLength: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn("event_time", eventTime(col("ts")))
+    val marked = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    marked
+      .groupBy(window(col("event_time"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+           sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("event_count"), col("total_value"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventAnalytics
+
+case class Ev(event_id: Long, ts: Long, user_id: Long,
+              event_type: String, value: Double)
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  test("windowed stats: one definition serves batch and watermarked streaming") {
+    // three hours of events, plus one late event inside hour 0
+    val events = Seq(
+      Ev(1, 0 * H + 1, 10, "click", 1.0),
+      Ev(2, 0 * H + 2, 11, "click", 2.5),
+      Ev(3, 1 * H + 1, 10, "buy", 10.0),
+      Ev(4, 1 * H + 2, 12, "click", 3.0),
+      Ev(5, 0 * H + 3, 13, "buy", 7.25), // late for hour 0
+      Ev(6, 2 * H + 1, 10, "click", 4.0))
+
+    val batch = EventAnalytics.windowedStats(events.toDF(), "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventAnalytics.windowedStats(
+      stream.toDF(), "1 hour", watermark = Some("30 minutes"))
+      .writeStream.outputMode(OutputMode.Append())
+      .queryName("ev_out").format("memory")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    stream.addData(events.take(5))
+    q.processAllAvailable()
+    // advance the watermark far past every window so all of them close
+    stream.addData(Ev(99, 10 * H, 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ev_out")
+      .filter(col("event_type") =!= "flush")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+
+    // the streaming run only saw events 1-5; compare to batch over the same
+    val batch5 = EventAnalytics.windowedStats(events.take(5).toDF(), "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch5.toSeq,
+      s"streaming ≠ batch: ${streamed.toSeq} vs ${batch5.toSeq}")
+    // sanity on the full batch result: hour 0 click count = 2
+    assert(batch.exists(r => r._2 == "click" && r._3 == 2))
+  }
+
+  test("SQL surface: reference table and view names answer through spark.sql") {
+    Engine.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      "SELECT COUNT(*) FROM customer_purchase_summary").head().getLong(0)
+    val viaApi = Queries.all("q01_purchase_summary")(spark, sf).count()
+    assert(viaSql == viaApi && viaSql > 0)
+
+    val top = spark.sql("""
+      SELECT merchant_name, COUNT(*) AS n FROM customer_purchase_summary
+      WHERE transaction_category = 'Purchase'
+      GROUP BY merchant_name ORDER BY n DESC, merchant_name LIMIT 1""").collect()
+    assert(top.length == 1)
+    assert(spark.sql("SELECT COUNT(*) FROM transactions").head().getLong(0) > 0)
+  }
+}
