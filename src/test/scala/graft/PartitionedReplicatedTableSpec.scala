@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+import graft.sources.ReferenceCsv
+
+case class PKv(k: Int, day: String, v: String)
+case class PKvChange(k: Int, day: String, v: String,
+                     _op: String, _lsn: Long, _commit_ts: Timestamp)
+
+class PartitionedReplicatedTableSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("partition-scoped merge touches only affected partitions") {
+    val dir = Files.createTempDirectory("graft-ptab").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+
+    t.snapshot(Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-01", "b"),
+      PKv(3, "2024-01-02", "c"), PKv(4, "2024-01-03", "d")).toDF())
+    assert(t.partitionVersion("2024-01-01").contains("v=0"))
+    assert(t.partitionVersion("2024-01-03").contains("v=0"))
+
+    // batch touching only day 1 and 2
+    t.applyChanges(Seq(
+      PKvChange(1, "2024-01-01", "a-stale", CdcApply.Update, 1, ts(1)),
+      PKvChange(1, "2024-01-01", "a2", CdcApply.Update, 2, ts(2)), // LWW
+      PKvChange(5, "2024-01-02", "e", CdcApply.Insert, 3, ts(3))).toDF())
+
+    assert(t.partitionVersion("2024-01-01").contains("v=1"))
+    assert(t.partitionVersion("2024-01-02").contains("v=1"))
+    // THE invariant: the untouched partition was not rewritten
+    assert(t.partitionVersion("2024-01-03").contains("v=0"))
+
+    assert(t.current().as[PKv].collect().sortBy(_.k).toSeq == Seq(
+      PKv(1, "2024-01-01", "a2"), PKv(2, "2024-01-01", "b"),
+      PKv(3, "2024-01-02", "c"), PKv(4, "2024-01-03", "d"),
+      PKv(5, "2024-01-02", "e")))
+
+    // delete every row of day 2 → partition goes EMPTY; others untouched
+    t.applyChanges(Seq(
+      PKvChange(3, "2024-01-02", null, CdcApply.Delete, 4, ts(4)),
+      PKvChange(5, "2024-01-02", null, CdcApply.Delete, 5, ts(5))).toDF())
+    assert(t.partitionVersion("2024-01-02").contains("EMPTY"))
+    assert(t.partitionVersion("2024-01-01").contains("v=1"))
+    assert(t.current().count() == 3)
+
+    // reinsert into the emptied partition
+    t.applyChanges(Seq(
+      PKvChange(6, "2024-01-02", "f", CdcApply.Insert, 6, ts(6))).toDF())
+    assert(t.partitionVersion("2024-01-02").contains("v=2"))
+    assert(t.current().filter($"day" === "2024-01-02").count() == 1)
+  }
+
+  test("delete without partition value is rejected (replica identity contract)") {
+    val dir = Files.createTempDirectory("graft-ptab2").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    t.snapshot(Seq(PKv(1, "2024-01-01", "a")).toDF())
+    val e = intercept[IllegalArgumentException] {
+      t.applyChanges(Seq(
+        PKvChange(1, null, null, CdcApply.Delete, 1, ts(1))).toDF())
+    }
+    assert(e.getMessage.contains("day"))
+  }
+
+  test("date-partitioned transactions: partitioned ≡ flat replica under generated CDC") {
+    val dir = Files.createTempDirectory("graft-ptab3").toString
+    val tables = ReferenceCsv.loadAll(spark, "/root/reference/scripts/postgres_csv")
+    val flat = new ReplicatedTable(spark, s"$dir/flat", Seq("transaction_id"))
+    val part = new PartitionedReplicatedTable(
+      spark, s"$dir/part", Seq("transaction_id"), "transaction_date")
+    flat.snapshot(tables("transactions"))
+    part.snapshot(tables("transactions"))
+
+    val gen = TransactionGenerator.generate(
+      spark, tables("customers"), tables("products"), tables("merchants"),
+      n = 300, seed = 11L, startLsn = 10L, date = "2025-01-01")
+    flat.applyChanges(gen)
+    part.applyChanges(gen)
+
+    // generated rows all land on one date → exactly one new partition
+    assert(part.partitionVersion(Date.valueOf("2025-01-01")).isDefined)
+    val a = flat.current(); val b = part.current()
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // pruned read only scans the touched partition
+    assert(part.currentForValues(Seq(Date.valueOf("2025-01-01"))).count() == 300)
+  }
+}
