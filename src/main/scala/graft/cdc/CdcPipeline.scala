@@ -18,7 +18,7 @@ object CdcPipeline {
     * is one atomic version commit; the checkpoint gives effectively-once
     * application on restart (replayed batches are idempotent merges).
     */
-  def replicate(changes: DataFrame, table: ReplicatedTable,
+  def replicate(changes: DataFrame, table: KeyedTable,
                 checkpoint: String,
                 trigger: Trigger = Trigger.AvailableNow(),
                 queryName: String = "cdc-replicate"): StreamingQuery =

@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class PartitionedReplicatedTable(spark: SparkSession, path: String,
                                        val keys: Seq[String],
-                                       val partitionCol: String) {
+                                       val partitionCol: String)
+    extends KeyedTable {
 
   private val root = new Path(path)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

@@ -25,7 +25,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * executor memory.
   */
 final class ReplicatedTable(spark: SparkSession, path: String,
-                            val keys: Seq[String]) {
+                            val keys: Seq[String]) extends KeyedTable {
 
   private val root = new Path(path)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

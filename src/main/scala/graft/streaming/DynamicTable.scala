@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.cdc.{CdcApply, ReplicatedTable}
+import graft.cdc.{CdcApply, KeyedTable}
 
 /** The engine's Dynamic Table runtime — an incrementally-maintained
   * materialized view, re-expressing the reference's
@@ -32,8 +32,8 @@ import graft.cdc.{CdcApply, ReplicatedTable}
   * Triggers map TARGET_LAG: `ProcessingTime(lag)` in production,
   * `AvailableNow` in tests.
   */
-final class DynamicTable(fact: ReplicatedTable,
-                         result: ReplicatedTable,
+final class DynamicTable(fact: KeyedTable,
+                         result: KeyedTable,
                          viewOf: DataFrame => DataFrame) {
 
   require(fact.keys == result.keys,
@@ -45,9 +45,11 @@ final class DynamicTable(fact: ReplicatedTable,
     val view = viewOf(fact.current())
     if (result.isSnapshotDone) {
       // express the recompute as one change batch: upsert every current
-      // row, delete every vanished key — keeps the versioned history.
+      // row, delete every vanished row — keeps the versioned history.
+      // Vanished rows are carried whole (not just keys), so a
+      // partitioned result table can locate their partitions.
       val upserts = withMeta(view, CdcApply.Update)
-      val vanished = result.current().select(keys.map(col): _*)
+      val vanished = result.current()
         .join(view.select(keys.map(col): _*), keys, "left_anti")
       result.applyChanges(upserts.unionByName(
         deleteEvents(vanished, view), allowMissingColumns = false))
@@ -62,7 +64,12 @@ final class DynamicTable(fact: ReplicatedTable,
     val after = winners.filter(col(CdcApply.OpCol) =!= CdcApply.Delete)
       .drop(CdcApply.MetaCols: _*)
     val upserts = viewOf(after)
-    val deletions = winners.select(keys.map(col): _*)
+    // deletion events keep every view column the fact event already has
+    // (beyond the keys: e.g. the partition date from the replica
+    // identity) so partitioned result tables can prune their merge
+    val carried = upserts.columns.filter(c =>
+      winners.columns.contains(c)).toIndexedSeq
+    val deletions = winners.select(carried.map(col): _*)
       .join(upserts.select(keys.map(col): _*), keys, "left_anti")
     result.applyChanges(
       withMeta(upserts, CdcApply.Update)
@@ -74,10 +81,11 @@ final class DynamicTable(fact: ReplicatedTable,
       .withColumn(CdcApply.LsnCol, lit(1L))
       .withColumn(CdcApply.CommitTsCol, current_timestamp())
 
-  /** Null-padded delete events shaped like the view schema. */
-  private def deleteEvents(keysDf: DataFrame, shaped: DataFrame): DataFrame = {
-    val padded = keysDf.select(shaped.columns.toIndexedSeq.map { c =>
-      if (keys.contains(c)) col(c)
+  /** Delete events shaped like the view schema: columns the source
+    * frame carries pass through, the rest are null-padded. */
+  private def deleteEvents(src: DataFrame, shaped: DataFrame): DataFrame = {
+    val padded = src.select(shaped.columns.toIndexedSeq.map { c =>
+      if (src.columns.contains(c)) col(c)
       else lit(null).cast(shaped.schema(c).dataType).as(c)
     }: _*)
     withMeta(padded, CdcApply.Delete)

@@ -140,3 +140,51 @@ case class TxRow(transaction_id: String, customer_id: Int, product_id: Int,
                  merchant_id: Int, transaction_date: Date,
                  transaction_time: String, quantity: Int, total_price: Double,
                  transaction_card: String, transaction_category: String)
+
+class PartitionedDynamicTableSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("partition-scoped pipeline: partitioned fact AND partitioned view") {
+    val tables = ReferenceCsv.loadAll(spark, "/root/reference/scripts/postgres_csv")
+    def viewOf(tx: DataFrame): DataFrame =
+      PurchaseSummary.customerPurchaseSummary(
+        tx, tables("customers"), tables("products"), tables("merchants"))
+
+    val dir = Files.createTempDirectory("graft-pdt").toString
+    val fact = new PartitionedReplicatedTable(
+      spark, s"$dir/tx", Seq("transaction_id"), "transaction_date")
+    val result = new PartitionedReplicatedTable(
+      spark, s"$dir/view", Seq("transaction_id"), "transaction_date")
+    fact.snapshot(tables("transactions"))
+    val dt = new DynamicTable(fact, result, viewOf)
+    dt.fullRefresh()
+
+    // one view row to delete — its fact DELETE event carries the date
+    // (replica identity includes the partition key)
+    val victim = result.current().select("transaction_id", "transaction_date")
+      .orderBy("transaction_id").head()
+    val untouchedDate = result.current()
+      .filter(col("transaction_date") =!= victim.getDate(1))
+      .select("transaction_date").orderBy("transaction_date").head().getDate(0)
+
+    val gen = TransactionGenerator.generate(
+      spark, tables("customers"), tables("products"), tables("merchants"),
+      n = 50, seed = 3L, startLsn = 50L, date = "2025-02-02")
+    val del = Seq(TxChange(victim.getString(0), 0, 0, 0, victim.getDate(1),
+      null, 0, 0.0, null, null, CdcApply.Delete, 999L,
+      new java.sql.Timestamp(0))).toDF()
+    val batch = gen.unionByName(del)
+
+    fact.applyChanges(batch)
+    dt.incrementalRefresh(batch)
+
+    val expect = viewOf(fact.current())
+    val got = result.current()
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0)
+    assert(got.filter(col("transaction_id") === victim.getString(0)).count() == 0)
+    // partition-scoped maintenance: a view partition not in the batch
+    // was not rewritten
+    assert(result.partitionVersion(untouchedDate).contains("v=0"))
+  }
+}
