@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-fold dot product over double-cast arrays. */
+  /** Dot product — the native codegen expression
+    * ([[graft.functions.VectorDot]]): widen-to-double, left-to-right
+    * accumulation, bit-identical to the HOF fold it replaced but
+    * compiled into the whole-stage loop. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.vectors.vector_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.vectors.vector_dot
+
+class VectorDotSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("native dot product: values, widening, and codegen participation") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
+      (2L, Array(0.5f, -0.5f, 0.0f), Array(2.0, 2.0, 9.0))
+    ).toDF("id", "vf", "vd")
+
+    // float×double widening, left-to-right accumulation
+    val got = df.select(col("id"),
+      vector_dot(col("vf"), col("vd")).as("d"),
+      vector_dot(col("vf"), col("vf")).as("ff"),
+      vector_dot(col("vd"), col("vd")).as("dd"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(got(0)._2 == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+    assert(got(1)._2 == 0.5 * 2 + (-0.5) * 2 + 0.0 * 9)
+    assert(got(0)._3 == 14.0 && got(0)._4 == 77.0)
+
+    // participates in whole-stage codegen (not a fallback/interpreted
+    // node) — checked on a parquet scan; a local relation would be
+    // evaluated eagerly into a LocalTableScan
+    val exec = graft.sources.TestData.table(spark, sf, "embeddings")
+      .select(vector_dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.toString.contains("vectordot"))
+    assert(inCodegen, exec.toString)
+
+    // length mismatch is an error, not silent truncation
+    val bad = Seq((Array(1.0f), Array(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(vector_dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("native dot matches the interpreted fold bit-for-bit on real embeddings") {
+    val emb = graft.sources.TestData.table(spark, sf, "embeddings").limit(100)
+    val fold = aggregate(
+      zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = emb.select(
+      (vector_dot(col("embedding"), col("embedding")) - fold).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diffs == 0, "native and fold paths must agree exactly")
+  }
+}
