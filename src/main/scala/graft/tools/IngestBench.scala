@@ -1,0 +1,88 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.cdc._
+import graft.operators.PurchaseSummary
+import graft.sources.ReferenceCsv
+import graft.streaming.DynamicTable
+
+case class TxChangeRow(transaction_id: String, customer_id: Int,
+  product_id: Int, merchant_id: Int, transaction_date: java.sql.Date,
+  transaction_time: String, quantity: Int, total_price: Double,
+  transaction_card: String, transaction_category: String,
+  _op: String, _lsn: Long, _commit_ts: java.sql.Timestamp)
+
+/** Measures the CDC → dynamic-table pipeline against BASELINE.md's
+  * engine targets (sustained ingest ≥ 1e5 rows/min locally; change →
+  * view latency ≤ TARGET_LAG). Prints one JSON line.
+  */
+object IngestBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val tables = ReferenceCsv.loadAll(spark, "/root/reference/scripts/postgres_csv")
+    def viewOf(tx: DataFrame): DataFrame =
+      PurchaseSummary.customerPurchaseSummary(
+        tx, tables("customers"), tables("products"), tables("merchants"))
+
+    val fact = new ReplicatedTable(spark, s"$dir/tx", Seq("transaction_id"))
+    val result = new ReplicatedTable(spark, s"$dir/view", Seq("transaction_id"))
+    fact.snapshot(tables("transactions"))
+    val dt = new DynamicTable(fact, result, viewOf)
+    dt.fullRefresh()
+
+    val n = 20000
+    val changes = TransactionGenerator.generate(
+      spark, tables("customers"), tables("products"), tables("merchants"),
+      n = n, seed = 99L, startLsn = 1000L)
+      .as[TxChangeRow].collect()
+
+    // batch apply throughput (one micro-batch of n rows through the merge)
+    val t0 = System.nanoTime()
+    val batchDf = changes.toSeq.toDF()
+    fact.applyChanges(batchDf)
+    dt.incrementalRefresh(batchDf)
+    val batchSec = (System.nanoTime() - t0) / 1e9
+
+    // streaming change→view latency across 10 micro-batches of 500 rows
+    val fact2 = new ReplicatedTable(spark, s"$dir/tx2", Seq("transaction_id"))
+    val result2 = new ReplicatedTable(spark, s"$dir/view2", Seq("transaction_id"))
+    fact2.snapshot(tables("transactions"))
+    val dt2 = new DynamicTable(fact2, result2, viewOf)
+    dt2.fullRefresh()
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[TxChangeRow]
+    val q = dt2.start(stream.toDF(), s"$dir/ckpt",
+      trigger = Trigger.ProcessingTime(0))
+    val batches = 10
+    val per = 500
+    val t1 = System.nanoTime()
+    (0 until batches).foreach { i =>
+      stream.addData(changes.slice(i * per, (i + 1) * per).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    val streamSec = (System.nanoTime() - t1) / 1e9
+    q.stop()
+
+    val rowsPerMinBatch = n / batchSec * 60
+    val rowsPerMinStream = (batches * per) / streamSec * 60
+    println(f"""{"batch_rows":$n,"batch_sec":$batchSec%.2f,""" +
+      f""""batch_rows_per_min":${rowsPerMinBatch}%.0f,""" +
+      f""""stream_batches":$batches,"stream_rows":${batches * per},""" +
+      f""""stream_sec":$streamSec%.2f,""" +
+      f""""stream_latency_per_batch_sec":${streamSec / batches}%.2f,""" +
+      f""""stream_rows_per_min":${rowsPerMinStream}%.0f}""")
+    spark.stop()
+  }
+}
