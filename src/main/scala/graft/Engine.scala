@@ -31,6 +31,12 @@ object Engine {
     s
   }
 
+  /** Register the engine's column functions (vector_dot,
+    * cosine_similarity, token_count, quality_score, lang_id,
+    * doc_fingerprint, simhash, bottom_k_sketch, …) for spark.sql use. */
+  def registerFunctions(spark: SparkSession): Unit =
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+
   /** Register the star tables + flagship view for SQL access over a
     * testdata directory. Returns the view DataFrame. */
   def registerViews(spark: SparkSession, dir: String): DataFrame = {

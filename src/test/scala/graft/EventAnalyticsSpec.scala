@@ -77,4 +77,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(top.length == 1)
     assert(spark.sql("SELECT COUNT(*) FROM transactions").head().getLong(0) > 0)
   }
+
+  test("engine functions are callable from SQL") {
+    Engine.registerFunctions(spark)
+    graft.sources.TestData.table(spark, sf, "documents")
+      .createOrReplaceTempView("docs_fn")
+    val r = spark.sql("""
+      SELECT doc_id, token_count(text) AS n, lang_id(text) AS l,
+             quality_score(text) AS q, doc_fingerprint(text) AS fp
+      FROM docs_fn ORDER BY doc_id LIMIT 5""").collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getInt(1) > 0))
+    assert(r.forall(x => x.getDouble(3) >= 0 && x.getDouble(3) <= 1))
+    assert(r.forall(_.getString(4).length == 32))
+
+    graft.sources.TestData.table(spark, sf, "embeddings")
+      .createOrReplaceTempView("emb_fn")
+    val c = spark.sql("""
+      SELECT vec_id, vector_dot(embedding, embedding) AS selfdot,
+             cosine_similarity(embedding, embedding) AS selfcos
+      FROM emb_fn ORDER BY vec_id LIMIT 3""").collect()
+    assert(c.forall(_.getDouble(1) > 0))
+    assert(c.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-9))
+  }
 }
