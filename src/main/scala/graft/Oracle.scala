@@ -186,6 +186,27 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
 
+    "q23_user_sessions" -> ("""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       CAST(MIN(ts_ns) // 1000 AS BIGINT) AS session_start,
+       CAST(MAX(ts_ns) // 1000 AS BIGINT) AS session_end,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+FROM sessions GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq"""),
+
     // ---- training-data pipeline extensions ----
     // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
     //  and take the driver's weaker rows-only check)

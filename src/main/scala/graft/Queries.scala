@@ -177,6 +177,17 @@ object Queries {
       graft.streaming.EventAnalytics.windowedStats(TestData.events(s, d), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // Gap-based sessionization (lag + cumulative sum analytic windows).
+    "q23_user_sessions" -> ((s, d) =>
+      graft.streaming.EventAnalytics.sessionize(
+        TestData.events(s, d), gapNanos = 30L * 60 * 1000000000L)
+        // bounds emitted in µs: DuckDB's parquet reader truncates ns
+        // timestamps to µs, so ns output digits can't be mirrored
+        // integer `div`, not `/`: double division loses ulps at 1e15 ns
+        .withColumn("session_start", expr("session_start div 1000"))
+        .withColumn("session_end", expr("session_end div 1000"))
+        .orderBy("user_id", "session_seq")),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id.

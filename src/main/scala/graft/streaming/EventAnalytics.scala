@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.money._
@@ -33,5 +34,27 @@ object EventAnalytics {
            sumMoney(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("event_count"), col("total_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle longer than `gap`. Classic lag + cumulative-sum formulation —
+    * two analytic windows over one (user, time) sort; the shuffle
+    * partitions by user, so it scales with user cardinality. Returns
+    * one row per session with bounds and aggregates.
+    */
+  def sessionize(events: DataFrame, gapNanos: Long): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new", when(
+        col("__prev").isNull || col("ts") - col("__prev") > gapNanos, 1
+      ).otherwise(0))
+      .withColumn("session_seq", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           sumMoney(col("value")).as("session_value"))
   }
 }
