@@ -273,6 +273,19 @@ object Queries {
         "vec_id", "embedding", q, 10)
     }),
 
+    // IVF ANN: coarse-quantizer inverted lists + probed exact re-rank
+    // (deterministic quantizer; no SQL oracle).
+    "s03_ivf_topk" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+      Similarity.ivfTopK(
+        Similarity.withIvfLists(corpus, "embedding", cents),
+        "vec_id", "embedding", q, 10, cents, nProbe = 4)
+    }),
+
     // Multimodal decode plumbing over binary content (stubbed codec).
     "m01_multimodal_decode" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(TestData.table(s, d, "documents"))

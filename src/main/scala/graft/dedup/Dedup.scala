@@ -173,20 +173,48 @@ object Dedup {
         when(col(s"__b$j") > 0, 1).otherwise(0)): _*).as("__sig"))
   }
 
+  /** [[simhashSignatures]] packed into one long per doc: the 64 sign
+    * sums fold into bits with Scala-level unrolled shifts (codegen'd,
+    * no lambdas). Hamming distance becomes `bit_count(a ^ b)`. */
+  def simhashSignaturesPacked(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val h = xxhash64(col("__t"))
+    val aggs = Seq.tabulate(64)(j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1))
+        .as(s"__b$j"))
+    val packed = Seq.tabulate(64)(j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("__t"))
+      .groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), packed.as("__sig"))
+  }
+
   /** SimHash near-dup: candidates collide on any 16-bit signature
     * chunk (pigeonhole: hamming ≤ 3 over 64 bits guarantees one of the
-    * four chunks is identical), verified by full Hamming ≤ `maxHamming`. */
+    * four chunks is identical), verified by full Hamming ≤ `maxHamming`
+    * — `bit_count(xor)` on packed longs, fully codegen'd. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3,
                             maxBucket: Int = 1000): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val cands = lshCandidates(sigs, idCol, "__sig", numBands = 4,
-      rowsPerBand = 16, maxBucket = maxBucket)
+    val sigs = simhashSignaturesPacked(docs, idCol, textCol)
+    val chunks = posexplode(array(Seq.tabulate(4)(c =>
+      shiftright(col("__sig"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
+    val bandKeys = sigs.select(col(idCol), chunks.as(Seq("band", "key")))
+    val buckets = bandKeys.groupBy("band", "key")
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val cands = buckets
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
     val s = sigs.select(col(idCol), col("__sig"))
     cands
       .join(s.withColumnRenamed(idCol, "a").withColumnRenamed("__sig", "__siga"), "a")
       .join(s.withColumnRenamed(idCol, "b").withColumnRenamed("__sig", "__sigb"), "b")
-      .withColumn("hamming", hamming(col("__siga"), col("__sigb")))
+      .withColumn("hamming",
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
   }

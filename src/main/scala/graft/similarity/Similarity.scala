@@ -96,4 +96,63 @@ object Similarity {
       .head().getLong(0)
     bucket +: Seq.tabulate(numPlanes)(p => bucket ^ (1L << p))
   }
+
+  // ---- IVF (inverted-file) variant: coarse quantizer + probed lists ----
+
+  /** Deterministic coarse centroids: every ⌈n/k⌉-th vector by id order.
+    * A k-means refinement would drop in here; deterministic striding
+    * keeps tests and re-builds reproducible, and for ANN the quantizer
+    * only needs to be *fixed*, not optimal. Centroids are collected to
+    * the driver — k is small (√n-ish) by construction. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): Array[(Int, Seq[Float])] = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    // stride on the id value — a distributed filter, no global sort
+    corpus.select(col(idCol), col(vecCol))
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+  }
+
+  private def nearestCentroid(vec: Column,
+                              centroids: Array[(Int, Seq[Float])]): Column = {
+    // argmin over the (broadcast-literal) centroid set, unrolled —
+    // k is small, each distance is one codegen'd vector_dot
+    val dists = centroids.map { case (i, c) =>
+      val cl = array(c.map(lit): _*)
+      (i, dot(vec, vec) - lit(2.0) * dot(vec, cl) + dot(cl, cl))
+    }
+    val minDist = dists.map(_._2).reduce((a, b) => least(a, b))
+    dists.foldRight(lit(-1): Column) { case ((i, d), els) =>
+      when(d === minDist, lit(i)).otherwise(els)
+    }
+  }
+
+  /** Corpus preparation: assign each vector to its nearest coarse
+    * centroid ("inverted list"). Persist partitioned by `ivf_list` and
+    * a probe reads only the probed lists. */
+  def withIvfLists(corpus: DataFrame, vecCol: String,
+                   centroids: Array[(Int, Seq[Float])]): DataFrame =
+    corpus.withColumn("ivf_list", nearestCentroid(col(vecCol), centroids))
+
+  /** IVF ANN top-k: rank the `nProbe` centroids nearest to the query,
+    * scan only those inverted lists, re-rank candidates by exact
+    * cosine. Scans ≈ nProbe/k of the corpus. */
+  def ivfTopK(listed: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int,
+              centroids: Array[(Int, Seq[Float])], nProbe: Int = 3): DataFrame = {
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val probes = centroids.sortBy { case (_, c) => d2(query, c) }
+      .take(nProbe).map(_._1)
+    listed
+      .filter(col("ivf_list").isin(probes.toIndexedSeq: _*))
+      .withColumn("cosine", cosine(col(vecCol), array(query.map(lit): _*)))
+      .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }

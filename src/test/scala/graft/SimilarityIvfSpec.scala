@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SkewJoin
+import graft.similarity.Similarity
+import graft.sources.TestData
+
+class SimilarityIvfSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("IVF ANN: probed lists scan a fraction and overlap the exact top-k") {
+    val emb = TestData.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 16)
+    assert(cents.length == 16)
+    val listed = Similarity.withIvfLists(corpus, "embedding", cents).cache()
+    // every vector lands in a real list
+    assert(listed.filter(col("ivf_list") < 0 || col("ivf_list") >= 16).count() == 0)
+    // lists are reasonably balanced for this data (no list owns everything)
+    val maxList = listed.groupBy("ivf_list").count()
+      .agg(max("count")).head().getLong(0)
+    val total = listed.count()
+    assert(maxList < total / 2, s"degenerate quantizer: $maxList/$total in one list")
+
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val probed = listed.filter(col("ivf_list").isin(
+      // recompute the probe set exactly as ivfTopK does
+      cents.sortBy { case (_, c) =>
+        q.zip(c).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      }.take(4).map(_._1).toIndexedSeq: _*)).count()
+    assert(probed < total, "IVF probe must not scan the whole corpus")
+
+    val ann = Similarity.ivfTopK(listed, "vec_id", "embedding", q, 10,
+      cents, nProbe = 4).as[(Long, Double)].collect().map(_._1).toSet
+    assert(ann.intersect(exact).size >= 3,
+      s"IVF recall too low: ${ann.intersect(exact).size}/10 (scanned $probed/$total)")
+    listed.unpersist()
+  }
+
+  test("salted join: correct results, hot key spread across salts") {
+    val hot = (1 to 5000).map(i => (1L, s"p$i")) ++
+      (1 to 50).map(i => (2L, s"q$i"))
+    val probe = hot.toDF("k", "payload")
+    val build = Seq((1L, "dim-one"), (2L, "dim-two"), (3L, "dim-three"))
+      .toDF("k", "attr")
+
+    val plain = probe.join(build, Seq("k")).orderBy("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val salted = SkewJoin.saltedJoin(probe, build, "k", salt = 8)
+      .orderBy("k", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(salted.toSeq == plain.toSeq)
+
+    // left join preserves unmatched probe rows too
+    val probe2 = (probe.collect().map(r => (r.getLong(0), r.getString(1)))
+      :+ ((99L, "orphan"))).toSeq.toDF("k", "payload")
+    val l = SkewJoin.saltedJoin(probe2, build, "k", salt = 4, "left")
+    assert(l.count() == probe2.count())
+    assert(l.filter(col("k") === 99L).head().isNullAt(2))
+  }
+}
