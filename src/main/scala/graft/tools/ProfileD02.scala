@@ -26,6 +26,10 @@ object ProfileD02 {
     val out = time("full")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 1, 32, 4, 0.7, 200).count())
     println("pairs: " + out)
+    val out2 = time("full-noprefilter")(
+      Dedup.nearDuplicates(docs, "doc_id", "text", 1, 32, 4, 0.7, 200,
+        prefilter = false).count())
+    println("pairs2: " + out2)
     spark.stop()
   }
 }
