@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
 
 /** The flagship view: `customer_purchase_summary`.
   *
@@ -58,5 +60,19 @@ object PurchaseSummary {
         (col("t.quantity") * col("p.price")).as("total_price"),
         col("t.transaction_card"),
         col("t.transaction_category"))
+  }
+
+  /** Typed form: same plan, `Dataset[PurchaseSummary]` out — field
+    * access checked at compile time downstream. */
+  def customerPurchaseSummaryTyped(
+      tx: Dataset[Schemas.Transaction],
+      customers: Dataset[Schemas.Customer],
+      products: Dataset[Schemas.Product],
+      merchants: Dataset[Schemas.Merchant]): Dataset[Schemas.PurchaseSummary] = {
+    val spark = tx.sparkSession
+    import spark.implicits._
+    customerPurchaseSummary(
+      tx.toDF(), customers.toDF(), products.toDF(), merchants.toDF())
+      .as[Schemas.PurchaseSummary]
   }
 }

@@ -1,8 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.model.Schemas
+import graft.model.Schemas.{Customer, Merchant, Product, Transaction}
 
 /** CSV bulk load of reference-shaped seed tables — the engine's
   * equivalent of `COPY … FROM '/tmp/x.csv' DELIMITER ',' CSV HEADER`
@@ -26,4 +27,24 @@ object ReferenceCsv {
     Schemas.tableSchemas.keys.map { t =>
       t -> load(spark, s"$dir/$t.csv", t)
     }.toMap
+
+  // Typed surface (SURVEY.md §1.3): compile-time field checks for
+  // pipeline code; the untyped frames remain the operator-library
+  // currency.
+  def customers(spark: SparkSession, dir: String): Dataset[Customer] = {
+    import spark.implicits._
+    load(spark, s"$dir/customers.csv", "customers").as[Customer]
+  }
+  def merchants(spark: SparkSession, dir: String): Dataset[Merchant] = {
+    import spark.implicits._
+    load(spark, s"$dir/merchants.csv", "merchants").as[Merchant]
+  }
+  def products(spark: SparkSession, dir: String): Dataset[Product] = {
+    import spark.implicits._
+    load(spark, s"$dir/products.csv", "products").as[Product]
+  }
+  def transactions(spark: SparkSession, dir: String): Dataset[Transaction] = {
+    import spark.implicits._
+    load(spark, s"$dir/transactions.csv", "transactions").as[Transaction]
+  }
 }

