@@ -207,6 +207,19 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq"""),
 
+    "q24_median_order_value" -> (star + """
+, ranked AS (
+  SELECT merchant_name, total_price,
+         ROW_NUMBER() OVER (PARTITION BY merchant_name ORDER BY total_price) AS rn,
+         COUNT(*) OVER (PARTITION BY merchant_name) AS cnt
+  FROM summary)
+SELECT merchant_name,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / COUNT(*) / 100.0
+         AS median_price
+FROM ranked
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY merchant_name ORDER BY merchant_name"""),
+
     // ---- training-data pipeline extensions ----
     // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
     //  and take the driver's weaker rows-only check)

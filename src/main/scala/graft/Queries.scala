@@ -188,6 +188,25 @@ object Queries {
         .withColumn("session_end", expr("session_end div 1000"))
         .orderBy("user_id", "session_seq")),
 
+    // Exact per-merchant median via window row-pick: engines disagree on
+    // percentile interpolation, but the middle elements by row_number
+    // are well-defined (ties share the same value, so tie order is
+    // irrelevant to the median itself).
+    "q24_median_order_value" -> ((s, d) => {
+      val sm = summary(s, d)
+      val w = Window.partitionBy("merchant_name").orderBy("total_price")
+      sm.select(col("merchant_name"), col("total_price"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("merchant_name")))
+        .filter(col("rn") === expr("(cnt + 1) div 2") ||
+                col("rn") === expr("(cnt + 2) div 2"))
+        .groupBy("merchant_name")
+        .agg((sum(cents(col("total_price"))) / count(lit(1)) / 100.0)
+          .as("median_price"))
+        .orderBy("merchant_name")
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id.
