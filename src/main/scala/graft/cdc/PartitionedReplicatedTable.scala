@@ -1,34 +1,45 @@
 package graft.cdc
 
-import java.net.{URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** The 100 TB form of [[ReplicatedTable]]: partition-scoped CDC merge.
   *
-  * Layout: `path/p=<encoded-value>/v=N` with an atomic `_CURRENT`
-  * pointer per partition. A change batch only ever reads and rewrites
-  * the partitions its keys live in — apply cost is O(touched
-  * partitions), not O(table). For a fact table partitioned by
-  * `transaction_date`, a steady-state CDC batch touches one or two
-  * date partitions of an arbitrarily large table.
+  * Layout: `path/p=<enc>/v=N` immutable version directories plus a
+  * root manifest (`m=N` files + one `_CURRENT` pointer). A change batch
+  * only ever reads and rewrites the partitions its keys live in — apply
+  * cost is O(touched partitions), not O(table). For a fact table
+  * partitioned by `transaction_date`, a steady-state CDC batch touches
+  * one or two date partitions of an arbitrarily large table.
   *
   * Mechanics per batch: LWW-collapse the changes, collect the affected
   * partition values (a tiny driver-side list), merge against a
   * partition-pruned read of just those partitions in one job, stage the
-  * result with a partitioned write, then rename each staged partition
-  * into place as its next version and swap the pointer. Readers always
-  * see complete immutable versions; untouched partitions are untouched
-  * (asserted in the spec).
+  * result with a partitioned write, rename each staged partition into
+  * place as its next immutable version, then publish ONE new manifest
+  * mapping every partition to its version and swap the root pointer.
+  * The pointer swap is the single commit point: readers resolve all
+  * partitions from one manifest, so a multi-partition batch is visible
+  * all-or-nothing — no torn reads — and a crashed writer leaves only
+  * unreferenced version dirs.
+  *
+  * Partition values are encoded as `x` + uppercase hex of the UTF-8
+  * bytes (`hex()` on the write side, the same bytes driver-side).
+  * Hex is escape-free — every generated directory name is alphanumeric
+  * — so values containing `%`, `:`, spaces, or non-ASCII survive
+  * Spark's Hive-style partition-name escaping verbatim (a URL-encoded
+  * scheme would be re-escaped by the writer and break the staged-dir
+  * lookup). The `x` prefix keeps the name non-empty for `""`.
   *
   * Constraints (documented contract):
   *  - every event (including DELETEs) must carry the partition column —
   *    the replica identity of a partitioned table includes its
-  *    partition key;
+  *    partition key; snapshots must not contain null partition values
+  *    either;
   *  - the partition value is immutable per primary key (a key never
   *    migrates between partitions) — true of transaction_date per
   *    transaction_id, and of event-time partitioning generally.
@@ -41,62 +52,53 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
   private val root = new Path(path)
   private val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
   private val Empty = "EMPTY"
+  private val head = new Path(root, "_CURRENT")
 
+  /** Driver-side twin of [[encExpr]]: `x` + uppercase hex of UTF-8. */
   private def enc(v: Any): String =
-    URLEncoder.encode(String.valueOf(v), StandardCharsets.UTF_8)
+    if (v == null) null
+    else "x" + String.valueOf(v).getBytes(StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
+
+  /** Spark-side partition encoding — must emit byte-identical names to
+    * [[enc]] (hex of the same UTF-8 bytes; spec-checked with `:`,
+    * space, `%`, and non-ASCII values). */
+  private def encExpr: Column =
+    concat(lit("x"), hex(col(partitionCol).cast("string")))
+
   private def partDir(e: String) = new Path(root, s"p=$e")
-  private def pointer(e: String) = new Path(partDir(e), "_CURRENT")
 
-  private def readPointer(e: String): Option[String] = {
-    val p = pointer(e)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim)
-      finally in.close()
-    }
-  }
-
-  private def writePointer(e: String, content: String): Unit = {
-    fs.mkdirs(partDir(e))
-    val out = fs.create(pointer(e), true)
+  private def writeSmall(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def schemaPath = new Path(root, "_SCHEMA")
-
-  private def writeSchema(s: StructType): Unit = {
-    val out = fs.create(schemaPath, true)
-    try out.write(s.json.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def schema: StructType = {
-    val in = fs.open(schemaPath)
-    try DataType.fromJson(new String(in.readAllBytes(),
-      StandardCharsets.UTF_8)).asInstanceOf[StructType]
+  private def readSmall(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8).trim
     finally in.close()
   }
 
-  def isSnapshotDone: Boolean = fs.exists(schemaPath)
+  private def schemaPath = new Path(root, "_SCHEMA")
 
-  /** Partition values present (encoded form). */
-  private def partitions(): Seq[String] =
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("p=")).map(_.stripPrefix("p="))
+  private def schema: StructType =
+    DataType.fromJson(readSmall(schemaPath)).asInstanceOf[StructType]
 
-  private def currentDirs(parts: Seq[String]): Seq[String] =
-    parts.flatMap { e =>
-      readPointer(e) match {
-        case Some(Empty) | None => None
-        case Some(v) => Some(new Path(partDir(e), v).toString)
-      }
+  def isSnapshotDone: Boolean = fs.exists(head)
+
+  /** The committed manifest: encoded partition value → "v=N" | EMPTY. */
+  private def manifest(): Map[String, String] =
+    if (!isSnapshotDone) Map.empty
+    else readSmall(new Path(root, s"m=${readSmall(head)}"))
+      .linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(e, v) = line.split('\t'); e -> v
+      }.toMap
+
+  private def read(m: Map[String, String], parts: Seq[String]): DataFrame = {
+    val dirs = parts.flatMap(m.get).zip(parts).collect {
+      case (v, e) if v != Empty => new Path(partDir(e), v).toString
     }
-
-  private def read(parts: Seq[String]): DataFrame = {
-    val dirs = currentDirs(parts)
     if (dirs.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // recursiveFileLookup disables partition-dir inference — the p=/v=
@@ -106,22 +108,28 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
       .option("recursiveFileLookup", "true").parquet(dirs: _*)
   }
 
-  def current(): DataFrame = read(partitions())
+  def current(): DataFrame = {
+    val m = manifest(); read(m, m.keys.toSeq)
+  }
 
   /** Pruned read of the partitions holding the given values. */
-  def currentForValues(values: Seq[Any]): DataFrame = read(values.map(enc))
+  def currentForValues(values: Seq[Any]): DataFrame =
+    read(manifest(), values.map(enc))
 
   /** Encoded partition values of a frame, computed with the same Spark
     * expression the staged write uses — encoding parity by construction. */
   private def encodedValues(df: DataFrame): Seq[String] =
-    df.select(url_encode(col(partitionCol).cast("string")).as("__p"))
+    df.select(encExpr.as("__p"))
       .distinct().collect().map(r => Option(r.getString(0)).orNull).toSeq
 
   /** Initial snapshot: stage a partitioned write, install every
-    * partition as v=0. */
+    * partition as v=0, publish manifest 0. */
   def snapshot(df: DataFrame): Unit = {
-    writeSchema(df.schema)
-    stageAndInstall(df, encodedValues(df))
+    writeSmall(schemaPath, df.schema.json)
+    val parts = encodedValues(df)
+    require(!parts.contains(null),
+      s"snapshot rows must carry a non-null $partitionCol")
+    stageAndInstall(df, parts, Map.empty, 0)
   }
 
   /** Partition-scoped incremental apply. */
@@ -131,19 +139,23 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     val affected = encodedValues(winners)
     require(!affected.contains(null),
       s"every change event must carry $partitionCol (incl. DELETE replica identity)")
-    val merged = CdcApply.applyBatch(read(affected), winners, keys)
-    stageAndInstall(merged, affected)
+    val m = manifest()
+    val merged = CdcApply.applyBatch(read(m, affected), winners, keys)
+    stageAndInstall(merged, affected, m, readSmall(head).toInt + 1)
   }
 
-  /** One staged partitioned write, then per-partition version install.
-    * A partition absent from the staged output became empty. */
-  private def stageAndInstall(df: DataFrame, affected: Seq[String]): Unit = {
+  /** One staged partitioned write, per-partition version renames, then
+    * a single manifest publish as the batch's commit point. A partition
+    * absent from the staged output became empty. */
+  private def stageAndInstall(df: DataFrame, affected: Seq[String],
+                              prev: Map[String, String],
+                              manifestV: Int): Unit = {
     val stage = new Path(root, s"_stage-${System.nanoTime()}")
-    df.withColumn("__p", url_encode(col(partitionCol).cast("string")))
+    df.withColumn("__p", encExpr)
       .write.partitionBy("__p").parquet(stage.toString)
-    affected.foreach { e =>
+    val updates = affected.map { e =>
       val staged = new Path(stage, s"__p=$e")
-      // next = one past the highest version ever written, NOT pointer+1:
+      // next = one past the highest version ever written, NOT prev+1:
       // an EMPTY partition keeps its old version dirs, which must never
       // be reused (the rename would land inside the existing dir).
       val next =
@@ -157,13 +169,18 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
         val dest = new Path(partDir(e), s"v=$next")
         if (!fs.rename(staged, dest))
           throw new IllegalStateException(s"failed to install $dest")
-        writePointer(e, s"v=$next")
-      } else writePointer(e, Empty)
+        e -> s"v=$next"
+      } else e -> Empty
     }
+    val next = prev ++ updates
+    writeSmall(new Path(root, s"m=$manifestV"),
+      next.map { case (e, v) => s"$e\t$v" }.mkString("\n"))
+    writeSmall(head, manifestV.toString) // the commit point
     fs.delete(stage, true)
   }
 
-  /** Version pointer of one partition value (None = no such partition,
-    * Some(Empty) = all rows deleted). Exposed for tests/monitoring. */
-  def partitionVersion(value: Any): Option[String] = readPointer(enc(value))
+  /** Version of one partition value (None = no such partition,
+    * Some(EMPTY) = all rows deleted). Exposed for tests/monitoring. */
+  def partitionVersion(value: Any): Option[String] =
+    manifest().get(enc(value))
 }

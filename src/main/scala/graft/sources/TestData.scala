@@ -38,6 +38,15 @@ object TestData {
     * timestamp, which Spark's reader rejects by default; we read it as
     * `LongType` nanos-since-epoch (`spark.sql.legacy.parquet.nanosAsLong`)
     * — exact, totally ordered, and identical to DuckDB's ns semantics.
+    *
+    * NOTE: the conf flip is deliberately SESSION-GLOBAL and permanent.
+    * There is no per-read option for it, and set-and-restore would be
+    * wrong: Spark consults the conf when the scan *executes* (per
+    * action), not when `read.parquet` declares it, so restoring the
+    * flag here would break every later action on the returned (lazy)
+    * frame. The effect on other readers is that ns-timestamp parquet
+    * columns type as LongType instead of failing — no previously
+    * working read changes meaning.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -60,6 +60,43 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(t.current().filter($"day" === "2024-01-02").count() == 1)
   }
 
+  test("partition values needing escaping survive the round trip") {
+    // ':' and space URL-encode to %-sequences, 'ü' is non-ASCII, '%' is
+    // the escape char itself, "" is empty — all historically mangled by
+    // Hive-style partition-name escaping. Hex encoding is escape-free.
+    val dir = Files.createTempDirectory("graft-ptab-enc").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    val funky = Seq("2024-01-01T10:30:00", "a b c", "a%3Ab", "münchen", "")
+    t.snapshot(funky.zipWithIndex.map { case (d, i) => PKv(i, d, s"v$i") }.toDF())
+    for (d <- funky) {
+      assert(t.partitionVersion(d).contains("v=0"), s"missing partition for '$d'")
+      assert(t.currentForValues(Seq(d)).count() == 1, s"pruned read miss for '$d'")
+    }
+    assert(t.current().count() == funky.size.toLong)
+
+    // update one funky partition; the others stay at v=0
+    t.applyChanges(Seq(
+      PKvChange(0, "2024-01-01T10:30:00", "v0b", CdcApply.Update, 1, ts(1))).toDF())
+    assert(t.partitionVersion("2024-01-01T10:30:00").contains("v=1"))
+    assert(t.partitionVersion("a%3Ab").contains("v=0"))
+    assert(t.current().as[PKv].collect().find(_.k == 0).map(_.v).contains("v0b"))
+
+    // delete all rows of the '%' partition → EMPTY, still addressable
+    t.applyChanges(Seq(
+      PKvChange(2, "a%3Ab", null, CdcApply.Delete, 2, ts(2))).toDF())
+    assert(t.partitionVersion("a%3Ab").contains("EMPTY"))
+    assert(t.current().count() == funky.size.toLong - 1)
+  }
+
+  test("snapshot with a null partition value is rejected") {
+    val dir = Files.createTempDirectory("graft-ptab-null").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    val e = intercept[IllegalArgumentException] {
+      t.snapshot(Seq(PKv(1, null, "a")).toDF())
+    }
+    assert(e.getMessage.contains("day"))
+  }
+
   test("delete without partition value is rejected (replica identity contract)") {
     val dir = Files.createTempDirectory("graft-ptab2").toString
     val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")

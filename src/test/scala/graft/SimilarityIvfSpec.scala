@@ -65,4 +65,15 @@ class SimilarityIvfSpec extends AnyFunSuite {
     assert(l.count() == probe2.count())
     assert(l.filter(col("k") === 99L).head().isNullAt(2))
   }
+
+  test("salted join rejects build-preserving join types") {
+    val probe = Seq((1L, "p")).toDF("k", "payload")
+    val build = Seq((1L, "b")).toDF("k", "attr")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(probe, build, "k", salt = 4, jt)
+      }
+      assert(e.getMessage.contains("probe-preserving"), jt)
+    }
+  }
 }
