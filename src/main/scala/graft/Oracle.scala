@@ -220,6 +220,42 @@ FROM ranked
 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
 GROUP BY merchant_name ORDER BY merchant_name"""),
 
+    "q25_filtered_dashboard" -> (star + """
+, ag AS (
+  SELECT *,
+         CASE WHEN customer_age BETWEEN 18 AND 25 THEN 'Gen Z'
+              WHEN customer_age BETWEEN 26 AND 41 THEN 'Millennials'
+              WHEN customer_age BETWEEN 42 AND 57 THEN 'Gen X'
+              WHEN customer_age BETWEEN 58 AND 76 THEN 'Boomers'
+              WHEN customer_age BETWEEN 77 AND 90 THEN 'Silent Generation'
+         END AS age_group
+  FROM summary)
+SELECT transaction_id, customer_id, customer_age, age_group, merchant_name, total_price
+FROM ag
+WHERE transaction_date >= DATE '1995-01-01' AND transaction_date <= DATE '1998-12-31'
+  AND transaction_category = 'Purchase'
+  AND customer_id IN (SELECT customer_id FROM customer_spending
+                      WHERE spend_status = 'Medium Spenders')
+  AND age_group = 'Millennials'
+ORDER BY transaction_id, merchant_name, total_price"""),
+
+    // STUB decoder outputs are md5-derived (md5 exists in DuckDB;
+    // xxhash64 does not), so the multimodal plumbing is fully
+    // hash-checkable despite the fake codec.
+    "m01_multimodal_decode" -> ("""
+WITH a AS (SELECT doc_id AS asset_id, text, md5(text) AS h FROM documents)
+SELECT asset_id,
+       'image/fake' AS mime,
+       CAST((ascii(substr(h,1,1))*1000 + ascii(substr(h,2,1))*100
+             + ascii(substr(h,3,1))*10 + ascii(substr(h,4,1))) % 1920 + 1 AS INTEGER) AS width,
+       CAST((ascii(substr(h,5,1))*1000 + ascii(substr(h,6,1))*100
+             + ascii(substr(h,7,1))*10 + ascii(substr(h,8,1))) % 1080 + 1 AS INTEGER) AS height,
+       CAST(strlen(text) AS INTEGER) AS n_bytes,
+       CAST(((ascii(substr(md5(text || '0'),1,1))*1000 + ascii(substr(md5(text || '0'),2,1))*100
+              + ascii(substr(md5(text || '0'),3,1))*10 + ascii(substr(md5(text || '0'),4,1))) % 2000
+             - 1000) / 1000.0 AS FLOAT) AS f0
+FROM a ORDER BY asset_id"""),
+
     // ---- training-data pipeline extensions ----
     // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
     //  and take the driver's weaker rows-only check)

@@ -207,6 +207,23 @@ object Queries {
         .orderBy("merchant_name")
     }),
 
+    // The sidebar's full filter composition (apply_filters parity):
+    // date range + category equality + spend-status semi-join +
+    // age-group equality chained on one frame. customer_spending is
+    // computed from the UNfiltered view, as the dashboard does.
+    "q25_filtered_dashboard" -> ((s, d) => {
+      val sm = summary(s, d)
+      Dashboard.applyFilters(
+        Dashboard.categorizeByAge(sm), spending(sm),
+        "1995-01-01", "1998-12-31",
+        category = Some("Purchase"),
+        spendStatus = Some("Medium Spenders"),
+        ageGroup = Some("Millennials"))
+        .select("transaction_id", "customer_id", "customer_age",
+                "age_group", "merchant_name", "total_price")
+        .orderBy("transaction_id", "merchant_name", "total_price")
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id.
@@ -222,9 +239,11 @@ object Queries {
         .orderBy("a", "b")),
 
     // SimHash near-dup via chunk-collision candidates (no SQL oracle).
+    // maxHamming=3 keeps the pigeonhole recall guarantee: 4 chunks of
+    // 16 bits, any pair within radius 3 must collide on one chunk.
     "d03_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDuplicates(TestData.table(s, d, "documents"),
-        "doc_id", "text", maxHamming = 16).orderBy("a", "b")),
+        "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
 
     // Exact n-gram (unigram) Jaccard pairs within a source.
     "j01_word_jaccard_pairs" -> ((s, d) => {

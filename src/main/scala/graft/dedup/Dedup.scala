@@ -195,16 +195,31 @@ object Dedup {
       .select(col(idCol), packed.as("__sig"))
   }
 
-  /** SimHash near-dup: candidates collide on any 16-bit signature
-    * chunk (pigeonhole: hamming ≤ 3 over 64 bits guarantees one of the
-    * four chunks is identical), verified by full Hamming ≤ `maxHamming`
-    * — `bit_count(xor)` on packed longs, fully codegen'd. */
+  /** SimHash near-dup: candidates collide on any one of `maxHamming+1`
+    * signature chunks — the pigeonhole guarantee (≤ `maxHamming` bits
+    * differ over 64 bits split into `maxHamming+1` chunks ⇒ some chunk
+    * is identical) makes recall COMPLETE for the given radius, verified
+    * by full Hamming ≤ `maxHamming` — `bit_count(xor)` on packed longs,
+    * fully codegen'd. Completeness is property-tested against brute
+    * force in ExtensionsSpec. Chunk width shrinks as the radius grows
+    * (h=3 → four 16-bit chunks; larger h → narrower chunks → bigger
+    * collision buckets), so keep the radius small at corpus scale —
+    * `maxBucket` caps the damage if you don't. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3,
                             maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nChunks = maxHamming + 1
     val sigs = simhashSignaturesPacked(docs, idCol, textCol)
-    val chunks = posexplode(array(Seq.tabulate(4)(c =>
-      shiftright(col("__sig"), 16 * c).bitwiseAND(lit(0xffffL))): _*))
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤1 bit
+    val chunkCols = Seq.tabulate(nChunks) { i =>
+      val startBit = i * 64 / nChunks
+      val width = (i + 1) * 64 / nChunks - startBit
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      shiftright(col("__sig"), startBit).bitwiseAND(lit(mask))
+    }
+    val chunks = posexplode(array(chunkCols: _*))
     val bandKeys = sigs.select(col(idCol), chunks.as(Seq("band", "key")))
     val buckets = bandKeys.groupBy("band", "key")
       .agg(collect_list(col(idCol)).as("ids"))

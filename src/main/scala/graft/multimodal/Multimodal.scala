@@ -31,15 +31,25 @@ object Multimodal {
       to_binary(col("text"), lit("utf-8")).as("content"),
       concat(lit("application/x-fake-"), col("source")).as("mime"))
 
+  /** Deterministic int in [0, 4 digits) from four hex chars of an
+    * md5-hex column, combined via their code points. md5 (unlike
+    * xxhash64) exists in DuckDB too, so every stub output derived this
+    * way is fully oracle-checkable. */
+  private def md5Num(md5Hex: Column, from: Int): Column =
+    ascii(substring(md5Hex, from, 1)) * 1000 +
+      ascii(substring(md5Hex, from + 1, 1)) * 100 +
+      ascii(substring(md5Hex, from + 2, 1)) * 10 +
+      ascii(substring(md5Hex, from + 3, 1))
+
   /** STUB DECODER: metadata struct parsed "from the header bytes".
-    * Real impl: image header sniffing. Fake: deterministic from a
-    * content hash, same schema. Pure projection — runs in the scan. */
+    * Real impl: image header sniffing. Fake: deterministic from the
+    * content's md5, same schema. Pure projection — runs in the scan. */
   def decodeMeta(content: Column): Column = {
-    val h = xxhash64(content)
+    val h = md5(content)
     struct(
       lit("image/fake").as("mime"),
-      (pmod(h, lit(1920L)) + 1).cast("int").as("width"),
-      (pmod(shiftright(h, 16), lit(1080L)) + 1).cast("int").as("height"))
+      (pmod(md5Num(h, 1), lit(1920)) + 1).cast("int").as("width"),
+      (pmod(md5Num(h, 5), lit(1080)) + 1).cast("int").as("height"))
   }
 
   /** Thumbnail = leading byte slice (STUB DECODER for a resize). */
@@ -54,10 +64,14 @@ object Multimodal {
 
   /** STUB DECODER: fixed-width float feature vector from content —
     * stands in for a vision/audio embedding model. Deterministic:
-    * feature j = scaled hash of (content, j). */
+    * feature j = scaled md5 of (content ++ j). Unrolled at the Scala
+    * level (dim is a plan-time constant) so the projection stays in
+    * whole-stage codegen — no interpreted array lambda. */
   def features(content: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), j =>
-      ((pmod(xxhash64(content, j), lit(2000L)) - 1000) / lit(1000.0)).cast("float"))
+    array(Seq.tabulate(dim) { j =>
+      val h = md5(concat(content, lit(j.toString).cast("binary")))
+      ((pmod(md5Num(h, 1), lit(2000)) - 1000) / lit(1000.0)).cast("float")
+    }: _*)
 
   /** Batch decode through the typed per-partition path — the Scala
     * equivalent of a pandas-batch UDF stage: one decoder instance per

@@ -149,4 +149,28 @@ object Dashboard {
     merchantRevenue(data)
       .orderBy(col("total_price").desc, col("merchant_name"))
       .limit(k)
+
+  /** The sidebar's full filter composition
+    * (`customer_spending_dashboard.py:48-88` `apply_filters`): an
+    * inclusive date range always applies; each optional filter chains
+    * an equality (customer id, transaction category, age group) or the
+    * spend-status semi-join when set ("All" in the UI = `None` here).
+    * Conjunctive single-table predicates collapse into one pushed scan
+    * filter; the spend-status branch stays a broadcast semi-join.
+    * `data` must carry `age_group` (apply [[categorizeByAge]] first)
+    * when `ageGroup` is set.
+    */
+  def applyFilters(data: DataFrame, customerSpending: DataFrame,
+                   startDate: String, endDate: String,
+                   customerId: Option[Long] = None,
+                   category: Option[String] = None,
+                   spendStatus: Option[String] = None,
+                   ageGroup: Option[String] = None): DataFrame = {
+    var out = filterDateRange(data, startDate, endDate)
+    customerId.foreach(id => out = out.filter(col("customer_id") === id))
+    category.foreach(c => out = filterCategory(out, c))
+    spendStatus.foreach(s => out = filterBySpendStatus(out, customerSpending, s))
+    ageGroup.foreach(g => out = out.filter(col("age_group") === g))
+    out
+  }
 }

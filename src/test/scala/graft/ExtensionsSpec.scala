@@ -62,6 +62,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(found.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("simhash banding is complete: emitted pairs == brute-force pairs at any radius") {
+    // corpus engineered for a spread of pairwise hamming distances:
+    // exact duplicates (hamming 0 — pairs exist at every radius),
+    // 1-token-of-200 variants (small hamming), and distinct clusters
+    val docs = (0 until 8).flatMap { c =>
+      val base = (0 until 200).map(t => s"base${c}_$t")
+      Seq(
+        ((c * 10).toLong, base.mkString(" ")),
+        ((c * 10 + 1).toLong, base.mkString(" ")), // exact duplicate
+        ((c * 10 + 2).toLong, (base.dropRight(1) :+ s"var$c").mkString(" ")))
+    }.toDF("doc_id", "text").cache()
+
+    val sigs = Dedup.simhashSignaturesPacked(docs, "doc_id", "text")
+    val a = sigs.select(col("doc_id").as("a"), col("__sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("b"), col("__sig").as("sb"))
+    for (h <- Seq(3, 7, 16)) {
+      // brute force: all pairs with bit_count(xor) <= h
+      val brute = a.join(b, col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("hamming") <= h)
+        .select("a", "b", "hamming")
+        .as[(Long, Long, Int)].collect().toSet
+      val banded = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = h, maxBucket = 1000)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(banded == brute,
+        s"h=$h: banding missed ${(brute -- banded).size} pairs, " +
+          s"extra ${(banded -- brute).size}")
+      assert(brute.nonEmpty, s"h=$h: degenerate test corpus (no pairs)")
+    }
+    docs.unpersist()
+  }
+
   test("ANN probes a fraction of the corpus and overlaps the exact top-k") {
     val emb = TestData.table(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 0)

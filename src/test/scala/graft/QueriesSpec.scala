@@ -78,4 +78,24 @@ class QueriesSpec extends AnyFunSuite {
     val df = Queries.all("q21_last_event_per_user")(spark, sf)
     assert(df.count() == df.select("user_id").distinct().count())
   }
+
+  test("applyFilters chains every sidebar filter, including customer id") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dashboard
+    import graft.sources.TestData
+    val st = TestData.star(spark, sf)
+    val sm = Dashboard.categorizeByAge(
+      graft.operators.PurchaseSummary.customerPurchaseSummary(
+        st.transactions, st.customers, st.products, st.merchants))
+    val spending = Dashboard.calculateCustomerSpending(
+      sm, Queries.SpendLow, Queries.SpendHigh)
+    val someId = sm.select("customer_id").head().getLong(0)
+    val out = Dashboard.applyFilters(sm, spending,
+      "1970-01-01", "2099-12-31", customerId = Some(someId))
+    assert(out.count() > 0)
+    assert(out.filter(col("customer_id") =!= someId).count() == 0)
+    // unset filters are no-ops: the all-covering date range keeps all rows
+    assert(Dashboard.applyFilters(sm, spending, "1970-01-01", "2099-12-31")
+      .count() == sm.count())
+  }
 }
