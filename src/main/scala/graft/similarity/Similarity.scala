@@ -45,30 +45,70 @@ object Similarity {
       .limit(k)
   }
 
-  /** Sign pattern of `numPlanes` random-hyperplane projections. The
-    * hyperplane matrix is pseudo-random ±1 entries derived from
-    * xxhash64(plane, dim-index, seed) — reproducible everywhere without
-    * shipping a matrix. Returns an array<int> of 0/1. */
-  def lshBits(vec: Column, numPlanes: Int, seed: Long): Column =
-    array(Seq.tabulate(numPlanes) { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") * when(
-            pmod(xxhash64(lit(p), i, lit(seed)), lit(2L)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, 1).otherwise(0)
-    }: _*)
-
-  /** Pack the bit pattern into a single bucket id column. */
+  /** Bucket id = packed sign pattern of `numPlanes` random-hyperplane
+    * projections. The hyperplane matrix is pseudo-random ±1 entries
+    * derived from a splitmix64 mix of (plane, dim-index, seed) —
+    * reproducible everywhere without shipping a matrix. Native codegen
+    * expression ([[graft.functions.vectors.vector_lsh_bucket]]): one
+    * primitive loop per row, no interpreted lambdas in the per-row hot
+    * path. */
   def lshBucket(vec: Column, numPlanes: Int, seed: Long): Column =
-    aggregate(lshBits(vec, numPlanes, seed), lit(0L),
-      (acc, b) => acc * 2 + b)
+    graft.functions.vectors.vector_lsh_bucket(vec, numPlanes, seed)
 
   /** Corpus preparation: attach the LSH bucket (write partitioned by it
     * for partition-pruned probes). */
   def withLshBuckets(corpus: DataFrame, vecCol: String,
                      numPlanes: Int = 8, seed: Long = 42L): DataFrame =
     corpus.withColumn("bucket", lshBucket(col(vecCol), numPlanes, seed))
+
+  // ---- persisted indexes: build once, probe partition-pruned ----
+  //
+  // The build step is the 100 TB posture: bucket/list assignment runs
+  // ONCE over the corpus and lands partitioned by bucket/ivf_list, so
+  // a probe is a partition-pruned read of ≈ probes/2^b (LSH) or
+  // ≈ nProbe/k (IVF) of the data — never a full-corpus recompute per
+  // query. Probes assert this in SimilarityIvfSpec via the scan's
+  // PartitionFilters.
+
+  private def indexExists(df: DataFrame, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Build (or reuse) the LSH index at `path`, partitioned by bucket.
+    * Returns the index frame; filters on `bucket` prune partitions. */
+  def ensureLshIndex(corpus: DataFrame, vecCol: String, path: String,
+                     numPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    if (!indexExists(corpus, path))
+      // repartition on the partition column first: one file per bucket
+      // instead of (tasks × buckets) small files — the write and every
+      // later pruned read stay proportional to the data, not the task
+      // grid
+      withLshBuckets(corpus, vecCol, numPlanes, seed)
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** Build (or reuse) the IVF index at `path`: corpus partitioned by
+    * `ivf_list` plus a `.centroids` sidecar so probes don't recompute
+    * the quantizer. Returns (index frame, centroids). */
+  def ensureIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                     path: String, k: Int): (DataFrame, Array[(Int, Seq[Float])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (!indexExists(corpus, path)) {
+      val cents = ivfCentroids(corpus, idCol, vecCol, k)
+      cents.toSeq.toDF("ivf_list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+      withIvfLists(corpus, vecCol, cents)
+        .repartition(col("ivf_list"))
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    }
+    val cents = spark.read.parquet(path + ".centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    (spark.read.parquet(path), cents)
+  }
 
   /** ANN top-k: probe the query's bucket plus all single-bit-flip
     * neighbor buckets (multi-probe), rank candidates by exact cosine.
@@ -119,16 +159,21 @@ object Similarity {
 
   private def nearestCentroid(vec: Column,
                               centroids: Array[(Int, Seq[Float])]): Column = {
-    // argmin over the (broadcast-literal) centroid set, unrolled —
-    // k is small, each distance is one codegen'd vector_dot
-    val dists = centroids.map { case (i, c) =>
+    // Argmin over the (broadcast-literal) centroid set as ONE distance
+    // array + array_position(array_min): k codegen'd vector_dot calls,
+    // O(k) expression size. (The earlier when-chain re-inlined the
+    // k-way least() into every branch — O(k²) generated code, which
+    // blew past janino's method limit and forced interpreted
+    // fallback.) ‖v‖² is constant across centroids, so the argmin only
+    // needs ‖c‖² − 2·v·c; ‖c‖² folds to a Scala-level literal.
+    // Ties: array_position picks the first (lowest-id) centroid, same
+    // as the when-chain it replaces.
+    val dists = array(centroids.map { case (_, c) =>
       val cl = array(c.map(lit): _*)
-      (i, dot(vec, vec) - lit(2.0) * dot(vec, cl) + dot(cl, cl))
-    }
-    val minDist = dists.map(_._2).reduce((a, b) => least(a, b))
-    dists.foldRight(lit(-1): Column) { case ((i, d), els) =>
-      when(d === minDist, lit(i)).otherwise(els)
-    }
+      val cc = c.map(x => x.toDouble * x).sum
+      lit(cc) - lit(2.0) * dot(vec, cl)
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Corpus preparation: assign each vector to its nearest coarse

@@ -44,6 +44,49 @@ class SimilarityIvfSpec extends AnyFunSuite {
     listed.unpersist()
   }
 
+  test("persisted ANN indexes: probes are partition-pruned reads, same results") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = TestData.table(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      df.queryExecution.executedPlan.collectFirst {
+        case f: FileSourceScanExec => f
+      }.get
+
+    // LSH: indexed probe == recomputed probe, and the scan prunes on bucket
+    val lshIdx = Similarity.ensureLshIndex(corpus, "embedding", s"$dir/lsh")
+    val fromIndex = Similarity.annTopK(lshIdx, "vec_id", "embedding", q, 10)
+    val pf = scanOf(fromIndex).metadata("PartitionFilters")
+    assert(pf.contains("bucket"), s"probe not partition-pruned: $pf")
+    val recomputed = Similarity.annTopK(
+      Similarity.withLshBuckets(corpus, "embedding"), "vec_id", "embedding", q, 10)
+    assert(fromIndex.collect().toSeq == recomputed.collect().toSeq)
+
+    // IVF: ditto on ivf_list, centroids round-trip through the sidecar
+    val (ivfIdx, cents) = Similarity.ensureIvfIndex(
+      corpus, "vec_id", "embedding", s"$dir/ivf", 16)
+    assert(cents.length == 16)
+    val ivfProbe = Similarity.ivfTopK(ivfIdx, "vec_id", "embedding", q, 10,
+      cents, nProbe = 4)
+    val pf2 = scanOf(ivfProbe).metadata("PartitionFilters")
+    assert(pf2.contains("ivf_list"), s"IVF probe not partition-pruned: $pf2")
+    val centsDirect = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 16)
+    assert(cents.toSeq == centsDirect.toSeq, "sidecar centroids must round-trip")
+    val ivfDirect = Similarity.ivfTopK(
+      Similarity.withIvfLists(corpus, "embedding", centsDirect),
+      "vec_id", "embedding", q, 10, centsDirect, nProbe = 4)
+    assert(ivfProbe.collect().toSeq == ivfDirect.collect().toSeq)
+
+    // second ensure* reuses the files (no rebuild): same results instantly
+    val again = Similarity.ensureLshIndex(corpus, "embedding", s"$dir/lsh")
+    assert(Similarity.annTopK(again, "vec_id", "embedding", q, 10)
+      .collect().toSeq == recomputed.collect().toSeq)
+  }
+
   test("salted join: correct results, hot key spread across salts") {
     val hot = (1 to 5000).map(i => (1L, s"p$i")) ++
       (1 to 50).map(i => (2L, s"q$i"))

@@ -45,6 +45,37 @@ class VectorDotSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("lsh bucket: eval and codegen agree, participates in codegen, bits match planes") {
+    import graft.functions.vectors.vector_lsh_bucket
+    val emb = graft.sources.TestData.table(spark, sf, "embeddings").limit(200)
+
+    // codegen path (parquet-backed scan)
+    val gen = emb.select(col("vec_id"),
+      vector_lsh_bucket(col("embedding"), 8, 42L).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // interpreted-eval path (local relation → eager eval, no codegen)
+    val local = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .toDF("vec_id", "embedding")
+    val ev = local.select(col("vec_id"),
+      vector_lsh_bucket(col("embedding"), 8, 42L).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gen == ev, "doGenCode and nullSafeEval must be bit-identical")
+
+    // all buckets within range, and multiple buckets populated
+    assert(gen.values.forall(b => b >= 0 && b < 256))
+    assert(gen.values.toSet.size > 1, "degenerate bucketing")
+
+    // participates in whole-stage codegen on the parquet scan
+    val exec = graft.sources.TestData.table(spark, sf, "embeddings")
+      .select(vector_lsh_bucket(col("embedding"), 8, 42L))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.toString.contains("vectorlshbucket"))
+    assert(inCodegen, exec.toString)
+  }
+
   test("native dot matches the interpreted fold bit-for-bit on real embeddings") {
     val emb = graft.sources.TestData.table(spark, sf, "embeddings").limit(100)
     val fold = aggregate(
