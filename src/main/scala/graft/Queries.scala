@@ -251,17 +251,16 @@ object Queries {
       Dedup.simhashNearDuplicates(TestData.table(s, d, "documents"),
         "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
 
-    // Exact n-gram (unigram) Jaccard pairs within a source.
+    // Exact n-gram (unigram) Jaccard pairs within a source, via the
+    // prefix-filtered set-similarity join — identical output to the
+    // naive all-pairs self-join (the oracle SQL), but candidates come
+    // from shared rare-prefix-token buckets instead of a join keyed on
+    // the low-cardinality `source` (which goes quadratic per source at
+    // scale).
     "j01_word_jaccard_pairs" -> ((s, d) => {
       val t = TestData.table(s, d, "documents").select(col("doc_id"),
         col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
-      val x = t.alias("x"); val y = t.alias("y")
-      x.join(y, col("x.source") === col("y.source") &&
-               col("x.doc_id") < col("y.doc_id"))
-        .withColumn("jaccard", Dedup.jaccard(col("x.w"), col("y.w")))
-        .filter(col("jaccard") >= 0.7)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-                round(col("jaccard"), 4).as("jaccard"))
+      Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
         .orderBy("a", "b")
     }),
 

@@ -125,6 +125,88 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT all-pairs Jaccard-similarity self-join via prefix filtering
+    * (the PPJoin family): every pair with jaccard ≥ `threshold` is
+    * emitted — no probabilistic recall — without an all-pairs join.
+    *
+    * Why it's exact: order all tokens by (global frequency asc, token).
+    * For docs x,y with J(x,y) ≥ t, the overlap is ≥ ⌈t·|x|⌉, so the
+    * smallest common token sits within the first |x| − ⌈t·|x|⌉ + 1
+    * tokens of x (and symmetrically of y) — any qualifying pair shares
+    * a token in both *prefixes*. Candidates therefore come only from
+    * (partition, prefix-token) buckets; rare-first ordering keeps those
+    * buckets small on realistic corpora (the all-pairs blow-up of a
+    * low-cardinality partition key — e.g. `source` — becomes
+    * co-occurrence of *rare tokens*).
+    *
+    * Verification is local to the bucket and runs ONCE per pair:
+    * members arrive as (id, sorted int-token-id array), pairs explode
+    * within the group (no second shuffle of token arrays), a length
+    * filter (t·|x| ≤ |y| ∧ t·|y| ≤ |x|) prunes first, and a pair is
+    * fully verified only in the bucket keyed by its smallest common
+    * prefix token (PPJoin's dedup rule — a cheap prefix-only intersect
+    * guards it), so no duplicate intersects and no final distinct.
+    *
+    * `partitionCols` scopes pairs (e.g. within `source`); pass Nil for
+    * a global join. Token arrays must be distinct-element
+    * (`array_distinct` upstream). Equality with brute force is
+    * property-tested in ExtensionsSpec.
+    */
+  def jaccardJoinExact(docs: DataFrame, idCol: String, tokensCol: String,
+                       threshold: Double,
+                       partitionCols: Seq[String] = Nil): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pc = partitionCols.map(col)
+    def plen(n: Column): Column =
+      (n - ceil(lit(threshold) * n) + 1).cast("int")
+
+    val ex = docs.select(
+      (pc :+ col(idCol).as("__id")) :+ explode(col(tokensCol)).as("__t"): _*)
+    // Dense int token ids ranked rare-first: the vocab-sized window
+    // sort is the only global step (O(vocab log vocab), vocab ≪
+    // corpus), and every later compare/intersect runs on ints, not
+    // strings.
+    val vocab = ex.groupBy("__t").agg(count(lit(1)).as("__f"))
+      .select(col("__t"), row_number().over(
+        Window.orderBy(col("__f"), col("__t"))).as("__r"))
+    val sorted = ex.join(vocab, "__t")
+      .groupBy(pc :+ col("__id"): _*)
+      .agg(sort_array(collect_list(col("__r"))).as("__w"))
+
+    val pref = sorted.select(
+      (pc :+ col("__id") :+ col("__w")) :+
+        explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
+    val buckets = pref.groupBy(pc :+ col("__pt"): _*)
+      .agg(collect_list(struct(col("__id"), col("__w"))).as("__ms"))
+      .filter(size(col("__ms")) >= 2)
+
+    val nx = size(col("x.__w")); val ny = size(col("y.__w"))
+    buckets
+      .select(col("__ms"), col("__pt"), explode(col("__ms")).as("x"))
+      .select(col("__pt"), col("x"), explode(col("__ms")).as("y"))
+      .filter(col("x.__id") < col("y.__id"))
+      // length filter: |x∩y| ≥ t·max(nx,ny) is impossible otherwise
+      .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
+      // verify-ONCE guard: a qualifying pair's smallest common token is
+      // in both prefixes, so exactly one bucket — the one keyed by that
+      // token — runs the full verify; every other shared prefix token
+      // drops the pair after this cheap prefix-only intersect. (No
+      // final distinct, no duplicated full intersects.)
+      .filter(col("__pt") === array_min(array_intersect(
+        slice(col("x.__w"), lit(1), plen(nx)),
+        slice(col("y.__w"), lit(1), plen(ny)))))
+      // bind the intersect size through its own projected column (one
+      // evaluation, no interpreted-lambda binding trick) — this is the
+      // per-pair hot expression
+      .withColumn("__si", size(array_intersect(col("x.__w"), col("y.__w"))))
+      .withColumn("jaccard",
+        col("__si").cast("double") / (nx + ny - col("__si")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+              round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. The
     * single-element transform binds the intersection size once — the
     * intersect is the expensive part and must not be evaluated twice. */

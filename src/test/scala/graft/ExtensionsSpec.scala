@@ -95,6 +95,33 @@ class ExtensionsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("prefix-filtered jaccard join == brute-force all-pairs (exact recall)") {
+    // deterministic pseudo-random corpus with overlapping vocab slices:
+    // doc i draws 10 tokens from a 40-token vocab starting at i%13 —
+    // dense overlap, varied lengths, two partitions
+    val docs = (0 until 120).map { i =>
+      val toks = (0 until 6 + i % 7).map(j => s"w${(i % 13 + j * (1 + i % 3)) % 40}")
+      (i.toLong, s"src${i % 2}", toks.distinct)
+    }.toDF("doc_id", "source", "w").cache()
+
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val x = docs.alias("x"); val y = docs.alias("y")
+      val brute = x.join(y, col("x.source") === col("y.source") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("x.w"), col("y.w")))
+        .filter(col("jaccard") >= t)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+                round(col("jaccard"), 4).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      val pruned = Dedup.jaccardJoinExact(docs, "doc_id", "w", t, Seq("source"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pruned == brute,
+        s"t=$t: missed ${(brute -- pruned).size}, extra ${(pruned -- brute).size}")
+      assert(brute.nonEmpty, s"t=$t: degenerate corpus")
+    }
+    docs.unpersist()
+  }
+
   test("ANN probes a fraction of the corpus and overlaps the exact top-k") {
     val emb = TestData.table(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
