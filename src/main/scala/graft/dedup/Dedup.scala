@@ -96,33 +96,58 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup: candidates verified with exact
-    * n-gram Jaccard ≥ `threshold`. Returns (a, b, jaccard). */
+    * n-gram Jaccard ≥ `threshold`. Returns (a, b, jaccard).
+    *
+    * Shape (the 100 TB concern is shuffle width, not candidate count):
+    * ONE shingle explode feeds one aggregation producing both the
+    * minhash signature (map-side partial mins) and the doc's hashed
+    * shingle set; band keys explode from the signature with that set
+    * attached, so each doc's set travels once per band bucket —
+    * O(docs × bands) array shipments instead of O(pairs × 2) as a
+    * pair-side join would cost (pairs ≫ docs on near-dup-dense data).
+    * Verification is bucket-local: pairs explode within the collected
+    * bucket, a length filter prunes impossible pairs before the
+    * intersect, and the final distinct collapses pairs caught by
+    * several bands. Shingles are compared as xxhash64 values — set
+    * sizes and intersections are collision-exact for practical
+    * purposes (64-bit, corpus-vocab scale).
+    */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 3, numHashes: Int = 64,
                      numBands: Int = 16, threshold: Double = 0.7,
-                     maxBucket: Int = 1000,
-                     prefilter: Boolean = false): DataFrame = {
+                     maxBucket: Int = 1000): DataFrame = {
     require(numHashes % numBands == 0, "bands must tile the signature")
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleLen, numHashes)
-    val cands = lshCandidates(sigs, idCol, "__sig",
-      numBands, numHashes / numBands, maxBucket)
-    val sh = sigs.select(col(idCol), col("__sh"), col("__sig"))
-    // Optional estimate-prefilter before the exact intersection. Only
-    // worth it when most candidates are LSH false positives: the
-    // estimate itself is an interpreted 32-slot fold, and its variance
-    // can drop borderline true pairs (measured −16 pairs / −40% wall on
-    // vocab-dense data with it ON — hence default OFF; exact verify is
-    // the correctness backstop either way).
-    cands
-      .join(sh.withColumnRenamed(idCol, "a")
-        .withColumnRenamed("__sh", "__sha").withColumnRenamed("__sig", "__siga"), "a")
-      .join(sh.withColumnRenamed(idCol, "b")
-        .withColumnRenamed("__sh", "__shb").withColumnRenamed("__sig", "__sigb"), "b")
-      .filter(!lit(prefilter) ||
-        minhashEstimate(col("__siga"), col("__sigb")) >= threshold - 0.15)
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+    val r = numHashes / numBands
+    val ex = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), shingleLen)).as("__s"))
+    val minAggs = Seq.tabulate(numHashes)(i =>
+      min(xxhash64(col("__s"), lit(i + 1))).as(s"__h$i"))
+    val aggs = minAggs :+ sort_array(collect_set(xxhash64(col("__s")))).as("__shh")
+    val sigs = ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        array(Seq.tabulate(numHashes)(i => col(s"__h$i")): _*).as("__sig"),
+        col("__shh"))
+    val bandKeys = sigs.select(col(idCol), col("__shh"), posexplode(
+      transform(sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(slice(col("__sig"), b * r + 1, lit(r)), b)))
+      .as(Seq("band", "key")))
+    val buckets = bandKeys.groupBy("band", "key")
+      .agg(collect_list(struct(col(idCol).as("__id"), col("__shh"))).as("__ms"))
+      .filter(size(col("__ms")).between(2, maxBucket))
+    val nx = size(col("x.__shh")); val ny = size(col("y.__shh"))
+    buckets
+      .select(col("__ms"), explode(col("__ms")).as("x"))
+      .select(col("x"), explode(col("__ms")).as("y"))
+      .filter(col("x.__id") < col("y.__id"))
+      // length filter: jaccard ≥ t forces t·|x| ≤ |y| ∧ t·|y| ≤ |x|
+      .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
+      .withColumn("__si", size(array_intersect(col("x.__shh"), col("y.__shh"))))
+      .withColumn("jaccard",
+        col("__si").cast("double") / (nx + ny - col("__si")))
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .distinct()
   }
 
   /** EXACT all-pairs Jaccard-similarity self-join via prefix filtering

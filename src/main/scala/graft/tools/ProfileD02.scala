@@ -26,9 +26,8 @@ object ProfileD02 {
     val out = time("full")(
       Dedup.nearDuplicates(docs, "doc_id", "text", 1, 32, 4, 0.7, 200).count())
     println("pairs: " + out)
-    val out2 = time("full-noprefilter")(
-      Dedup.nearDuplicates(docs, "doc_id", "text", 1, 32, 4, 0.7, 200,
-        prefilter = false).count())
+    val out2 = time("full-again")(
+      Dedup.nearDuplicates(docs, "doc_id", "text", 1, 32, 4, 0.7, 200).count())
     println("pairs2: " + out2)
     spark.stop()
   }
