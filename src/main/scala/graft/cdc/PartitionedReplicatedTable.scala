@@ -96,9 +96,12 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
       }.toMap
 
   private def read(m: Map[String, String], parts: Seq[String]): DataFrame = {
-    val dirs = parts.flatMap(m.get).zip(parts).collect {
-      case (v, e) if v != Empty => new Path(partDir(e), v).toString
-    }
+    // pair each requested partition with ITS OWN manifest entry —
+    // partitions absent from the manifest (new in this batch) or EMPTY
+    // contribute no dir
+    val dirs = parts.flatMap(e => m.get(e).collect {
+      case v if v != Empty => new Path(partDir(e), v).toString
+    })
     if (dirs.isEmpty) spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // recursiveFileLookup disables partition-dir inference — the p=/v=

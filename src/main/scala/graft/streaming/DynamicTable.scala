@@ -14,27 +14,40 @@ import graft.cdc.{CdcApply, KeyedTable}
   * `viewOf` maps fact rows to view rows and must be *row-local in the
   * fact*: each fact row yields at most one view row, keyed by the fact
   * primary key (joins against dimensions may drop rows — e.g. the
-  * flagship view's category-matching conjunct). That property is what
-  * makes the delta algebra exact:
+  * flagship view's category-matching conjunct). It must read dimension
+  * state *at call time* (e.g. close over `dim.current()` calls, not
+  * captured frames) so every refresh sees the dims as maintained. That
+  * property is what makes the delta algebra exact:
   *
   *  - winners   = last-writer-wins collapse of the change batch
   *  - upserts   = viewOf(after-images of non-deletes)
   *  - deletions = changed keys with no surviving view row
   *    (covers explicit DELETEs *and* updates that fall out of the join)
   *
-  * The defining invariant — incremental refresh ≡ full recompute — is
+  * Dimension changes route through [[dimensionRefresh]]: the affected
+  * view rows are exactly the fact rows referencing a changed dim key
+  * (fact-FK semi-join against the tiny changed-key set), and
+  * re-running `viewOf` over just those fact rows handles every case
+  * uniformly — value updates, drop-outs (the row no longer joins, e.g.
+  * the flagship category conjunct flips off), and join-ins (a fact row
+  * excluded before now matches). No full-refresh fallback.
+  *
+  * The defining invariant — incremental refresh ≡ full recompute, for
+  * interleaved fact AND dimension change sequences — is
   * property-tested in DynamicTableSpec.
   *
-  * Scale posture: a refresh touches only Δ-keys; the delta joins the
-  * (broadcast) dims, never the full fact. Dimension changes invalidate
-  * arbitrary view rows (membership can flip), so they trigger
-  * [[fullRefresh]] — the documented v1 fallback (SURVEY.md §7.4).
+  * Scale posture: a fact refresh touches only Δ-keys and joins the
+  * (broadcast) dims, never the full fact. A dimension refresh scans
+  * the fact once (pruned to the FK semi-join; with the fact bucketed
+  * on the FK this is a bucket-pruned read) — dim changes are rare
+  * relative to fact traffic, which is the right side of the trade.
   * Triggers map TARGET_LAG: `ProcessingTime(lag)` in production,
   * `AvailableNow` in tests.
   */
 final class DynamicTable(fact: KeyedTable,
                          result: KeyedTable,
-                         viewOf: DataFrame => DataFrame) {
+                         viewOf: DataFrame => DataFrame,
+                         dims: Map[String, DynamicTable.DimBinding] = Map.empty) {
 
   require(fact.keys == result.keys,
     s"view key ${result.keys} must equal the fact key ${fact.keys}")
@@ -70,6 +83,33 @@ final class DynamicTable(fact: KeyedTable,
     val carried = upserts.columns.filter(c =>
       winners.columns.contains(c)).toIndexedSeq
     val deletions = winners.select(carried.map(col): _*)
+      .join(upserts.select(keys.map(col): _*), keys, "left_anti")
+    result.applyChanges(
+      withMeta(upserts, CdcApply.Update)
+        .unionByName(deleteEvents(deletions, upserts)))
+  }
+
+  /** REFRESH under a DIMENSION change batch (`dimName` keys [[dims]]).
+    * Call order per batch: apply the changes to the dim replica first,
+    * then this — `viewOf` must see the new dim state.
+    *
+    * Affected view rows = fact rows whose FK references a changed dim
+    * key (insert/update/delete alike). Recomputing `viewOf` over
+    * exactly those fact rows yields the correct post-change view rows;
+    * affected fact keys with no surviving view row become deletions
+    * (drop-outs and no-ops collapse in the idempotent merge). */
+  def dimensionRefresh(dimName: String, dimChanges: DataFrame): Unit = {
+    if (!result.isSnapshotDone) { fullRefresh(); return }
+    val b = dims.getOrElse(dimName, throw new IllegalArgumentException(
+      s"unknown dimension '$dimName' (bound: ${dims.keys.mkString(", ")})"))
+    val changedKeys = CdcApply.latest(dimChanges, Seq(b.dimKey))
+      .select(col(b.dimKey).as(b.factFk)).distinct()
+    val affected = fact.current()
+      .join(broadcast(changedKeys), Seq(b.factFk), "left_semi")
+    val upserts = viewOf(affected)
+    val carried = upserts.columns.filter(c =>
+      affected.columns.contains(c)).toIndexedSeq
+    val deletions = affected.select(carried.map(col): _*)
       .join(upserts.select(keys.map(col): _*), keys, "left_anti")
     result.applyChanges(
       withMeta(upserts, CdcApply.Update)
@@ -113,4 +153,13 @@ final class DynamicTable(fact: KeyedTable,
 object DynamicTable {
   /** TARGET_LAG → trigger (`'1 minute'` ↦ ProcessingTime). */
   def targetLag(lag: String): Trigger = Trigger.ProcessingTime(lag)
+
+  /** Binding of one dimension into a view: the dim's replica table
+    * plus the fact column holding its foreign key. The dim must be
+    * single-key (star-schema dimension). */
+  final case class DimBinding(table: KeyedTable, factFk: String) {
+    require(table.keys.size == 1,
+      s"dimension must have a single key, got ${table.keys}")
+    def dimKey: String = table.keys.head
+  }
 }

@@ -19,6 +19,8 @@ import graft.streaming.DynamicTable
 case class Item(item_id: Int, grp: Int, qty: Int)
 case class ItemChange(item_id: Int, grp: Int, qty: Int,
                       _op: String, _lsn: Long, _commit_ts: Timestamp)
+case class DimChange(grp: Int, factor: Int,
+                     _op: String, _lsn: Long, _commit_ts: Timestamp)
 case class TxChange(transaction_id: String, customer_id: Int, product_id: Int,
                     merchant_id: Int, transaction_date: Date,
                     transaction_time: String, quantity: Int,
@@ -71,6 +73,72 @@ class DynamicTableSpec extends AnyFunSuite {
         val changes = ops.toDF()
         fact.applyChanges(changes)
         dt.incrementalRefresh(changes)
+        assertSameRows(result.current(), viewOf(fact.current()),
+          s"seed=$seed batch=$batch")
+      }
+    }
+  }
+
+  test("property: incremental ≡ full under interleaved fact AND dimension changes") {
+    // dim keys roam 0..5; the dim holding only a subset at any moment
+    // exercises all three dim effects: value updates (factor change),
+    // drop-outs (dim delete → fact rows leave the view), and join-ins
+    // (dim insert → previously-dropped fact rows enter the view).
+    for (seed <- Seq(2, 11, 23)) {
+      val rnd = new Random(seed)
+      val dir = Files.createTempDirectory(s"graft-ivm-dim-$seed").toString
+      val fact = new ReplicatedTable(spark, s"$dir/fact", Seq("item_id"))
+      val dim = new ReplicatedTable(spark, s"$dir/dim", Seq("grp"))
+      val result = new ReplicatedTable(spark, s"$dir/view", Seq("item_id"))
+      // viewOf reads dim.current() at CALL time — each refresh sees the
+      // dim as maintained (the DynamicTable contract)
+      def viewOf(f: DataFrame): DataFrame =
+        f.join(broadcast(dim.current()), Seq("grp"))
+          .select(col("item_id"), col("grp"),
+                  (col("qty") * col("factor")).as("measure"))
+      val dt = new DynamicTable(fact, result, viewOf,
+        dims = Map("dim" -> DynamicTable.DimBinding(dim, "grp")))
+
+      fact.snapshot(
+        (0 until 12).map(i => Item(i, rnd.nextInt(6), 1 + rnd.nextInt(9))).toDF())
+      dim.snapshot(Seq((0, 2), (1, 3), (2, 5)).toDF("grp", "factor"))
+      dt.fullRefresh()
+      var lsn = 0L
+      for (batch <- 1 to 6) {
+        lsn += 1
+        if (rnd.nextBoolean()) {
+          val ops = (0 until 15).map { _ =>
+            lsn += 1
+            val id = rnd.nextInt(24)
+            rnd.nextInt(3) match {
+              case 0 => ItemChange(id, rnd.nextInt(6), 1 + rnd.nextInt(9),
+                CdcApply.Insert, lsn, new Timestamp(lsn))
+              case 1 => ItemChange(id, rnd.nextInt(6), 1 + rnd.nextInt(9),
+                CdcApply.Update, lsn, new Timestamp(lsn))
+              case _ => ItemChange(id, 0, 0, CdcApply.Delete, lsn,
+                new Timestamp(lsn))
+            }
+          }
+          val changes = ops.toDF()
+          fact.applyChanges(changes)
+          dt.incrementalRefresh(changes)
+        } else {
+          val ops = (0 until 4).map { _ =>
+            lsn += 1
+            val g = rnd.nextInt(6)
+            rnd.nextInt(3) match {
+              case 0 => DimChange(g, 2 + rnd.nextInt(7),
+                CdcApply.Insert, lsn, new Timestamp(lsn))
+              case 1 => DimChange(g, 2 + rnd.nextInt(7),
+                CdcApply.Update, lsn, new Timestamp(lsn))
+              case _ => DimChange(g, 0, CdcApply.Delete, lsn,
+                new Timestamp(lsn))
+            }
+          }
+          val dimChanges = ops.toDF()
+          dim.applyChanges(dimChanges) // dim replica first …
+          dt.dimensionRefresh("dim", dimChanges) // … then the view
+        }
         assertSameRows(result.current(), viewOf(fact.current()),
           s"seed=$seed batch=$batch")
       }
