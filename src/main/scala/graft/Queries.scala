@@ -27,11 +27,21 @@ object Queries {
   val SpendLow = 20000.0
   val SpendHigh = 60000.0
 
-  private def summary(spark: SparkSession, dir: String): DataFrame = {
-    val st = TestData.star(spark, dir)
-    PurchaseSummary.customerPurchaseSummary(
-      st.transactions, st.customers, st.products, st.merchants)
-  }
+  /** The flagship view, materialized once per (session, SF dir) and
+    * shared by every dashboard query — mirroring the reference, whose
+    * dashboard reads the MATERIALIZED dynamic table rather than
+    * re-running the star join per query (`customer_spending_dashboard
+    * .py:180-186` selects from `customer_purchase_summary`). Results
+    * are identical to recomputing; only the repeated join work goes. */
+  private val summaryCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def summary(spark: SparkSession, dir: String): DataFrame =
+    summaryCache.getOrElseUpdate((spark, dir), {
+      val st = TestData.star(spark, dir)
+      PurchaseSummary.customerPurchaseSummary(
+        st.transactions, st.customers, st.products, st.merchants).cache()
+    })
 
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)

@@ -1,7 +1,5 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -25,36 +23,48 @@ import org.apache.spark.sql.expressions.Aggregator
   * or untyped via `udaf`: see [[BottomKSketch.register]].
   */
 class BottomKSketch[IN](k: Int, hashOf: IN => Long)
-    extends Aggregator[IN, mutable.PriorityQueue[Long], Array[Long]]
+    extends Aggregator[IN, java.util.TreeSet[java.lang.Long], Array[Long]]
     with Serializable {
 
-  // max-heap of at most k smallest hashes: O(log k) insert, O(1) worst check
-  override def zero: mutable.PriorityQueue[Long] =
-    mutable.PriorityQueue.empty[Long]
+  // sorted set of at most k smallest DISTINCT hashes: O(log k) insert
+  // with dedup built in (the earlier max-heap needed an O(k) scan per
+  // insert to reject duplicates — O(n·k) per group). java.util.TreeSet
+  // because Kryo round-trips it natively; the Scala TreeSet drops its
+  // Ordering in (de)serialization.
+  override def zero: java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
 
-  private def insert(heap: mutable.PriorityQueue[Long],
-                     h: Long): mutable.PriorityQueue[Long] = {
-    if (heap.size < k) { if (!heap.exists(_ == h)) heap.enqueue(h) }
-    else if (h < heap.head && !heap.exists(_ == h)) {
-      heap.dequeue(); heap.enqueue(h)
+  private def insert(set: java.util.TreeSet[java.lang.Long],
+                     h: Long): java.util.TreeSet[java.lang.Long] = {
+    if (set.size < k) set.add(h) // no-op if already present
+    else if (h < set.last && !set.contains(h)) {
+      set.pollLast(); set.add(h)
     }
-    heap
+    set
   }
 
-  override def reduce(b: mutable.PriorityQueue[Long],
-                      a: IN): mutable.PriorityQueue[Long] =
+  override def reduce(b: java.util.TreeSet[java.lang.Long],
+                      a: IN): java.util.TreeSet[java.lang.Long] =
     insert(b, hashOf(a))
 
-  override def merge(x: mutable.PriorityQueue[Long],
-                     y: mutable.PriorityQueue[Long]): mutable.PriorityQueue[Long] =
-    y.foldLeft(x)(insert)
+  override def merge(x: java.util.TreeSet[java.lang.Long],
+                     y: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = y.iterator()
+    while (it.hasNext) insert(x, it.next())
+    x
+  }
 
   /** Sorted ascending — canonical form, directly comparable. */
-  override def finish(heap: mutable.PriorityQueue[Long]): Array[Long] =
-    heap.toArray.sorted
+  override def finish(set: java.util.TreeSet[java.lang.Long]): Array[Long] = {
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
 
-  override def bufferEncoder: Encoder[mutable.PriorityQueue[Long]] =
-    Encoders.kryo[mutable.PriorityQueue[Long]]
+  override def bufferEncoder: Encoder[java.util.TreeSet[java.lang.Long]] =
+    Encoders.kryo[java.util.TreeSet[java.lang.Long]]
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -34,9 +34,17 @@ object StreamingDedup {
     * batches even when idle — fine under a real trigger cadence,
     * surprising under test drivers that wait for idleness. Without a
     * TTL, state is one boolean per distinct key for the stream's
-    * lifetime — prefer [[firstSeen]] (watermark-pruned) at scale. */
+    * lifetime — prefer [[firstSeen]] (watermark-pruned) at scale.
+    *
+    * Within one micro-batch a key's rows arrive in PARTITION ORDER —
+    * nondeterministic across runs. By default the first of them wins
+    * (cheap, matches the built-in's contract); pass `within` (e.g.
+    * `Ordering.by(_.eventTime)`) to pick the minimum row instead and
+    * make the survivor deterministic at the cost of draining the key's
+    * batch iterator. Across micro-batches first-seen always wins. */
   def firstSeenTyped[T](stream: Dataset[T], key: T => String,
-                        stateTtl: Option[String] = None)
+                        stateTtl: Option[String] = None,
+                        within: Option[Ordering[T]] = None)
                        (implicit te: Encoder[T],
                         se: Encoder[Option[T]]): Dataset[T] = {
     import stream.sparkSession.implicits._
@@ -52,7 +60,10 @@ object StreamingDedup {
           else {
             state.update(true)
             stateTtl.foreach(state.setTimeoutDuration)
-            rows.nextOption()
+            within match {
+              case Some(ord) => if (rows.hasNext) Some(rows.min(ord)) else None
+              case None => rows.nextOption()
+            }
           }
       }
       .filter(_.isDefined)

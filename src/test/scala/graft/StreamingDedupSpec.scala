@@ -60,4 +60,26 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(kept.count(_.fp == "X") == 1)
     assert(kept.head.doc_id == 1L)
   }
+
+  test("typed dedup with `within` ordering: deterministic survivor per batch") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    // min event_time (ties by id) wins within the batch, regardless of
+    // partition arrival order
+    val out = StreamingDedup.firstSeenTyped[Doc](stream.toDS(), _.fp,
+      within = Some(Ordering.by((d: Doc) => (d.event_time.getTime, d.doc_id))))
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .queryName("dedup_within_out").format("memory")
+      .trigger(Trigger.ProcessingTime(200)).start()
+
+    // doc 2 has the EARLIEST event time of fingerprint W in the batch
+    stream.addData(Doc(1, "W", t(9)), Doc(2, "W", t(3)), Doc(3, "W", t(7)),
+      Doc(4, "V", t(1)))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_within_out").as[Doc].collect().sortBy(_.fp)
+    assert(kept.map(_.fp).toSeq == Seq("V", "W"))
+    assert(kept.find(_.fp == "W").get.doc_id == 2L)
+  }
 }
