@@ -342,6 +342,53 @@ SELECT doc_id,
        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint
 FROM documents ORDER BY doc_id"""),
 
+    "e01_self_knn" -> ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT x.vec_id AS id, y.vec_id AS nn,
+         ROUND(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
+           AS cosine
+  FROM e x JOIN e y ON x.vec_id <> y.vec_id)
+SELECT id, nn, cosine FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, nn) = 1
+ORDER BY id"""),
+
+    "t05_top_bigrams" -> ("""
+WITH t AS (
+  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+b AS (
+  SELECT unnest(CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) END) AS bigram
+  FROM t)
+SELECT bigram, COUNT(*) AS doc_freq FROM b
+GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 50"""),
+
+    "t06_source_stats" -> ("""
+WITH t AS (
+  SELECT source,
+         len(string_split_regex(lower(trim(text)), '\s+')) AS n FROM documents)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_tokens,
+       CAST(MAX(n) AS INTEGER) AS max_tokens
+FROM t GROUP BY source ORDER BY source"""),
+
+    "t07_hash_split" -> ("""
+WITH b AS (
+  SELECT doc_id,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 AS bucket
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id"""),
+
     "s01_cosine_topk" -> ("""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

@@ -341,6 +341,41 @@ object Queries {
       Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
     }),
 
+    // Exact self-kNN (nearest neighbor per vector) — the embedding-
+    // dedup primitive; brute-force baseline of the LSH-bucketed form.
+    "e01_self_knn" -> ((s, d) =>
+      Similarity.selfNearestNeighbor(
+        TestData.table(s, d, "embeddings"), "vec_id", "embedding")
+        .orderBy("id")),
+
+    // Top bigrams by document frequency (shingles are per-doc
+    // distinct) — corpus n-gram statistics for data curation.
+    "t05_top_bigrams" -> ((s, d) =>
+      TestData.table(s, d, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("bigram"))
+        .limit(50)),
+
+    // Per-source corpus statistics: doc counts + token-volume stats.
+    "t06_source_stats" -> ((s, d) =>
+      TestData.table(s, d, "documents")
+        .select(col("source"), TextFunctions.tokenCount(col("text")).as("__n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("__n")).cast("long").as("total_tokens"),
+             (sum(col("__n")) / count(lit(1))).as("mean_tokens"),
+             max(col("__n")).as("max_tokens"))
+        .orderBy("source")),
+
+    // Deterministic hash split: reproducible train/val/test assignment
+    // as a pure function of the doc id (portable md5 buckets).
+    "t07_hash_split" -> ((s, d) =>
+      TestData.table(s, d, "documents")
+        .select(col("doc_id"),
+                TextFunctions.hashSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+
     // Multimodal decode plumbing over binary content (stubbed codec).
     "m01_multimodal_decode" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(TestData.table(s, d, "documents"))

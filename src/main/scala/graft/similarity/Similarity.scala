@@ -34,6 +34,31 @@ object Similarity {
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
   }
 
+  /** Exact nearest neighbor PER VECTOR (self-kNN, k=1) — the canonical
+    * embedding-dedup primitive: each vector paired with its closest
+    * other vector by cosine. Ties break on the neighbor id; cosine is
+    * rounded to 4dp BEFORE the argmax so the winner is stable across
+    * engines and partitionings.
+    *
+    * This is the exact O(n²) baseline (codegen'd VectorDot per pair,
+    * no vector shuffle — the join broadcasts the smaller side or
+    * shuffles by id, both fine). At corpus scale run the same argmax
+    * within LSH buckets ([[withLshBuckets]] + multi-probe) — the
+    * approximate form trades the n² for bucket-local work. */
+  def selfNearestNeighbor(corpus: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = corpus.select(col(idCol).as("id"), col(vecCol).as("__vx"))
+    val y = corpus.select(col(idCol).as("nn"), col(vecCol).as("__vy"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("cosine").desc, col("nn"))
+    x.join(y, col("id") =!= col("nn"))
+      .withColumn("cosine", round(cosine(col("__vx"), col("__vy")), 4))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("nn"), col("cosine"))
+  }
+
   /** Exact top-k by cosine against one query vector. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Float], k: Int): DataFrame = {

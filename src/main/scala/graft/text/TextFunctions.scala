@@ -108,4 +108,25 @@ object TextFunctions {
     * a compact document signature for containment/overlap checks. */
   def minKSketch(text: Column, n: Int, k: Int): Column =
     slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
+
+  /** Deterministic bucket in [0, buckets) from any column — the
+    * engine-portable primitive behind reproducible sampling and
+    * train/val/test splits (derived from md5, which every engine
+    * implements identically; xxhash64 would not be mirrorable). */
+  def md5Bucket(c: Column, buckets: Int): Column = {
+    val h = md5(c.cast("string").cast("binary"))
+    (ascii(substring(h, 1, 1)) * 1000 + ascii(substring(h, 2, 1)) * 100 +
+      ascii(substring(h, 3, 1)) * 10 + ascii(substring(h, 4, 1))) % buckets
+  }
+
+  /** Reproducible train/val/test split assignment by key hash:
+    * [0,train) → "train", [train,train+val) → "val", rest → "test"
+    * of a 100-bucket space. The split is a pure function of the key —
+    * stable across runs, engines, and repartitioning. */
+  def hashSplit(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = md5Bucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }
