@@ -150,6 +150,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-space near-duplicate PAIRS: all (a, b) with cosine ≥
+    * `threshold`, candidates from hyperplane-LSH buckets. Each vector
+    * enters its own bucket plus every single-bit-flip neighbor, so any
+    * pair whose sign patterns differ in ≤ 2 planes collides somewhere
+    * (near-identical vectors differ in ~0 planes); verification is
+    * exact cosine, bucket-local (vectors ship once per probe bucket,
+    * never per pair — the d02 discipline). `maxBucket` caps degenerate
+    * buckets, the skew guard at corpus scale. Approximate recall by
+    * construction (like every LSH near-dup); planted-pair recall is
+    * spec-checked in ExtensionsSpec. */
+  def cosineNearDuplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, numPlanes: Int = 8,
+                           seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val bucketed = withLshBuckets(corpus, vecCol, numPlanes, seed)
+    val probeCols = col("bucket") +:
+      Seq.tabulate(numPlanes)(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val probes = bucketed.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      explode(array(probeCols: _*)).as("__bk"))
+    val buckets = probes.groupBy("__bk")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__ms"))
+      .filter(size(col("__ms")).between(2, maxBucket))
+    buckets
+      .select(col("__ms"), explode(col("__ms")).as("x"))
+      .select(col("x"), explode(col("__ms")).as("y"))
+      .filter(col("x.__id") < col("y.__id"))
+      .withColumn("cosine", round(cosine(col("x.__v"), col("y.__v")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.__id").as("a"), col("y.__id").as("b"), col("cosine"))
+      .distinct()
+  }
+
   /** The query's bucket and its single-bit-flip neighbors, computed with
     * the same Spark expressions as [[lshBucket]] (hash parity by
     * construction). */

@@ -75,6 +75,23 @@ object IngestBench {
     val streamSec = (System.nanoTime() - t1) / 1e9
     q.stop()
 
+    // partitioned star path: date-partitioned fact AND view, plus a
+    // dimension-delta refresh (the affected-fact recompute)
+    val star = new StarReplication(spark, s"$dir/star")
+    star.snapshotAll(tables("transactions"), tables("customers"),
+      tables("products"), tables("merchants"))
+    val t2 = System.nanoTime()
+    star.applyBatch("transactions", batchDf)
+    val partBatchSec = (System.nanoTime() - t2) / 1e9
+    val someProduct = tables("products").head()
+    val t3 = System.nanoTime()
+    star.applyBatch("products", Seq((someProduct.getInt(0), "bench-renamed",
+      someProduct.getString(2), someProduct.getDouble(3) * 1.1,
+      CdcApply.Update, 99999L, new java.sql.Timestamp(0)))
+      .toDF("product_id", "product_name", "product_category", "price",
+            "_op", "_lsn", "_commit_ts"))
+    val dimSec = (System.nanoTime() - t3) / 1e9
+
     val rowsPerMinBatch = n / batchSec * 60
     val rowsPerMinStream = (batches * per) / streamSec * 60
     println(f"""{"batch_rows":$n,"batch_sec":$batchSec%.2f,""" +
@@ -82,7 +99,9 @@ object IngestBench {
       f""""stream_batches":$batches,"stream_rows":${batches * per},""" +
       f""""stream_sec":$streamSec%.2f,""" +
       f""""stream_latency_per_batch_sec":${streamSec / batches}%.2f,""" +
-      f""""stream_rows_per_min":${rowsPerMinStream}%.0f}""")
+      f""""stream_rows_per_min":${rowsPerMinStream}%.0f,""" +
+      f""""partitioned_star_batch_sec":$partBatchSec%.2f,""" +
+      f""""dim_delta_refresh_sec":$dimSec%.2f}""")
     spark.stop()
   }
 }

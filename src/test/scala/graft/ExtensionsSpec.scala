@@ -144,6 +144,33 @@ class ExtensionsSpec extends AnyFunSuite {
     bucketed.unpersist()
   }
 
+  test("embedding cosine near-dup pairs: planted duplicates recovered, threshold honored") {
+    // deterministic corpus: 15 base vectors (hash-derived), each with a
+    // slightly-perturbed twin (cosine ≈ 0.999), plus unrelated noise
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(32) { i =>
+        val h = (seed * 1000003 + i * 7919) * 2654435761L
+        ((h % 1000) / 1000.0f)
+      }
+    val docs = ((0 until 15).flatMap { c =>
+      val base = vec(c)
+      val twin = base.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 0.01f else x }
+      Seq((c.toLong * 2, base), (c.toLong * 2 + 1, twin))
+    } ++ (100 until 130).map(i => (i.toLong, vec(i * 31 + 17))))
+      .toDF("vec_id", "embedding")
+
+    val pairs = Similarity.cosineNearDuplicates(
+      docs, "vec_id", "embedding", threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    (0 until 15).foreach { c =>
+      assert(found.contains((c.toLong * 2, c.toLong * 2 + 1)),
+        s"missing planted twin pair $c")
+    }
+    assert(pairs.forall(_._3 >= 0.999), "verify threshold must hold")
+  }
+
   test("text functions: fingerprint canonicalization, langid, quality bounds") {
     val df = Seq(
       (1L, "The  Quick   Brown Fox"),
