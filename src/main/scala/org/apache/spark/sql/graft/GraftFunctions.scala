@@ -45,6 +45,11 @@ object GraftFunctions {
     register1(spark, "lang_id", langId)
     register1(spark, "doc_fingerprint", fingerprint)
     register1(spark, "simhash", graft.dedup.Dedup.simhashSignature)
+    // fixed-parameter forms of the parameterized operators
+    register1(spark, "lsh_bucket",
+      v => asCol(VectorLshBucket(asExpr(spark, v), 8, 42L)))
+    register1(spark, "md5_bucket", c => md5Bucket(c, 100))
+    register1(spark, "hash_split", c => hashSplit(c))
     graft.functions.BottomKSketch.register(spark)
   }
 }

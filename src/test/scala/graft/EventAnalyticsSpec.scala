@@ -95,9 +95,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .createOrReplaceTempView("emb_fn")
     val c = spark.sql("""
       SELECT vec_id, vector_dot(embedding, embedding) AS selfdot,
-             cosine_similarity(embedding, embedding) AS selfcos
+             cosine_similarity(embedding, embedding) AS selfcos,
+             lsh_bucket(embedding) AS bucket
       FROM emb_fn ORDER BY vec_id LIMIT 3""").collect()
     assert(c.forall(_.getDouble(1) > 0))
     assert(c.forall(x => math.abs(x.getDouble(2) - 1.0) < 1e-9))
+    assert(c.forall(x => x.getLong(3) >= 0 && x.getLong(3) < 256))
+
+    val s = spark.sql("""
+      SELECT doc_id, md5_bucket(doc_id) AS b, hash_split(doc_id) AS split
+      FROM docs_fn ORDER BY doc_id LIMIT 20""").collect()
+    assert(s.forall(x => x.getInt(1) >= 0 && x.getInt(1) < 100))
+    assert(s.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
   }
 }
