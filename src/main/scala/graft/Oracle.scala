@@ -186,6 +186,19 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
 FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
 
+    "q26_sliding_event_stats" -> ("""
+WITH ev AS (
+  SELECT epoch_ns(ts) // 1000 AS tus, event_type, value FROM events),
+w AS (
+  SELECT unnest([(tus // 1800000000) * 1800000000,
+                 (tus // 1800000000) * 1800000000 - 1800000000]) AS ws,
+         event_type, value
+  FROM ev)
+SELECT make_timestamp(ws) AS window_start, event_type,
+       COUNT(*) AS event_count,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM w GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+
     "q23_user_sessions" -> ("""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,

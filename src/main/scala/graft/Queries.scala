@@ -202,6 +202,13 @@ object Queries {
       graft.streaming.EventAnalytics.windowedStats(events(s, d), "1 hour")
         .orderBy("window_start", "event_type")),
 
+    // ST-family: sliding (overlapping) event-time windows — each event
+    // lands in windowLength/slide epoch-aligned windows.
+    "q26_sliding_event_stats" -> ((s, d) =>
+      graft.streaming.EventAnalytics.slidingStats(
+        events(s, d), "1 hour", "30 minutes")
+        .orderBy("window_start", "event_type")),
+
     // Gap-based sessionization (lag + cumulative sum analytic windows).
     "q23_user_sessions" -> ((s, d) =>
       graft.streaming.EventAnalytics.sessionize(

@@ -36,6 +36,22 @@ object EventAnalytics {
               col("event_count"), col("total_value"))
   }
 
+  /** Sliding-window stats per event type: like [[windowedStats]] but
+    * each event contributes to `windowLength / slide` overlapping
+    * windows (epoch-aligned, Spark's `window(col, len, slide)`), the
+    * standard rolling-rate shape. Same body for batch and streaming. */
+  def slidingStats(events: DataFrame, windowLength: String, slide: String,
+                   watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn("event_time", eventTime(col("ts")))
+    val marked = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    marked
+      .groupBy(window(col("event_time"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+           sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("event_count"), col("total_value"))
+  }
+
   /** Gap-based sessionization: a new session starts when a user is
     * idle longer than `gap`. Classic lag + cumulative-sum formulation —
     * two analytic windows over one (user, time) sort; the shuffle
