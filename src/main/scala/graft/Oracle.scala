@@ -233,6 +233,36 @@ FROM ranked
 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
 GROUP BY merchant_name ORDER BY merchant_name"""),
 
+    "q27_card_category_pivot" -> (star + """
+SELECT product_category,
+       CAST(SUM(CASE WHEN transaction_card = '1-URGENT' THEN CAST(ROUND(total_price * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "1-URGENT",
+       CAST(SUM(CASE WHEN transaction_card = '2-HIGH' THEN CAST(ROUND(total_price * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "2-HIGH",
+       CAST(SUM(CASE WHEN transaction_card = '3-MEDIUM' THEN CAST(ROUND(total_price * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "3-MEDIUM",
+       CAST(SUM(CASE WHEN transaction_card = '4-NOT SPECIFIED' THEN CAST(ROUND(total_price * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "4-NOT SPECIFIED",
+       CAST(SUM(CASE WHEN transaction_card = '5-LOW' THEN CAST(ROUND(total_price * 100) AS BIGINT) END) AS BIGINT) / 100.0 AS "5-LOW"
+FROM summary GROUP BY product_category ORDER BY product_category"""),
+
+    "q28_rollup_revenue" -> (star + """
+SELECT COALESCE(product_category, '(all)') AS product_category,
+       COALESCE(transaction_card, '(all)') AS transaction_card,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+       COUNT(*) AS n
+FROM summary GROUP BY ROLLUP(product_category, transaction_card)
+ORDER BY product_category, transaction_card"""),
+
+    "q29_running_revenue" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS c
+  FROM summary GROUP BY 1, 2)
+SELECT transaction_category, transaction_date,
+       CAST(c AS BIGINT) / 100.0 AS daily_revenue,
+       CAST(SUM(c) OVER (PARTITION BY transaction_category
+                         ORDER BY transaction_date
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100.0
+         AS running_revenue
+FROM daily ORDER BY transaction_category, transaction_date"""),
+
     "q25_filtered_dashboard" -> (star + """
 , ag AS (
   SELECT *,

@@ -239,6 +239,51 @@ object Queries {
         .orderBy("merchant_name")
     }),
 
+    // PIVOT: revenue by category × card — wide dashboarding shape
+    // (explicit value list keeps the output schema static, the
+    // cluster-safe form: no extra distinct-values job).
+    "q27_card_category_pivot" -> ((s, d) =>
+      summary(s, d).groupBy("product_category")
+        .pivot("transaction_card", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+                                       "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sumMoney(col("total_price")))
+        .orderBy("product_category")),
+
+    // ROLLUP: category × card revenue with subtotals and a grand
+    // total; null group markers coalesced to '(all)' so the ordering
+    // contract (non-null keys) holds in both engines.
+    "q28_rollup_revenue" -> ((s, d) => {
+      // via the engine's SQL surface: the Dataset rollup API re-tags
+      // the grouping attributes through Expand and any later reference
+      // to them trips the ambiguous-self-join checker (Spark 4.1);
+      // SQL resolution is by position in one pass and has no such
+      // problem. Same Catalyst plan either way.
+      summary(s, d).createOrReplaceTempView("graft_summary_q28")
+      s.sql("""
+        SELECT COALESCE(product_category, '(all)') AS product_category,
+               COALESCE(transaction_card, '(all)') AS transaction_card,
+               SUM(CAST(ROUND(total_price * 100) AS BIGINT)) / 100.0 AS total_price,
+               COUNT(*) AS n
+        FROM graft_summary_q28
+        GROUP BY ROLLUP(product_category, transaction_card)
+        ORDER BY product_category, transaction_card""")
+    }),
+
+    // Analytic running total: cumulative revenue per category over
+    // dates — cents stay integer through the window, one final scale.
+    "q29_running_revenue" -> ((s, d) => {
+      val w = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      summary(s, d).groupBy("transaction_category", "transaction_date")
+        .agg(sum(cents(col("total_price"))).as("__c"))
+        .withColumn("daily_revenue", col("__c") / 100.0)
+        .withColumn("running_revenue", sum(col("__c")).over(w) / 100.0)
+        .select("transaction_category", "transaction_date",
+                "daily_revenue", "running_revenue")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
     // The sidebar's full filter composition (apply_filters parity):
     // date range + category equality + spend-status semi-join +
     // age-group equality chained on one frame. customer_spending is
