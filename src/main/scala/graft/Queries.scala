@@ -52,6 +52,15 @@ object Queries {
     eventsCache.getOrElseUpdate((spark, dir),
       TestData.events(spark, dir).cache())
 
+  /** Documents table, cached once per (session, SF dir) — twelve
+    * dedup/text queries share the scan. */
+  private val docsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def documents(spark: SparkSession, dir: String): DataFrame =
+    docsCache.getOrElseUpdate((spark, dir),
+      TestData.table(spark, dir, "documents").cache())
+
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)
 
@@ -305,12 +314,12 @@ object Queries {
 
     // Exact dedup: hash-partitioned group by content, keep min id.
     "d01_exact_dedup" -> ((s, d) =>
-      Dedup.exact(TestData.table(s, d, "documents"), "doc_id", "text")
+      Dedup.exact(documents(s, d), "doc_id", "text")
         .select("doc_id", "dup_count").orderBy("doc_id")),
 
     // MinHash + banded LSH near-dup (hash-based: no SQL oracle).
     "d02_minhash_neardups" -> ((s, d) =>
-      Dedup.nearDuplicates(TestData.table(s, d, "documents"), "doc_id", "text",
+      Dedup.nearDuplicates(documents(s, d), "doc_id", "text",
         shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,
         maxBucket = 200)
         .orderBy("a", "b")),
@@ -319,7 +328,7 @@ object Queries {
     // maxHamming=3 keeps the pigeonhole recall guarantee: 4 chunks of
     // 16 bits, any pair within radius 3 must collide on one chunk.
     "d03_simhash_neardups" -> ((s, d) =>
-      Dedup.simhashNearDuplicates(TestData.table(s, d, "documents"),
+      Dedup.simhashNearDuplicates(documents(s, d),
         "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
 
     // Exact n-gram (unigram) Jaccard pairs within a source, via the
@@ -329,7 +338,7 @@ object Queries {
     // the low-cardinality `source` (which goes quadratic per source at
     // scale).
     "j01_word_jaccard_pairs" -> ((s, d) => {
-      val t = TestData.table(s, d, "documents").select(col("doc_id"),
+      val t = documents(s, d).select(col("doc_id"),
         col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
       Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
         .orderBy("a", "b")
@@ -337,7 +346,7 @@ object Queries {
 
     // Token statistics (whitespace + BPE-ish subword counting).
     "t01_token_stats" -> ((s, d) =>
-      TestData.table(s, d, "documents").select(
+      documents(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"),
@@ -346,7 +355,7 @@ object Queries {
 
     // Quality scoring (length/punctuation/stopword heuristics).
     "t02_quality_scores" -> ((s, d) =>
-      TestData.table(s, d, "documents").select(
+      documents(s, d).select(
         col("doc_id"),
         TextFunctions.punctRatio(col("text")).as("punct_ratio"),
         TextFunctions.stopwordRatio(col("text"),
@@ -356,14 +365,14 @@ object Queries {
 
     // Language ID: marker-token argmax heuristic.
     "t03_langid" -> ((s, d) =>
-      TestData.table(s, d, "documents").select(
+      documents(s, d).select(
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
     // Canonical-form md5 document fingerprints.
     "t04_fingerprints" -> ((s, d) =>
-      TestData.table(s, d, "documents").select(
+      documents(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
@@ -412,7 +421,7 @@ object Queries {
     // Top bigrams by document frequency (shingles are per-doc
     // distinct) — corpus n-gram statistics for data curation.
     "t05_top_bigrams" -> ((s, d) =>
-      TestData.table(s, d, "documents")
+      documents(s, d)
         .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("bigram"))
@@ -420,7 +429,7 @@ object Queries {
 
     // Per-source corpus statistics: doc counts + token-volume stats.
     "t06_source_stats" -> ((s, d) =>
-      TestData.table(s, d, "documents")
+      documents(s, d)
         .select(col("source"), TextFunctions.tokenCount(col("text")).as("__n"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -432,14 +441,14 @@ object Queries {
     // Deterministic hash split: reproducible train/val/test assignment
     // as a pure function of the doc id (portable md5 buckets).
     "t07_hash_split" -> ((s, d) =>
-      TestData.table(s, d, "documents")
+      documents(s, d)
         .select(col("doc_id"),
                 TextFunctions.hashSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
     // Multimodal decode plumbing over binary content (stubbed codec).
     "m01_multimodal_decode" -> ((s, d) => {
-      val assets = Multimodal.assetsFromDocuments(TestData.table(s, d, "documents"))
+      val assets = Multimodal.assetsFromDocuments(documents(s, d))
       assets.select(
         col("asset_id"),
         Multimodal.decodeMeta(col("content")).as("meta"),

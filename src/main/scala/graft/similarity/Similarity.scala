@@ -47,16 +47,18 @@ object Similarity {
     * approximate form trades the n² for bucket-local work. */
   def selfNearestNeighbor(corpus: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val x = corpus.select(col(idCol).as("id"), col(vecCol).as("__vx"))
     val y = corpus.select(col(idCol).as("nn"), col(vecCol).as("__vy"))
-    val w = Window.partitionBy("id")
-      .orderBy(col("cosine").desc, col("nn"))
+    // argmax as a max-of-struct aggregation, NOT a window: the n² pair
+    // stream folds through map-side partial maxes instead of being
+    // shuffled and sorted whole. struct compare = (cosine desc, nn
+    // asc) via negated id — same winner as the rn=1 window form.
     x.join(y, col("id") =!= col("nn"))
       .withColumn("cosine", round(cosine(col("__vx"), col("__vy")), 4))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("nn"), col("cosine"))
+      .groupBy("id")
+      .agg(max(struct(col("cosine"), (-col("nn")).as("__negnn"))).as("__m"))
+      .select(col("id"), (-col("__m.__negnn")).as("nn"),
+              col("__m.cosine").as("cosine"))
   }
 
   /** Exact top-k by cosine against one query vector. */

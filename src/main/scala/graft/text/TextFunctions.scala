@@ -94,14 +94,23 @@ object TextFunctions {
     md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
 
   /** Word n-gram shingles (distinct). Documents shorter than n words
-    * collapse to a single whole-document shingle. */
+    * collapse to a single whole-document shingle.
+    *
+    * n ≥ 2 extracts overlapping n-grams with one regex pass (a
+    * lookahead capture at each token start over whitespace-normalized
+    * text) instead of a per-element `transform` lambda — the
+    * interpreted-HOF formulation measured ~1 ms/doc (5.7 s for 5k
+    * docs); the regex path is one codegen-resident expression.
+    * Equivalence with the lambda formulation is spec-asserted. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     if (n == 1) array_distinct(toks)
-    else when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    else {
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      val pat = "(?:^|(?<= ))(?=((?:\\S+ ){" + (n - 1) + "}\\S+))"
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(array_distinct(regexp_extract_all(norm, lit(pat), lit(1))))
+    }
   }
 
   /** Winnowing-style rolling sketch: the k smallest shingle hashes —

@@ -144,6 +144,24 @@ class ExtensionsSpec extends AnyFunSuite {
     bucketed.unpersist()
   }
 
+  test("regex shingles == lambda shingles on real documents") {
+    val docs = TestData.table(spark, sf, "documents")
+    for (n <- Seq(2, 3)) {
+      val viaLambda = transform(
+        sequence(lit(0), size(TextFunctions.tokens(col("text"))) - n),
+        i => concat_ws(" ", slice(TextFunctions.tokens(col("text")), i + 1, lit(n))))
+      val expected = docs.select(col("doc_id"),
+        when(size(TextFunctions.tokens(col("text"))) < n,
+          array(concat_ws(" ", TextFunctions.tokens(col("text")))))
+          .otherwise(array_distinct(viaLambda)).as("s"))
+      val got = docs.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), n).as("s"))
+      val diff = got.join(expected.withColumnRenamed("s", "e"), "doc_id")
+        .filter(col("s") =!= col("e")).count()
+      assert(diff == 0, s"n=$n: regex and lambda shingles disagree on $diff docs")
+    }
+  }
+
   test("embedding cosine near-dup pairs: planted duplicates recovered, threshold honored") {
     // deterministic corpus: 15 base vectors (hash-derived), each with a
     // slightly-perturbed twin (cosine ≈ 0.999), plus unrelated noise
