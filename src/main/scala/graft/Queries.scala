@@ -312,9 +312,10 @@ object Queries {
 
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
-    // Exact dedup: hash-partitioned group by content, keep min id.
+    // Exact dedup: hash-partitioned group by content, keep min id
+    // (aggregation core only — the query needs no payload columns).
     "d01_exact_dedup" -> ((s, d) =>
-      Dedup.exact(documents(s, d), "doc_id", "text")
+      Dedup.exactCounts(documents(s, d), "doc_id", "text")
         .select("doc_id", "dup_count").orderBy("doc_id")),
 
     // MinHash + banded LSH near-dup (hash-based: no SQL oracle).

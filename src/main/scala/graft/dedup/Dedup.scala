@@ -27,19 +27,25 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical content. Grouping
-    * key is the content hash, not the content — the shuffle moves 8-byte
-    * keys plus the row, and the winner is resolved with one min-agg
-    * (map-side partials) instead of a full sort. */
+  /** Exact dedup: keep the smallest id per identical content, plus the
+    * group's duplicate count. One hash aggregation keyed by
+    * (xxhash64(content), content) — map-side partial min/count, no
+    * per-partition sort (the window formulation this replaces sorted
+    * every content group). Winner rows are recovered with a join on
+    * (content, winning id); for tables wider than (id, content) that
+    * second pass is what carries the payload columns. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy(xxhash64(col(contentCol)), col(contentCol))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(
-        Window.partitionBy(xxhash64(col(contentCol)), col(contentCol))))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val winners = exactCounts(df, idCol, contentCol)
+    df.join(winners, Seq(idCol, contentCol))
   }
+
+  /** The aggregation core of [[exact]]: (idCol = min id, contentCol,
+    * dup_count) per identical content — sufficient by itself when no
+    * other columns are needed. */
+  def exactCounts(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("__h"), col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col(contentCol), col("dup_count"))
 
   /** MinHash signature over a prebound shingle-array column as a pure
     * projection. NOTE: higher-order functions are interpreted (not
