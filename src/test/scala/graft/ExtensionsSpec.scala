@@ -99,10 +99,13 @@ class ExtensionsSpec extends AnyFunSuite {
     // deterministic pseudo-random corpus with overlapping vocab slices:
     // doc i draws 10 tokens from a 40-token vocab starting at i%13 —
     // dense overlap, varied lengths, two partitions
-    val docs = (0 until 120).map { i =>
+    val docs = ((0 until 120).map { i =>
       val toks = (0 until 6 + i % 7).map(j => s"w${(i % 13 + j * (1 + i % 3)) % 40}")
       (i.toLong, s"src${i % 2}", toks.distinct)
-    }.toDF("doc_id", "source", "w").cache()
+    } ++ Seq( // edge cases: empty docs and singleton docs (incl. an exact pair)
+      (200L, "src0", Seq.empty[String]), (201L, "src0", Seq.empty[String]),
+      (202L, "src0", Seq("w1")), (203L, "src0", Seq("w1")),
+      (204L, "src1", Seq("only204")))).toDF("doc_id", "source", "w").cache()
 
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val x = docs.alias("x"); val y = docs.alias("y")

@@ -95,8 +95,11 @@ class StarReplicationSpec extends AnyFunSuite {
     assertSameRows(star.view.current(), expect(), "after merchant reinsert")
     assert(star.view.current().filter(col("merchant_id") === mid).count() > 0)
 
-    // 6. streaming phase: fact + product feeds as independent queries
+    // 6. streaming phase: fact + product feeds as independent queries,
+    // with the per-table monitoring surface attached
     implicit val sq = spark.sqlContext
+    val monitor = new CdcPipeline.ReplicationMonitor
+    spark.streams.addListener(monitor)
     val txStream = MemoryStream[TxChange]
     val prodStream = MemoryStream[ProdChange]
     val queries = star.startAll(
@@ -111,6 +114,13 @@ class StarReplicationSpec extends AnyFunSuite {
     queries.values.foreach(_.processAllAvailable())
     queries.values.foreach(_.stop())
     assertSameRows(star.view.current(), expect(), "after streamed feeds")
+
+    // REPLICATION_STATE surface: per-table progress rows, named per feed
+    val progressNames = monitor.progress(spark)
+      .select("query").distinct().collect().map(_.getString(0)).toSet
+    spark.streams.removeListener(monitor)
+    assert(Set("star-transactions", "star-products").subsetOf(progressNames),
+      s"monitor saw: $progressNames")
 
     // partition-scoped: the 2025-03-03 fact batch never rewrote the
     // 2025-03-04 partition afterwards (dates are append-disjoint), and
