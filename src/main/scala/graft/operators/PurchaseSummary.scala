@@ -35,11 +35,17 @@ object PurchaseSummary {
     *  - merchants: merchant_id, merchant_name, merchant_category
     */
   def customerPurchaseSummary(tx: DataFrame, customers: DataFrame,
-                              products: DataFrame, merchants: DataFrame): DataFrame = {
+                              products: DataFrame, merchants: DataFrame,
+                              broadcastDims: Boolean = true): DataFrame = {
+    // the broadcast hint OVERRIDES the size threshold, so it must be a
+    // knob: pass broadcastDims = false when a dimension is too large to
+    // ship to every executor, and the same plan falls back to shuffled
+    // hash/sort-merge joins on the equi-keys (shape spec-checked)
+    def dim(df: DataFrame) = if (broadcastDims) broadcast(df) else df
     val t = tx.alias("t")
-    val c = broadcast(customers).alias("c")
-    val p = broadcast(products).alias("p")
-    val m = broadcast(merchants).alias("m")
+    val c = dim(customers).alias("c")
+    val p = dim(products).alias("p")
+    val m = dim(merchants).alias("m")
     t.join(c, col("t.customer_id") === col("c.customer_id"))
       .join(p, col("t.product_id") === col("p.product_id"))
       .join(m, col("t.merchant_id") === col("m.merchant_id") &&

@@ -36,6 +36,26 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     assert(tables("transactions").count() == 1000)
   }
 
+  test("un-broadcast flagship join degrades to shuffled joins with identical rows") {
+    // the huge-dimension path: no broadcast hints + broadcast disabled
+    // → Catalyst picks shuffled hash / sort-merge joins on the equi-
+    // keys; rows must match the broadcast plan exactly
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val shuffled = PurchaseSummary.customerPurchaseSummary(
+        tables("transactions"), tables("customers"),
+        tables("products"), tables("merchants"), broadcastDims = false)
+      val planStr = shuffled.queryExecution.executedPlan.toString
+      assert(!planStr.contains("BroadcastHashJoin"), planStr)
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        planStr)
+      assert(shuffled.exceptAll(view).count() == 0 &&
+             view.exceptAll(shuffled).count() == 0,
+        "shuffled and broadcast plans must produce identical rows")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("flagship view matches an independent in-memory computation") {
     val customerAge = rows("customers").map(r => r(0).toInt -> r(3).toInt).toMap
     val product = rows("products").map(r => r(0).toInt -> (r(2), r(3).toDouble)).toMap
