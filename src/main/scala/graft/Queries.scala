@@ -271,7 +271,7 @@ object Queries {
       s.sql("""
         SELECT COALESCE(product_category, '(all)') AS product_category,
                COALESCE(transaction_card, '(all)') AS transaction_card,
-               SUM(CAST(ROUND(total_price * 100) AS BIGINT)) / 100.0 AS total_price,
+               CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
                COUNT(*) AS n
         FROM graft_summary_q28
         GROUP BY ROLLUP(product_category, transaction_card)
