@@ -263,6 +263,76 @@ SELECT transaction_category, transaction_date,
          AS running_revenue
 FROM daily ORDER BY transaction_category, transaction_date"""),
 
+    "q30_revenue_ranks" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS c
+  FROM summary GROUP BY 1, 2)
+SELECT transaction_category, transaction_date,
+       CAST(c AS BIGINT) / 100.0 AS daily_revenue,
+       CAST(lag(c) OVER w AS BIGINT) / 100.0 AS prev_revenue,
+       CAST(RANK() OVER (PARTITION BY transaction_category ORDER BY c DESC) AS BIGINT) AS rev_rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY transaction_category ORDER BY c DESC) AS BIGINT) AS rev_dense,
+       CAST(NTILE(4) OVER (PARTITION BY transaction_category ORDER BY c, transaction_date) AS BIGINT) AS quartile
+FROM daily
+WINDOW w AS (PARTITION BY transaction_category ORDER BY transaction_date)
+ORDER BY transaction_category, transaction_date"""),
+
+    "q31_customer_set_ops" -> (star + """
+, purch AS (SELECT DISTINCT customer_id FROM summary WHERE transaction_category = 'Purchase'),
+ref AS (SELECT DISTINCT customer_id FROM summary WHERE transaction_category = 'Refund')
+SELECT 'both' AS tag, customer_id FROM (SELECT * FROM purch INTERSECT SELECT * FROM ref)
+UNION ALL
+SELECT 'purchase_only' AS tag, customer_id FROM (SELECT * FROM purch EXCEPT SELECT * FROM ref)
+UNION ALL
+SELECT 'refund_only' AS tag, customer_id FROM (SELECT * FROM ref EXCEPT SELECT * FROM purch)
+ORDER BY tag, customer_id"""),
+
+    "q32_unsold_products" -> (star + """
+SELECT p.product_id, p.product_name, p.product_category
+FROM prod p ANTI JOIN summary s ON p.product_id = s.product_id
+ORDER BY p.product_id"""),
+
+    "q33_cube_revenue" -> (star + """
+SELECT COALESCE(transaction_category, '(all)') AS transaction_category,
+       COALESCE(transaction_card, '(all)') AS transaction_card,
+       CAST(GROUPING(transaction_category) * 2 + GROUPING(transaction_card) AS BIGINT) AS gid,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+       COUNT(*) AS n
+FROM summary GROUP BY CUBE(transaction_category, transaction_card)
+ORDER BY gid, transaction_category, transaction_card"""),
+
+    "q34_asof_purchase" -> ("""
+WITH trades AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type <> 'purchase'),
+quotes AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         MAX(value) AS ref_value, MAX(event_id) AS ref_event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT t.event_id, t.user_id, t.ts_us, q.ref_event_id, q.ref_value
+FROM trades t ASOF LEFT JOIN quotes q
+  ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
+ORDER BY t.event_id"""),
+
+    "q35_json_props" -> ("""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum,
+       CAST(MIN(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS k_min,
+       CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS k_max,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    "e02_cosine_pairs" -> ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE ROUND(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4
+ORDER BY a, b"""),
+
     "q25_filtered_dashboard" -> (star + """
 , ag AS (
   SELECT *,

@@ -293,6 +293,102 @@ object Queries {
         .orderBy("transaction_category", "transaction_date")
     }),
 
+    // Analytic ranking family: lag, rank, dense_rank, ntile over the
+    // per-category daily revenue series. rank/dense_rank order by the
+    // cents value (ties share a rank — deterministic without a
+    // tie-break); ntile's total order adds the date.
+    "q30_revenue_ranks" -> ((s, d) => {
+      val daily = summary(s, d)
+        .groupBy("transaction_category", "transaction_date")
+        .agg(sum(cents(col("total_price"))).as("__c"))
+      val byDate = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date")
+      val byRev = Window.partitionBy("transaction_category")
+        .orderBy(col("__c").desc)
+      val byRevDate = Window.partitionBy("transaction_category")
+        .orderBy(col("__c"), col("transaction_date"))
+      daily
+        .withColumn("daily_revenue", col("__c") / 100.0)
+        .withColumn("prev_revenue", lag(col("__c"), 1).over(byDate) / 100.0)
+        .withColumn("rev_rank", rank().over(byRev).cast("long"))
+        .withColumn("rev_dense", dense_rank().over(byRev).cast("long"))
+        .withColumn("quartile", ntile(4).over(byRevDate).cast("long"))
+        .select("transaction_category", "transaction_date", "daily_revenue",
+                "prev_revenue", "rev_rank", "rev_dense", "quartile")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
+    // Set operators: INTERSECT / EXCEPT / UNION ALL over customer-id
+    // sets (purchasers vs refunders).
+    "q31_customer_set_ops" -> ((s, d) => {
+      val sm = summary(s, d)
+      val purch = sm.filter(col("transaction_category") === "Purchase")
+        .select("customer_id").distinct()
+      val ref = sm.filter(col("transaction_category") === "Refund")
+        .select("customer_id").distinct()
+      purch.intersect(ref).withColumn("tag", lit("both"))
+        .unionByName(purch.except(ref).withColumn("tag", lit("purchase_only")))
+        .unionByName(ref.except(purch).withColumn("tag", lit("refund_only")))
+        .select("tag", "customer_id")
+        .orderBy("tag", "customer_id")
+    }),
+
+    // Left-anti join: products that never appear in the purchase
+    // summary (either never sold, or filtered out by the view's
+    // cross-dimension category conjunct).
+    "q32_unsold_products" -> ((s, d) =>
+      TestData.products(s, d)
+        .join(summary(s, d), Seq("product_id"), "left_anti")
+        .select("product_id", "product_name", "product_category")
+        .orderBy("product_id")),
+
+    // CUBE with GROUPING markers: all four grouping combinations of
+    // (category, card) in one pass through Expand. Same SQL-surface
+    // rationale as q28.
+    "q33_cube_revenue" -> ((s, d) => {
+      summary(s, d).createOrReplaceTempView("graft_summary_q33")
+      s.sql("""
+        SELECT COALESCE(transaction_category, '(all)') AS transaction_category,
+               COALESCE(transaction_card, '(all)') AS transaction_card,
+               CAST(GROUPING(transaction_category) * 2
+                    + GROUPING(transaction_card) AS BIGINT) AS gid,
+               CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+               COUNT(*) AS n
+        FROM graft_summary_q33
+        GROUP BY CUBE(transaction_category, transaction_card)
+        ORDER BY gid, transaction_category, transaction_card""")
+    }),
+
+    // As-of (point-in-time) join: each non-purchase event picks up the
+    // user's latest purchase at-or-before its timestamp. Right side is
+    // pre-aggregated to one row per (user, ts) — the operator's
+    // uniqueness contract. Timestamps compare at µs (DuckDB's parquet
+    // reader truncates ns to µs, so the oracle can only see µs).
+    "q34_asof_purchase" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val trades = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val quotes = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(max("value").as("ref_value"), max("event_id").as("ref_event_id"))
+      graft.operators.AsOfJoin.asOf(
+        trades, quotes, Seq("user_id"), "ts_us", "ts_us")
+        .select("event_id", "user_id", "ts_us", "ref_event_id", "ref_value")
+        .orderBy("event_id")
+    }),
+
+    // Semi-structured JSON extraction + aggregation over the events
+    // props column (get_json_object stays inside codegen).
+    "q35_json_props" -> ((s, d) =>
+      events(s, d)
+        .withColumn("__k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(sum(col("__k")).cast("long").as("k_sum"),
+             min(col("__k")).as("k_min"),
+             max(col("__k")).as("k_max"),
+             count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // The sidebar's full filter composition (apply_filters parity):
     // date range + category equality + spend-status semi-join +
     // age-group equality chained on one frame. customer_spending is
@@ -418,6 +514,15 @@ object Queries {
       Similarity.selfNearestNeighbor(
         TestData.table(s, d, "embeddings"), "vec_id", "embedding")
         .orderBy("id")),
+
+    // Exact embedding-cosine near-duplicate pairs — the brute-force
+    // baseline the LSH form (Similarity.cosineNearDuplicates) is
+    // recall-checked against. Threshold 0.4 sits where this corpus's
+    // near-random embeddings actually produce pairs.
+    "e02_cosine_pairs" -> ((s, d) =>
+      Similarity.exactCosinePairs(
+        TestData.table(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("a", "b")),
 
     // Top bigrams by document frequency (shingles are per-doc
     // distinct) — corpus n-gram statistics for data curation.

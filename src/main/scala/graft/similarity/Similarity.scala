@@ -152,6 +152,23 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact embedding near-duplicate PAIRS: every (a, b), a < b, whose
+    * cosine — rounded to 4dp BEFORE the threshold test, so boundary
+    * pairs agree across engines — reaches `threshold`. This is the
+    * O(n²) exact baseline of [[cosineNearDuplicates]] (same contract,
+    * LSH candidates instead of all pairs): run this at validation
+    * scale, the LSH form at corpus scale. The pair stream is codegen'd
+    * VectorDot work with no vector shuffle beyond the self-join. */
+  def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val x = corpus.select(col(idCol).as("a"), col(vecCol).as("__vx"))
+    val y = corpus.select(col(idCol).as("b"), col(vecCol).as("__vy"))
+    x.join(y, col("a") < col("b"))
+      .withColumn("cosine", round(cosine(col("__vx"), col("__vy")), 4))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** Embedding-space near-duplicate PAIRS: all (a, b) with cosine ≥
     * `threshold`, candidates from hyperplane-LSH buckets. Each vector
     * enters its own bucket plus every single-bit-flip neighbor, so any
