@@ -333,22 +333,26 @@ object Dedup {
       shiftright(col("__sig"), startBit).bitwiseAND(lit(mask))
     }
     val chunks = posexplode(array(chunkCols: _*))
-    val bandKeys = sigs.select(col(idCol), chunks.as(Seq("band", "key")))
+    // verify bucket-locally: the packed signature is ONE long, so each
+    // member carries it into the bucket and a pair costs one
+    // bit_count(xor) right where it's generated — no distinct over the
+    // raw candidate pairs and no pair-side signature joins (candidates
+    // vastly outnumber docs on collision-heavy data; shipping a long
+    // per (doc, band) is the cheap side of that trade). The distinct
+    // runs on the FILTERED pairs only.
+    val bandKeys = sigs.select(col(idCol), col("__sig"),
+      chunks.as(Seq("band", "key")))
     val buckets = bandKeys.groupBy("band", "key")
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val cands = buckets
-      .select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
-    val s = sigs.select(col(idCol), col("__sig"))
-    cands
-      .join(s.withColumnRenamed(idCol, "a").withColumnRenamed("__sig", "__siga"), "a")
-      .join(s.withColumnRenamed(idCol, "b").withColumnRenamed("__sig", "__sigb"), "b")
+      .agg(collect_list(struct(col(idCol).as("__id"), col("__sig"))).as("__ms"))
+      .filter(size(col("__ms")).between(2, maxBucket))
+    buckets
+      .select(col("__ms"), explode(col("__ms")).as("x"))
+      .select(col("x"), explode(col("__ms")).as("y"))
+      .filter(col("x.__id") < col("y.__id"))
       .withColumn("hamming",
-        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast("int"))
+        bit_count(col("x.__sig").bitwiseXOR(col("y.__sig"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .select(col("x.__id").as("a"), col("y.__id").as("b"), col("hamming"))
+      .distinct()
   }
 }

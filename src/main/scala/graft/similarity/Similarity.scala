@@ -47,14 +47,22 @@ object Similarity {
     * approximate form trades the n² for bucket-local work. */
   def selfNearestNeighbor(corpus: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
-    val x = corpus.select(col(idCol).as("id"), col(vecCol).as("__vx"))
-    val y = corpus.select(col(idCol).as("nn"), col(vecCol).as("__vy"))
+    // norms are computed ONCE per side (n work), not once per pair
+    // (n² work) — the pair loop then runs one VectorDot, not three.
+    // Same doubles as cosine(): identical products, identical order.
+    val x = corpus.select(col(idCol).as("id"), col(vecCol).as("__vx"),
+      norm(col(vecCol)).as("__nx"))
+    val y = corpus.select(col(idCol).as("nn"), col(vecCol).as("__vy"),
+      norm(col(vecCol)).as("__ny"))
     // argmax as a max-of-struct aggregation, NOT a window: the n² pair
     // stream folds through map-side partial maxes instead of being
     // shuffled and sorted whole. struct compare = (cosine desc, nn
     // asc) via negated id — same winner as the rn=1 window form.
     x.join(y, col("id") =!= col("nn"))
-      .withColumn("cosine", round(cosine(col("__vx"), col("__vy")), 4))
+      .withColumn("cosine", round(
+        when(col("__nx") * col("__ny") === 0, 0.0)
+          .otherwise(dot(col("__vx"), col("__vy")) / (col("__nx") * col("__ny"))),
+        4))
       .groupBy("id")
       .agg(max(struct(col("cosine"), (-col("nn")).as("__negnn"))).as("__m"))
       .select(col("id"), (-col("__m.__negnn")).as("nn"),
@@ -161,10 +169,16 @@ object Similarity {
     * VectorDot work with no vector shuffle beyond the self-join. */
   def exactCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val x = corpus.select(col(idCol).as("a"), col(vecCol).as("__vx"))
-    val y = corpus.select(col(idCol).as("b"), col(vecCol).as("__vy"))
+    // per-side norm precompute, as in selfNearestNeighbor
+    val x = corpus.select(col(idCol).as("a"), col(vecCol).as("__vx"),
+      norm(col(vecCol)).as("__nx"))
+    val y = corpus.select(col(idCol).as("b"), col(vecCol).as("__vy"),
+      norm(col(vecCol)).as("__ny"))
     x.join(y, col("a") < col("b"))
-      .withColumn("cosine", round(cosine(col("__vx"), col("__vy")), 4))
+      .withColumn("cosine", round(
+        when(col("__nx") * col("__ny") === 0, 0.0)
+          .otherwise(dot(col("__vx"), col("__vy")) / (col("__nx") * col("__ny"))),
+        4))
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
