@@ -502,6 +502,69 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM b ORDER BY doc_id"""),
 
+    "d04_decontaminate" -> ("""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+  FROM tok WHERE len(toks) >= 5),
+bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM grams c JOIN bench b ON c.g = b.g
+  WHERE c.source NOT IN ('src0', 'src1')
+  GROUP BY c.doc_id)
+SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
+FROM hits ORDER BY doc_id"""),
+
+    "t08_repetition" -> ("""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN 0 ELSE len(toks) - 2 END AS n_grams,
+         CASE WHEN len(toks) < 3 THEN 0
+              ELSE len(list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) END AS n_distinct
+  FROM tok)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CASE WHEN n_grams = 0 THEN 0.0
+            ELSE ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) END AS rep_ratio
+FROM g ORDER BY doc_id"""),
+
+    "t09_tfidf" -> ("""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (t) CROSS JOIN n)
+SELECT doc_id, t AS term, tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) <= 3
+ORDER BY doc_id, tfidf DESC, term"""),
+
+    "q36_moving_avg" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS c
+  FROM summary GROUP BY 1, 2)
+SELECT transaction_category, transaction_date,
+       CAST(c AS BIGINT) / 100.0 AS daily_revenue,
+       ROUND(AVG(c) OVER w / 100.0, 4) AS ma7,
+       CAST(MIN(c) OVER w AS BIGINT) / 100.0 AS min7,
+       CAST(MAX(c) OVER w AS BIGINT) / 100.0 AS max7
+FROM daily
+WINDOW w AS (PARTITION BY transaction_category ORDER BY transaction_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY transaction_category, transaction_date"""),
+
     "s01_cosine_topk" -> ("""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

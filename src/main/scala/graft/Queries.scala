@@ -552,6 +552,68 @@ object Queries {
                 TextFunctions.hashSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // Decontamination: corpus docs sharing any 5-gram with the
+    // "benchmark" slice (sources src0/src1) — the test-set-overlap
+    // check a training pipeline runs before every export.
+    "d04_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = col("source").isin("src0", "src1")
+      Dedup.contaminationCounts(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition: duplicate-trigram ratio, the standard
+    // boilerplate/spam signal (1 - distinct/total n-grams).
+    "t08_repetition" -> ((s, d) => {
+      val nt = TextFunctions.tokenCount(col("text"))
+      val nGrams = when(nt < 3, 0).otherwise(nt - 2)
+      val nDistinct = when(nt < 3, 0)
+        .otherwise(size(TextFunctions.shingles(col("text"), 3)))
+      documents(s, d).select(
+        col("doc_id"),
+        nGrams.cast("int").as("n_grams"),
+        when(nGrams === 0, 0.0)
+          .otherwise(round(lit(1.0) - nDistinct.cast("double") / nGrams, 4))
+          .as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // TF-IDF top terms per document: tf and df from one token explode
+    // (two aggregations), idf as ln(N/df), top-3 by score per doc.
+    "t09_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tok.groupBy("t").agg(countDistinct("doc_id").as("df"))
+      val n = docs.count()
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("t"))
+      tf.join(dfreq, "t")
+        .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("t").as("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
+    // Rolling 7-row window: moving-average/min/max of per-category
+    // daily revenue (cents stay integer inside the frame; the average
+    // is one exact-input division).
+    "q36_moving_avg" -> ((s, d) => {
+      val w = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date").rowsBetween(-6, 0)
+      summary(s, d).groupBy("transaction_category", "transaction_date")
+        .agg(sum(cents(col("total_price"))).as("__c"))
+        .withColumn("daily_revenue", col("__c") / 100.0)
+        .withColumn("ma7", round(avg(col("__c")).over(w) / 100.0, 4))
+        .withColumn("min7", min(col("__c")).over(w) / 100.0)
+        .withColumn("max7", max(col("__c")).over(w) / 100.0)
+        .select("transaction_category", "transaction_date", "daily_revenue",
+                "ma7", "min7", "max7")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
     // Multimodal decode plumbing over binary content (stubbed codec).
     "m01_multimodal_decode" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(documents(s, d))

@@ -238,6 +238,35 @@ object Dedup {
               round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Decontamination: per-corpus-doc count of word n-grams that also
+    * occur anywhere in `benchmark` — the standard test-set-overlap
+    * check before training (drop or flag docs with any hit). Docs
+    * shorter than n tokens carry no n-gram evidence and are skipped on
+    * both sides.
+    *
+    * Shape at 100 TB: one distinct over benchmark grams (benchmark ≪
+    * corpus, so the distinct side is small and the join broadcasts or
+    * hash-joins cheaply), one explode+join+count over corpus grams —
+    * all linear in corpus size, no pair blow-up. With `hashGrams` the
+    * join runs on xxhash64 longs instead of gram strings (≈5-10×
+    * narrower shuffle; collision-exact for practical purposes —
+    * spec-asserted equal on real data). The catalog query keeps raw
+    * strings so the DuckDB oracle mirrors it exactly. */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, n: Int,
+                          hashGrams: Boolean = false): DataFrame = {
+    def grams(df: DataFrame) = {
+      val g = df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
+        .select(col(idCol), explode(
+          TextFunctions.shingles(col(textCol), n)).as("__g"))
+      if (hashGrams) g.select(col(idCol), xxhash64(col("__g")).as("__g")) else g
+    }
+    val bench = grams(benchmark).select("__g").distinct()
+    grams(corpus).join(bench, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. The
     * single-element transform binds the intersection size once — the
     * intersect is the expensive part and must not be evaluated twice. */

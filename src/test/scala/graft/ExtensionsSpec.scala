@@ -213,6 +213,34 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(0)._5 == 4)
   }
 
+  test("decontamination: planted overlaps found, hashed grams identical, short docs skipped") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the 5-gram "beta gamma delta epsilon zeta"
+      (1L, "xx beta gamma delta epsilon zeta yy"),
+      // no 5-gram overlap
+      (2L, "totally different words here without any overlap"),
+      // shares two distinct benchmark 5-grams
+      (3L, "one two three four five six seven"),
+      // shorter than 5 tokens: never contaminated
+      (4L, "one two three four")).toDF("doc_id", "text")
+
+    val got = Dedup.contaminationCounts(corpus, bench, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 3L -> 3L), got.toString)
+
+    // hashed-gram fast path emits identical results on real documents
+    val docs = TestData.table(spark, sf, "documents")
+    val isBench = col("source").isin("src0", "src1")
+    def run(h: Boolean) = Dedup.contaminationCounts(
+      docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5, hashGrams = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(false) == run(true))
+  }
+
   test("multimodal: typed batch decode and binary plumbing shapes") {
     val docs = TestData.table(spark, sf, "documents").limit(50)
     val assets = Multimodal.assetsFromDocuments(docs)
