@@ -315,6 +315,20 @@ FROM trades t ASOF LEFT JOIN quotes q
   ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
 ORDER BY t.event_id"""),
 
+    "q37_interval_join" -> ("""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+l AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type <> 'purchase'),
+r AS (SELECT user_id AS r_user, ts_us AS r_ts, value AS r_value
+      FROM ev WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id,
+       COUNT(r.r_ts) AS n_recent_purchases,
+       CAST(COALESCE(SUM(CAST(ROUND(r.r_value * 100) AS BIGINT)), 0) AS BIGINT) / 100.0
+         AS recent_purchase_value
+FROM l LEFT JOIN r
+  ON l.user_id = r.r_user AND r.r_ts <= l.ts_us AND r.r_ts > l.ts_us - 1800000000
+GROUP BY 1, 2 ORDER BY event_id"""),
+
     "q35_json_props" -> ("""
 SELECT event_type,
        CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum,

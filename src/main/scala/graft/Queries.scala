@@ -377,6 +377,28 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // Interval (range) join: per non-purchase event, count and sum the
+    // user's purchases in the preceding 30 minutes — equality key +
+    // time-range condition, the scalable range-join shape (and the
+    // batch analog of the watermarked stream-stream join in
+    // streaming.StreamJoin; spec-checked equivalent there).
+    "q37_interval_join" -> ((s, d) => {
+      val ev = events(s, d).withColumn("ts_us", expr("ts div 1000"))
+      val l = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts_us").as("r_ts"),
+                col("value").as("r_value"))
+      graft.streaming.StreamJoin.intervalJoin(
+        l, r, "user_id", "r_user", "ts_us", "r_ts",
+        lit(1800000000L), "left")
+        .groupBy("event_id", "user_id")
+        .agg(count(col("r_ts")).as("n_recent_purchases"),
+             (coalesce(sum(cents(col("r_value"))), lit(0L)) / 100.0)
+               .as("recent_purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // Semi-structured JSON extraction + aggregation over the events
     // props column (get_json_object stays inside codegen).
     "q35_json_props" -> ((s, d) =>
