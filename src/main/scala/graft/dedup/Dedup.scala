@@ -147,7 +147,11 @@ object Dedup {
       .filter(col("x.__id") < col("y.__id"))
       // length filter: jaccard ≥ t forces t·|x| ≤ |y| ∧ t·|y| ≤ |x|
       .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
-      .withColumn("__si", size(array_intersect(col("x.__shh"), col("y.__shh"))))
+      // per-pair hot loop: native merge walk over the sorted hash sets
+      // (array_intersect builds a hash set per pair — allocation +
+      // hashing the walk doesn't pay)
+      .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
+        col("x.__shh"), col("y.__shh")))
       .withColumn("jaccard",
         col("__si").cast("double") / (nx + ny - col("__si")))
       .filter(col("jaccard") >= threshold)
@@ -222,15 +226,16 @@ object Dedup {
       // verify-ONCE guard: a qualifying pair's smallest common token is
       // in both prefixes, so exactly one bucket — the one keyed by that
       // token — runs the full verify; every other shared prefix token
-      // drops the pair after this cheap prefix-only intersect. (No
+      // drops the pair after this cheap prefix-only merge walk. (No
       // final distinct, no duplicated full intersects.)
-      .filter(col("__pt") === array_min(array_intersect(
+      .filter(col("__pt") === graft.functions.arrays.sorted_first_common(
         slice(col("x.__w"), lit(1), plen(nx)),
-        slice(col("y.__w"), lit(1), plen(ny)))))
+        slice(col("y.__w"), lit(1), plen(ny))))
       // bind the intersect size through its own projected column (one
-      // evaluation, no interpreted-lambda binding trick) — this is the
-      // per-pair hot expression
-      .withColumn("__si", size(array_intersect(col("x.__w"), col("y.__w"))))
+      // evaluation) — the per-pair hot expression, a native merge walk
+      // over the rank-sorted token ids
+      .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
+        col("x.__w"), col("y.__w")))
       .withColumn("jaccard",
         col("__si").cast("double") / (nx + ny - col("__si")))
       .filter(col("jaccard") >= threshold)

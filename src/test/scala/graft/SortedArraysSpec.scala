@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.arrays.{sorted_first_common, sorted_intersect_size}
+
+class SortedArraysSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(11)
+  private def randSortedLong(): Seq[Long] =
+    Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+  private def randSortedInt(): Seq[Int] =
+    Seq.fill(rnd.nextInt(30))(rnd.nextInt(50)).distinct.sorted
+
+  test("merge walk == array_intersect formulations on random sorted arrays (long + int)") {
+    val longs = Seq.fill(300)((randSortedLong(), randSortedLong())).toDF("a", "b")
+    val dl = longs.select(
+      (sorted_intersect_size(col("a"), col("b")) -
+        size(array_intersect(col("a"), col("b")))).as("ds"),
+      (sorted_first_common(col("a"), col("b")) <=>
+        array_min(array_intersect(col("a"), col("b")))).as("fc"))
+      .collect()
+    assert(dl.forall(r => r.getInt(0) == 0 && r.getBoolean(1)))
+
+    val ints = Seq.fill(300)((randSortedInt(), randSortedInt())).toDF("a", "b")
+    val di = ints.select(
+      (sorted_intersect_size(col("a"), col("b")) -
+        size(array_intersect(col("a"), col("b")))).as("ds"),
+      (sorted_first_common(col("a"), col("b")) <=>
+        array_min(array_intersect(col("a"), col("b")))).as("fc"))
+      .collect()
+    assert(di.forall(r => r.getInt(0) == 0 && r.getBoolean(1)))
+  }
+
+  test("eval and codegen paths agree on a parquet-backed frame, and participate in codegen") {
+    // parquet-backed → whole-stage codegen path
+    val docs = graft.sources.TestData.table(spark, sf, "documents").limit(100)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          graft.text.TextFunctions.tokens(col("text")), t => xxhash64(t)))).as("h"))
+    val gen = docs.select(col("doc_id"),
+      sorted_intersect_size(col("h"), slice(col("h"), 1, 5)).as("s"),
+      sorted_first_common(col("h"), slice(col("h"), 3, 5)).as("f"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.get(2)))).toMap
+    // local relation → interpreted eval path
+    val local = docs.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      .toDF("doc_id", "h")
+    val ev = local.select(col("doc_id"),
+      sorted_intersect_size(col("h"), slice(col("h"), 1, 5)).as("s"),
+      sorted_first_common(col("h"), slice(col("h"), 3, 5)).as("f"))
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.get(2)))).toMap
+    local.select("doc_id").as[Long].collect().foreach { id =>
+      assert(gen(id) == ev(id), s"doc $id")
+    }
+
+    val exec = docs.select(sorted_intersect_size(col("h"), col("h")))
+      .queryExecution.executedPlan
+    val inCodegen = exec.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.toString.contains("sortedintersectsize"))
+    assert(inCodegen, exec.toString)
+  }
+
+  test("mismatched element types are rejected") {
+    val df = Seq((Seq(1, 2), Seq(1L, 2L))).toDF("i", "l")
+    val e = intercept[Exception] {
+      df.select(sorted_intersect_size(col("i"), col("l"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
+}
