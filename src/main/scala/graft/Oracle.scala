@@ -315,6 +315,20 @@ FROM trades t ASOF LEFT JOIN quotes q
   ON t.user_id = q.user_id AND t.ts_us >= q.ts_us
 ORDER BY t.event_id"""),
 
+    "q38_scalar_subquery" -> (star + """
+SELECT transaction_id, product_id, merchant_id, quantity, total_price
+FROM summary
+WHERE CAST(ROUND(total_price * 100) AS BIGINT) >
+      (SELECT CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / COUNT(*)
+       FROM summary)
+ORDER BY transaction_id, product_id, merchant_id, quantity, total_price"""),
+
+    "q39_unpivot" -> (star + """
+SELECT product_category, transaction_card,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+FROM summary GROUP BY 1, 2
+ORDER BY product_category, transaction_card"""),
+
     "q37_interval_join" -> ("""
 WITH ev AS (
   SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),

@@ -377,6 +377,33 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // Scalar subquery: rows above the global mean price — the subquery
+    // computes once (a broadcast scalar), the filter stays codegen'd.
+    "q38_scalar_subquery" -> ((s, d) => {
+      summary(s, d).createOrReplaceTempView("graft_summary_q38")
+      s.sql("""
+        SELECT transaction_id, product_id, merchant_id, quantity, total_price
+        FROM graft_summary_q38
+        WHERE CAST(ROUND(total_price * 100) AS BIGINT) >
+              (SELECT SUM(CAST(ROUND(total_price * 100) AS BIGINT)) / COUNT(*)
+               FROM graft_summary_q38)
+        ORDER BY transaction_id, product_id, merchant_id, quantity, total_price""")
+    }),
+
+    // UNPIVOT: melt the card×category pivot back to long form — the
+    // round trip proves wide↔long equivalence (null cells dropped to
+    // match the direct long-form aggregation).
+    "q39_unpivot" -> ((s, d) => {
+      val cards = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      summary(s, d).groupBy("product_category")
+        .pivot("transaction_card", cards)
+        .agg(sumMoney(col("total_price")))
+        .unpivot(Array(col("product_category")), cards.map(col).toArray,
+                 "transaction_card", "revenue")
+        .filter(col("revenue").isNotNull)
+        .orderBy("product_category", "transaction_card")
+    }),
+
     // Interval (range) join: per non-purchase event, count and sum the
     // user's purchases in the preceding 30 minutes — equality key +
     // time-range condition, the scalable range-join shape (and the

@@ -37,6 +37,12 @@ object GraftFunctions {
     import graft.text.TextFunctions._
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_size",
+      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_first_common",
+      exprs => SortedFirstCommon(exprs(0), exprs(1)), "scala_udf")
     register2(spark, "cosine_similarity", graft.similarity.Similarity.cosine)
     register1(spark, "token_count", tokenCount)
     register1(spark, "subword_count", subwordCount)
