@@ -343,6 +343,22 @@ FROM l LEFT JOIN r
   ON l.user_id = r.r_user AND r.r_ts <= l.ts_us AND r.r_ts > l.ts_us - 1800000000
 GROUP BY 1, 2 ORDER BY event_id"""),
 
+    "q40_distinct_agg" -> ("""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CAST(props->>'k' AS INTEGER)) AS n_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    "t10_string_funcs" -> ("""
+SELECT doc_id,
+       upper(substr(text, 1, 12)) AS head12,
+       strpos(lower(text), 'the') AS first_the,
+       length(replace(lower(text), ' ', '')) AS n_nonspace,
+       levenshtein(substr(lower(text), 1, 30), substr(lower(reverse(text)), 1, 30)) AS lev30,
+       repeat(substr(source, 1, 4), 2) AS tag
+FROM documents ORDER BY doc_id"""),
+
     "q35_json_props" -> ("""
 SELECT event_type,
        CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_sum,

@@ -426,6 +426,32 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // DISTINCT aggregation (two distinct measures in one group — the
+    // Expand-based plan Spark uses for multi-distinct).
+    "q40_distinct_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(get_json_object(col("props"), "$.k").cast("int"))
+               .as("n_k"),
+             count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
+    // String-function family: case mapping, substring, search,
+    // replace, edit distance, repeat — all codegen'd builtins.
+    "t10_string_funcs" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 12)).as("head12"),
+        instr(lower(col("text")), "the").cast("long").as("first_the"),
+        length(regexp_replace(lower(col("text")), " ", "")).cast("long")
+          .as("n_nonspace"),
+        levenshtein(substring(lower(col("text")), 1, 30),
+                    substring(lower(reverse(col("text"))), 1, 30))
+          .cast("long").as("lev30"),
+        repeat(substring(col("source"), 1, 4), 2).as("tag"))
+        .orderBy("doc_id")),
+
     // Semi-structured JSON extraction + aggregation over the events
     // props column (get_json_object stays inside codegen).
     "q35_json_props" -> ((s, d) =>
