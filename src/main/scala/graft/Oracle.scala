@@ -220,6 +220,28 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_seq"""),
 
+    "q41_session_window" -> ("""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+flagged AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus)),
+sessions AS (
+  SELECT user_id, tus, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY tus
+                                ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged)
+SELECT user_id,
+       make_timestamp(MIN(tus)) AS session_start,
+       make_timestamp(MAX(tus)) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS session_value
+FROM sessions GROUP BY user_id, seq
+ORDER BY user_id, session_start"""),
+
     "q24_median_order_value" -> (star + """
 , ranked AS (
   SELECT merchant_name, total_price,

@@ -229,6 +229,15 @@ object Queries {
         .withColumn("session_end", expr("session_end div 1000"))
         .orderBy("user_id", "session_seq")),
 
+    // Native session windows (session_window): Spark merges events
+    // within the inactivity gap — the streaming-native form of q23's
+    // analytic-window sessionization (same session count, and the
+    // same groupBy works under readStream with a watermark).
+    "q41_session_window" -> ((s, d) =>
+      graft.streaming.EventAnalytics.sessionWindowStats(
+        events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
     // Exact per-merchant median via window row-pick: engines disagree on
     // percentile interpolation, but the middle elements by row_number
     // are well-defined (ties share the same value, so tie order is

@@ -16,9 +16,16 @@ import graft.functions.money._
 object EventAnalytics {
 
   /** events.ts is nanos-since-epoch (see TestData.events); Spark
-    * windows want a timestamp. */
+    * windows want a timestamp. NOT a plain `/ 1000`: Column `/` is
+    * DOUBLE division, and a 1.7e18 nanos long already exceeds 2^53 —
+    * the long→double CONVERSION itself is lossy, so the quotient can
+    * land ±1 µs off. Invisible under hour-truncating windows, fatal to
+    * raw session bounds (q41 caught it at sf0.1). Decimal division is
+    * exact; the long cast truncates toward zero = floor for epoch
+    * nanos. */
   def eventTime(tsNanos: Column): Column =
-    timestamp_micros((tsNanos / 1000L).cast("long"))
+    timestamp_micros(
+      (tsNanos.cast("decimal(20,0)") / lit(1000)).cast("long"))
 
   /** Tumbling-window stats per event type. For a streaming input, pass
     * `watermark` (e.g. "10 minutes") to bound state and admit
@@ -50,6 +57,25 @@ object EventAnalytics {
            sumMoney(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
               col("event_count"), col("total_value"))
+  }
+
+  /** Native session windows: Spark's `session_window` merges a user's
+    * events separated by less than `gap` — the streaming-native
+    * sessionization (state-store-backed, windows close when the
+    * watermark passes; pass `watermark` for streaming inputs). Same
+    * sessions as [[sessionize]]'s analytic-window formulation, but
+    * this shape runs under `readStream` unchanged. */
+  def sessionWindowStats(events: DataFrame, gap: String,
+                         watermark: Option[String] = None): DataFrame = {
+    val timed = events.withColumn("event_time", eventTime(col("ts")))
+    val marked = watermark.fold(timed)(w => timed.withWatermark("event_time", w))
+    marked
+      .groupBy(session_window(col("event_time"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sumMoney(col("value")).as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("sw.end").as("session_end"), col("n_events"),
+              col("session_value"))
   }
 
   /** Gap-based sessionization: a new session starts when a user is

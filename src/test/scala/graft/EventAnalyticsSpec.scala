@@ -63,6 +63,45 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(batch.exists(r => r._2 == "click" && r._3 == 2))
   }
 
+  test("session windows: one definition serves batch and watermarked streaming") {
+    val M = 60L * 1000000000L // one minute in nanos
+    // user 10: two sessions (gap 45 min > 30); user 11: one session
+    val events = Seq(
+      Ev(1, 0 * M, 10, "click", 1.0),
+      Ev(2, 10 * M, 10, "click", 2.0),
+      Ev(3, 55 * M, 10, "buy", 3.0),
+      Ev(4, 5 * M, 11, "click", 4.0))
+
+    def render(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "session_start")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3), r.getDouble(4))).toSeq
+
+    val batch = render(
+      EventAnalytics.sessionWindowStats(events.toDF(), "30 minutes"))
+    assert(batch.map(b => (b._1, b._4)) == Seq((10L, 2L), (10L, 1L), (11L, 1L)))
+    // session end = last event + gap
+    assert(batch.head._3 - batch.head._2 == (10 + 30) * 60000L)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventAnalytics.sessionWindowStats(
+      stream.toDF(), "30 minutes", watermark = Some("10 minutes"))
+      .writeStream.outputMode(OutputMode.Append())
+      .queryName("sw_out").format("memory")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(events.take(2))
+    q.processAllAvailable()
+    stream.addData(events.drop(2))
+    q.processAllAvailable()
+    stream.addData(Ev(99, 1000 * M, 99, "flush", 0.0)) // close all windows
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = render(spark.table("sw_out").filter(col("user_id") =!= 99))
+    assert(streamed == batch, s"streaming ≠ batch: $streamed vs $batch")
+  }
+
   test("SQL surface: reference table and view names answer through spark.sql") {
     Engine.registerViews(spark, sf)
     val viaSql = spark.sql(
