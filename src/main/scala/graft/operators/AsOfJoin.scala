@@ -48,7 +48,12 @@ object AsOfJoin {
     val l = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         leftPayload.map(col): _*)
-    val r = right.select(
+    // a null right timestamp never satisfies `leftTs >= rightTs` in
+    // comparison semantics — but it would sort FIRST in the window and
+    // act as a universal fallback match, so drop such rows up front.
+    // (Null LEFT timestamps also sort first, see no prior right row,
+    // and correctly keep null payload.)
+    val r = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         struct(rightPayload.map(col): _*).as("__r")): _*)
 

@@ -52,6 +52,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(3L) == None, "key 2 has no right rows at all")
   }
 
+  test("null timestamps: right nulls never match, left nulls get null payload") {
+    val left = Seq((1L, 1L, Some(100L)), (2L, 1L, None))
+      .toDF("lid", "k", "lts")
+    val right = Seq((1L, Some(50L), "real"), (1L, None, "phantom"))
+      .toDF("k", "rts", "tag")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts")
+      .collect().map(r => (r.getAs[Long]("lid"), Option(r.getAs[String]("tag"))))
+      .toMap
+    assert(out == Map(1L -> Some("real"), 2L -> None))
+  }
+
   test("rejects payload column collisions") {
     val l = Seq((1L, 1L, 1L)).toDF("lid", "k", "lts")
     val r = Seq((1L, 1L, 1L)).toDF("k", "rts", "lid")
