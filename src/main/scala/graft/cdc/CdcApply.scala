@@ -43,13 +43,30 @@ object CdcApply {
   /** Apply a change batch onto the current table state:
     * rows whose key is untouched survive; touched keys take the winning
     * event's after-image, or disappear if the winner is a DELETE.
-    */
+    *
+    * Schema evolution: with `allowEvolution`, a batch may carry NEW
+    * columns (the upstream table gained one — `ALTER TABLE ADD COLUMN`
+    * flows through logical replication transparently); existing rows
+    * take NULL for them, exactly what the source database reports for
+    * pre-existing rows. A batch MISSING current columns is always an
+    * error — silently nulling existing data is never right (column
+    * drops don't replicate; handle them as an explicit migration). */
   def applyBatch(current: DataFrame, changes: DataFrame,
-                 keys: Seq[String]): DataFrame = {
+                 keys: Seq[String], allowEvolution: Boolean = false): DataFrame = {
     val win = latest(changes, keys)
     val untouched = current.join(
       win.select(keys.map(col): _*), keys, "left_anti")
     val upserts = win.filter(col(OpCol) =!= Delete).drop(MetaCols: _*)
-    untouched.unionByName(upserts)
+    val removed = current.columns.diff(upserts.columns)
+    require(removed.isEmpty,
+      s"change batch lacks table columns ${removed.mkString(", ")} — " +
+        "column drops don't replicate; migrate explicitly")
+    val added = upserts.columns.diff(current.columns)
+    if (added.isEmpty) untouched.unionByName(upserts)
+    else {
+      require(allowEvolution,
+        s"batch adds columns ${added.mkString(", ")}; pass allowEvolution=true")
+      untouched.unionByName(upserts, allowMissingColumns = true)
+    }
   }
 }

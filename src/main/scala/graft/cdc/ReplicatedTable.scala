@@ -60,11 +60,15 @@ final class ReplicatedTable(spark: SparkSession, path: String,
       s"replicated table at $path has no snapshot yet")
   }
 
-  /** Incremental apply — phase 2. Idempotent per batch. */
+  /** Incremental apply — phase 2. Idempotent per batch. Upstream
+    * column ADDs evolve the table automatically (existing rows take
+    * NULL), mirroring the connector's transparent handling of
+    * `ALTER TABLE ADD COLUMN`. */
   def applyChanges(changes: DataFrame): Unit = {
     val v = currentVersion.getOrElse(throw new IllegalStateException(
       s"cannot apply changes before snapshot: $path"))
-    commit(CdcApply.applyBatch(current(), changes, keys), v + 1)
+    commit(CdcApply.applyBatch(current(), changes, keys,
+      allowEvolution = true), v + 1)
   }
 
   /** Versions applied after the snapshot (CONNECTOR_STATS analog). */
