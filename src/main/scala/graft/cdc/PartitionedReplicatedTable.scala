@@ -135,7 +135,13 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     stageAndInstall(df, parts, Map.empty, 0)
   }
 
-  /** Partition-scoped incremental apply. */
+  /** Partition-scoped incremental apply. Upstream column ADDs evolve
+    * the table (see [[CdcApply.applyBatch]]): the schema sidecar is
+    * rewritten first, and since reads apply the stored schema, parquet
+    * files of untouched partitions null-fill the new column at read
+    * time — no rewrite of unaffected data. (Crash window: schema
+    * updated but manifest not yet published shows the added column as
+    * all-NULL until the batch lands — benign, no data loss.) */
   def applyChanges(changes: DataFrame): Unit = {
     require(isSnapshotDone, s"cannot apply changes before snapshot: $path")
     val winners = CdcApply.latest(changes, keys)
@@ -143,7 +149,10 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     require(!affected.contains(null),
       s"every change event must carry $partitionCol (incl. DELETE replica identity)")
     val m = manifest()
-    val merged = CdcApply.applyBatch(read(m, affected), winners, keys)
+    val merged = CdcApply.applyBatch(read(m, affected), winners, keys,
+      allowEvolution = true)
+    if (merged.schema.fieldNames.toSeq != schema.fieldNames.toSeq)
+      writeSmall(schemaPath, merged.schema.json)
     stageAndInstall(merged, affected, m, readSmall(head).toInt + 1)
   }
 

@@ -49,4 +49,25 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("allowEvolution"))
   }
+
+  test("partitioned table: evolution rewrites the schema sidecar, untouched partitions null-fill") {
+    import graft.cdc.PartitionedReplicatedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve-p").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    t.snapshot(Seq((1, "d1", "a"), (2, "d2", "b")).toDF("k", "day", "v"))
+
+    // the batch touches ONLY partition d2 and adds column `w`
+    val evolved = Seq((2, "d2", "b2", "x", CdcApply.Update, 10L, ts(10)))
+      .toDF("k", "day", "v", "w", "_op", "_lsn", "_commit_ts")
+    t.applyChanges(evolved)
+
+    val byK = t.current().select("k", "v", "w").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    // d1's parquet was NOT rewritten, yet reads null-fill the new column
+    assert(byK(1) == (("a", None)))
+    assert(byK(2) == (("b2", Some("x"))))
+    // pruned reads see the evolved schema too
+    assert(t.currentForValues(Seq("d1")).columns.contains("w"))
+  }
 }
