@@ -616,6 +616,20 @@ SELECT doc_id, t AS term, tfidf FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t) <= 3
 ORDER BY doc_id, tfidf DESC, term"""),
 
+    "t11_unigram_logprob" -> ("""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT COUNT(*) AS n FROM tok),
+scored AS (
+  SELECT tok.doc_id,
+         CAST(ROUND(-ln(CAST(cnt.c AS DOUBLE) / tot.n) * 1000000) AS BIGINT) AS m
+  FROM tok JOIN cnt USING (t) CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+
     "q36_moving_avg" -> (star + """
 , daily AS (
   SELECT transaction_category, transaction_date,

@@ -681,6 +681,27 @@ object Queries {
         .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
     }),
 
+    // Unigram-LM scoring: mean negative log-probability per document
+    // under the corpus's own unigram model — the classic LM-based
+    // quality filter. Per-token nats are fixed to an integer 1e-6 grid
+    // before summing (a double sum is partition-order-dependent; an
+    // integer sum is exact and engine-stable).
+    "t11_unigram_logprob" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      val cnt = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val n = tok.count()
+      tok.join(cnt, "t")
+        .withColumn("__m",
+          round(-log(col("c").cast("double") / n.toDouble) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
+               .as("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling 7-row window: moving-average/min/max of per-category
     // daily revenue (cents stay integer inside the frame; the average
     // is one exact-input division).

@@ -13,7 +13,8 @@ object ExplainPlans {
     val sf = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_purchase_summary", "q02_customer_spending",
-               "q15_top_merchant", "q05_date_range")
+               "q15_top_merchant", "q05_date_range",
+               "q34_asof_purchase", "q37_interval_join", "d04_decontaminate")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       graft.Queries.all(n)(spark, sf).explain("formatted")
