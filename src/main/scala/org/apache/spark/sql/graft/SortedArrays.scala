@@ -73,17 +73,25 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val t = if (elemIsLong) "Long" else "Int"
+      // fresh names: the same expression can appear several times in
+      // one codegen method (e.g. a Filter and a Project in one stage);
+      // fixed names are a "Redefinition of local variable" compile
+      // error and a silent whole-stage interpretation fallback
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int __n = $a.numElements(); int __m = $b.numElements();
-         |int __i = 0; int __j = 0; int __c = 0;
-         |while (__i < __n && __j < __m) {
-         |  long __x = (long) $a.get$t(__i);
-         |  long __y = (long) $b.get$t(__j);
-         |  if (__x < __y) __i++;
-         |  else if (__x > __y) __j++;
-         |  else { __c++; __i++; __j++; }
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $x = (long) $a.get$t($i);
+         |  long $y = (long) $b.get$t($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { $c++; $i++; $j++; }
          |}
-         |${ev.value} = __c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 
@@ -123,16 +131,20 @@ case class SortedFirstCommon(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val t = if (elemIsLong) "Long" else "Int"
       val jt = if (elemIsLong) "long" else "int"
+      // fresh names — see SortedIntersectSize.doGenCode
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int __n = $a.numElements(); int __m = $b.numElements();
-         |int __i = 0; int __j = 0;
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0;
          |${ev.isNull} = true;
-         |while (__i < __n && __j < __m) {
-         |  $jt __x = $a.get$t(__i);
-         |  $jt __y = $b.get$t(__j);
-         |  if (__x < __y) __i++;
-         |  else if (__x > __y) __j++;
-         |  else { ${ev.isNull} = false; ${ev.value} = __x; break; }
+         |while ($i < $n && $j < $m) {
+         |  $jt $x = $a.get$t($i);
+         |  $jt $y = $b.get$t($j);
+         |  if ($x < $y) $i++;
+         |  else if ($x > $y) $j++;
+         |  else { ${ev.isNull} = false; ${ev.value} = $x; break; }
          |}
        """.stripMargin
     })

@@ -61,21 +61,27 @@ case class VectorDot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: the same expression can occur several times in one
+      // codegen method (redefinition = compile error = silent
+      // interpretation fallback for the whole stage)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       val getA = if (elemType(left) == FloatType)
-        s"(double) $a.getFloat(__i)" else s"$a.getDouble(__i)"
+        s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (elemType(right) == FloatType)
-        s"(double) $b.getFloat(__i)" else s"$b.getDouble(__i)"
+        s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int __n = $a.numElements();
-         |if (__n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException(
-         |    "vector_dot: length mismatch " + __n + " vs " + $b.numElements());
+         |    "vector_dot: length mismatch " + $n + " vs " + $b.numElements());
          |}
-         |double __acc = 0.0;
-         |for (int __i = 0; __i < __n; __i++) {
-         |  __acc += $getA * $getB;
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $getA * $getB;
          |}
-         |${ev.value} = __acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -70,27 +70,32 @@ case class VectorLshBucket(child: Expression, numPlanes: Int, seed: Long)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val get = if (isFloat) s"(double) $v.getFloat(__i)" else s"$v.getDouble(__i)"
+      // fresh names — see VectorDot.doGenCode (fixed names collide when
+      // the expression appears twice in one codegen method)
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val p = ctx.freshName("p")
+      val h = ctx.freshName("h"); val bucket = ctx.freshName("bucket")
+      val get = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       val proj = ctx.freshName("proj")
       s"""
-         |int __n = $v.numElements();
+         |int $n = $v.numElements();
          |double[] $proj = new double[$numPlanes];
-         |for (int __i = 0; __i < __n; __i++) {
-         |  double __x = $get;
-         |  for (int __p = 0; __p < $numPlanes; __p++) {
-         |    long __h = (long) __p * 0x9E3779B97F4A7C15L
-         |        + (long) __i * 0xC2B2AE3D27D4EB4FL + ${seed}L;
-         |    __h = (__h ^ (__h >>> 30)) * 0xBF58476D1CE4E5B9L;
-         |    __h = (__h ^ (__h >>> 27)) * 0x94D049BB133111EBL;
-         |    __h = __h ^ (__h >>> 31);
-         |    $proj[__p] += (((__h & 1L) == 0L) ? __x : -__x);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    long $h = (long) $p * 0x9E3779B97F4A7C15L
+         |        + (long) $i * 0xC2B2AE3D27D4EB4FL + ${seed}L;
+         |    $h = ($h ^ ($h >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |    $h = ($h ^ ($h >>> 27)) * 0x94D049BB133111EBL;
+         |    $h = $h ^ ($h >>> 31);
+         |    $proj[$p] += ((($h & 1L) == 0L) ? $x : -$x);
          |  }
          |}
-         |long __bucket = 0L;
-         |for (int __p = 0; __p < $numPlanes; __p++) {
-         |  __bucket = __bucket * 2L + (($proj[__p] >= 0.0) ? 1L : 0L);
+         |long $bucket = 0L;
+         |for (int $p = 0; $p < $numPlanes; $p++) {
+         |  $bucket = $bucket * 2L + (($proj[$p] >= 0.0) ? 1L : 0L);
          |}
-         |${ev.value} = __bucket;
+         |${ev.value} = $bucket;
        """.stripMargin
     })
 

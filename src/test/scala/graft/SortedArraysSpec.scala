@@ -64,6 +64,47 @@ class SortedArraysSpec extends AnyFunSuite {
     assert(inCodegen, exec.toString)
   }
 
+  test("repeated use in one stage (filter + project) compiles — no interpretation fallback") {
+    // the bug class this guards: fixed local names in doGenCode are a
+    // "Redefinition of local variable" janino error when the same
+    // expression appears twice in one codegen method — and Spark then
+    // SILENTLY interprets the stage. fallback=false turns that into a
+    // hard failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.sources.TestData.table(spark, sf, "documents").limit(50)
+        .select(col("doc_id"),
+          sort_array(array_distinct(transform(
+            graft.text.TextFunctions.tokens(col("text")), t => xxhash64(t)))).as("h"))
+      val n = docs
+        .filter(sorted_intersect_size(col("h"), col("h")) > 0 &&
+          sorted_first_common(col("h"), col("h")).isNotNull)
+        .select(
+          sorted_intersect_size(col("h"), slice(col("h"), 1, 5)).as("s1"),
+          sorted_intersect_size(col("h"), slice(col("h"), 2, 5)).as("s2"),
+          sorted_first_common(col("h"), slice(col("h"), 1, 5)).as("f1"),
+          sorted_first_common(col("h"), slice(col("h"), 3, 5)).as("f2"))
+        .count()
+      assert(n == 50)
+
+      import graft.functions.vectors.{vector_dot, vector_lsh_bucket}
+      val emb = graft.sources.TestData.table(spark, sf, "embeddings").limit(50)
+      val m = emb
+        .filter(vector_dot(col("embedding"), col("embedding")) > 0 &&
+          vector_lsh_bucket(col("embedding"), 8, 42L) >= 0)
+        .select(vector_dot(col("embedding"), col("embedding")).as("d1"),
+                vector_dot(col("embedding"), col("embedding")).as("d2"),
+                vector_lsh_bucket(col("embedding"), 8, 42L).as("b1"),
+                vector_lsh_bucket(col("embedding"), 8, 43L).as("b2"))
+        .count()
+      assert(m == 50)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("mismatched element types are rejected") {
     val df = Seq((Seq(1, 2), Seq(1L, 2L))).toDF("i", "l")
     val e = intercept[Exception] {
