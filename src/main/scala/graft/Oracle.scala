@@ -645,6 +645,95 @@ WINDOW w AS (PARTITION BY transaction_category ORDER BY transaction_date
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY transaction_category, transaction_date"""),
 
+    "q42_exists_users" -> ("""
+SELECT DISTINCT e.user_id FROM events e
+WHERE e.event_type = 'purchase'
+  AND NOT EXISTS (SELECT 1 FROM events x
+                  WHERE x.user_id = e.user_id AND x.event_type = 'error'
+                    AND epoch_us(x.ts) > epoch_us(e.ts))
+ORDER BY user_id"""),
+
+    "q43_card_lists" -> (star + """
+SELECT product_category,
+       array_to_string(list_sort(list(DISTINCT transaction_card)), '|') AS cards,
+       COUNT(DISTINCT transaction_card) AS n_cards
+FROM summary GROUP BY product_category ORDER BY product_category"""),
+
+    "q44_price_histogram" -> (star + """
+, cts AS (SELECT CAST(ROUND(total_price * 100) AS BIGINT) AS __c FROM summary)
+SELECT __c // 250000 AS bucket, COUNT(*) AS n,
+       CAST(SUM(__c) AS BIGINT) / 100.0 AS revenue
+FROM cts GROUP BY bucket ORDER BY bucket"""),
+
+    "q45_conditional_agg" -> ("""
+SELECT event_type,
+       COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+       COUNT(*) FILTER (WHERE value <= 100.0) AS n_small,
+       CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                     FILTER (WHERE value > 100.0), 0) AS DOUBLE) / 100.0
+         AS big_value
+FROM events GROUP BY event_type ORDER BY event_type"""),
+
+    "q46_token_positions" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+x AS (SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS token
+      FROM t)
+SELECT doc_id, pos, token FROM x WHERE pos < 5 ORDER BY doc_id, pos"""),
+
+    "q47_revenue_windows" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS c
+  FROM summary GROUP BY 1, 2)
+SELECT transaction_category, transaction_date,
+       CAST(c AS BIGINT) / 100.0 AS daily_revenue,
+       ROUND(percent_rank() OVER byrev, 6) AS pct_rank,
+       ROUND(cume_dist() OVER byrev, 6) AS cume,
+       CAST(first_value(c) OVER bydate AS BIGINT) / 100.0 AS first_rev,
+       CAST(last_value(c) OVER whole AS BIGINT) / 100.0 AS last_rev,
+       CAST(nth_value(c, 3) OVER whole AS BIGINT) / 100.0 AS third_rev
+FROM daily
+WINDOW
+  byrev AS (PARTITION BY transaction_category ORDER BY c, transaction_date),
+  bydate AS (PARTITION BY transaction_category ORDER BY transaction_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  whole AS (PARTITION BY transaction_category ORDER BY transaction_date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY transaction_category, transaction_date"""),
+
+    "q48_value_moments" -> ("""
+WITH e AS (
+  SELECT event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS x,
+         CAST(props->>'k' AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM e GROUP BY event_type)
+SELECT event_type, n,
+       ROUND(CAST(sx AS DOUBLE) / n / 100.0, 6) AS mean_value,
+       ROUND(SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) / 100.0, 6)
+         AS stddev_value,
+       ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_vk
+FROM m ORDER BY event_type"""),
+
+    "q49_grouping_sets" -> (star + """
+SELECT COALESCE(product_category, '(all)') AS product_category,
+       COALESCE(transaction_card, '(all)') AS transaction_card,
+       CAST(GROUPING(product_category) * 2
+            + GROUPING(transaction_card) AS BIGINT) AS gid,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+       COUNT(*) AS n
+FROM summary
+GROUP BY GROUPING SETS ((product_category), (transaction_card), ())
+ORDER BY gid, product_category, transaction_card"""),
+
     "s01_cosine_topk" -> ("""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

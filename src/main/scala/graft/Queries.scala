@@ -490,6 +490,145 @@ object Queries {
         .orderBy("transaction_id", "merchant_name", "total_price")
     }),
 
+    // Correlated non-equi NOT EXISTS subquery (SQL surface): users whose
+    // purchase stream outlives their error stream — i.e. some purchase
+    // strictly after the user's last error. Spark rewrites the subquery
+    // into a left-anti existence join — no per-row subquery at scale.
+    // Timestamps compared at µs (`ts div 1000`): exact in both engines
+    // (DuckDB's parquet reader truncates ns→µs; long div is exact).
+    "q42_exists_users" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_events_q42")
+      s.sql("""
+        SELECT DISTINCT e.user_id FROM graft_events_q42 e
+        WHERE e.event_type = 'purchase'
+          AND NOT EXISTS (SELECT 1 FROM graft_events_q42 x
+                          WHERE x.user_id = e.user_id
+                            AND x.event_type = 'error'
+                            AND x.ts div 1000 > e.ts div 1000)
+        ORDER BY user_id""")
+    }),
+
+    // Ordered string aggregation (LISTAGG shape): collect_set is
+    // unordered by contract, so the deterministic form sorts before
+    // joining — same value DuckDB's string_agg(... ORDER BY) produces.
+    "q43_card_lists" -> ((s, d) =>
+      summary(s, d).groupBy("product_category")
+        .agg(array_join(array_sort(collect_set(col("transaction_card"))), "|")
+               .as("cards"),
+             countDistinct(col("transaction_card")).as("n_cards"))
+        .orderBy("product_category")),
+
+    // Equi-width histogram over order values: bucket boundaries in
+    // integer cents ($2500 buckets), so no float-edge disagreement
+    // between engines is possible.
+    "q44_price_histogram" -> ((s, d) =>
+      summary(s, d)
+        .select(cents(col("total_price")).as("__c"))
+        .withColumn("bucket", expr("__c div 250000").cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), (sum(col("__c")) / 100.0).as("revenue"))
+        .orderBy("bucket")),
+
+    // Conditional aggregation: FILTER (WHERE …) clauses — one pass,
+    // no self-joins, exact-cents money under the filter.
+    "q45_conditional_agg" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_events_q45")
+      s.sql("""
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE value > 100.0) AS n_big,
+               COUNT(*) FILTER (WHERE value <= 100.0) AS n_small,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                             FILTER (WHERE value > 100.0), 0) AS DOUBLE) / 100.0
+                 AS big_value
+        FROM graft_events_q45
+        GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // LATERAL-explode with ordinality (posexplode): leading tokens of
+    // each document with their positions.
+    "q46_token_positions" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), posexplode(TextFunctions.tokens(col("text"))))
+        .filter(col("pos") < 5)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("token"))
+        .orderBy("doc_id", "pos")),
+
+    // Analytic value-window family: percent_rank / cume_dist (exact
+    // rational formulas — identical doubles in both engines) plus
+    // first/last/nth_value under explicit ROWS frames (implicit frames
+    // differ in RANGE vs ROWS defaults; explicit is the portable form).
+    "q47_revenue_windows" -> ((s, d) => {
+      val daily = summary(s, d)
+        .groupBy("transaction_category", "transaction_date")
+        .agg(sum(cents(col("total_price"))).as("__c"))
+      val byDate = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byRev = Window.partitionBy("transaction_category")
+        .orderBy(col("__c"), col("transaction_date"))
+      daily
+        .withColumn("daily_revenue", col("__c") / 100.0)
+        .withColumn("pct_rank", round(percent_rank().over(byRev), 6))
+        .withColumn("cume", round(cume_dist().over(byRev), 6))
+        .withColumn("first_rev", first(col("__c")).over(byDate) / 100.0)
+        .withColumn("last_rev", last(col("__c")).over(whole) / 100.0)
+        .withColumn("third_rev", nth_value(col("__c"), 3).over(whole) / 100.0)
+        .select("transaction_category", "transaction_date", "daily_revenue",
+                "pct_rank", "cume", "first_rev", "last_rev", "third_rev")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
+    // Statistical moments via exact integer sums: mean / stddev / corr
+    // from (n, Σx, Σx², Σxy) in BIGINT cents — order-invariant and
+    // bit-stable under shuffles (a naive double SUM is neither), with
+    // one identical double expression at the end in both engines.
+    // Bounds: |x|≤~56k cents, n≤~100k/group keeps n·Σx² < 2^63 through
+    // sf0.1; beyond that the same query should aggregate per-partition
+    // moments in DECIMAL(38,0) (Spark) — documented, not needed here.
+    "q48_value_moments" -> ((s, d) => {
+      events(s, d).createOrReplaceTempView("graft_events_q48")
+      s.sql("""
+        WITH e AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x,
+                 CAST(get_json_object(props, '$.k') AS BIGINT) AS y
+          FROM graft_events_q48),
+        m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+          FROM e GROUP BY event_type)
+        SELECT event_type, n,
+               ROUND(CAST(sx AS DOUBLE) / n / 100.0, 6) AS mean_value,
+               ROUND(SQRT(CAST(n*sxx - sx*sx AS DOUBLE) / (n*(n-1))) / 100.0, 6)
+                 AS stddev_value,
+               ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                     / (SQRT(CAST(n*sxx - sx*sx AS DOUBLE))
+                        * SQRT(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr_vk
+        FROM m ORDER BY event_type""")
+    }),
+
+    // Explicit GROUPING SETS (the general form behind q28's ROLLUP and
+    // q33's CUBE): category totals, card totals, and the grand total in
+    // one Expand pass — no union of three aggregations.
+    "q49_grouping_sets" -> ((s, d) => {
+      summary(s, d).createOrReplaceTempView("graft_summary_q49")
+      s.sql("""
+        SELECT COALESCE(product_category, '(all)') AS product_category,
+               COALESCE(transaction_card, '(all)') AS transaction_card,
+               CAST(GROUPING(product_category) * 2
+                    + GROUPING(transaction_card) AS BIGINT) AS gid,
+               CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
+               COUNT(*) AS n
+        FROM graft_summary_q49
+        GROUP BY GROUPING SETS ((product_category), (transaction_card), ())
+        ORDER BY gid, product_category, transaction_card""")
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id
