@@ -5,7 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every catalog query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout. An untimed warmup run
   * of the flagship query absorbs JVM/JIT/codegen startup so per-query
-  * numbers measure the plans, not the first query's luck. */
+  * numbers measure the plans, not the first query's luck.
+  *
+  * The JSON line must survive the driver's bounded tail capture
+  * (~2000 chars of combined output), so: log level ERROR (no WARN
+  * interleaving mid-line), the line is printed AFTER spark.stop()
+  * (no shutdown logs after it), values are rounded to milliseconds,
+  * and if the full line would still overflow the tail window the
+  * per-query keys fall back to their unique `q01`/`t05` prefixes
+  * (full-precision results always go to BENCH_LAST.tsv for humans).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -17,7 +26,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmup, untimed: the flagship absorbs JVM/JIT/codegen startup,
     // and a first call of the ANN queries ensures their persisted
@@ -33,10 +42,28 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // Full precision for humans / BENCH_NOTES (never parsed by driver).
+    try {
+      val tsv = results.map { case (k, v) => f"$k\t$v%.6f" }.mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.tsv"),
+        f"# sf=$sfDir total=$total%.3f\n$tsv\n".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    def line(short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        f""""$key":$v%.3f"""
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val full = line(short = false)
+    // ~2000-char tail minus sbt's trailing "[success] Total time" line.
+    val out = if (full.length <= 1900) full else line(short = true)
+
+    spark.stop() // before println: no executor-shutdown log interleaving
+    println(out)
   }
 }
