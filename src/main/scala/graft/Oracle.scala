@@ -586,6 +586,43 @@ hits AS (
 SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
 FROM hits ORDER BY doc_id"""),
 
+    "d05_dup_clusters" -> ("""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+  WHERE 1.0 * len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM r GROUP BY node ORDER BY doc_id"""),
+
+    "d06_dedup_keep" -> ("""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+  WHERE 1.0 * len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM cc GROUP BY cluster_id ORDER BY cluster_id"""),
+
     "t08_repetition" -> ("""
 WITH tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

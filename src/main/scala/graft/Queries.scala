@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.TestData
 import graft.operators.{Dashboard, PurchaseSummary}
 import graft.functions.money._
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextFunctions
@@ -784,6 +784,36 @@ object Queries {
       Dedup.contaminationCounts(
         docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
         .orderBy("doc_id")
+    }),
+
+    // Duplicate clusters: near-dup pairs (exact word-Jaccard ≥ 0.7,
+    // the j01 edge set) → connected components via alternating
+    // large-star/small-star (O(log n) rounds, two shuffles each — the
+    // 100 TB-safe form; naive propagation needs diameter rounds).
+    // Every doc gets a cluster id; singletons label themselves.
+    "d05_dup_clusters" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
+        .select(col("a"), col("b"))
+      ConnectedComponents.dupClusters(
+          documents(s, d), "doc_id", pairs, "a", "b")
+        .orderBy("doc_id")
+    }),
+
+    // The keep-list a dedup pipeline emits: one representative (the
+    // cluster id = min doc_id) per cluster plus the number of members
+    // it speaks for — downstream training reads only kept docs.
+    "d06_dedup_keep" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"),
+        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
+        .select(col("a"), col("b"))
+      ConnectedComponents.dupClusters(
+          documents(s, d), "doc_id", pairs, "a", "b")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")
     }),
 
     // Intra-document repetition: duplicate-trigram ratio, the standard

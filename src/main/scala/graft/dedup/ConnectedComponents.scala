@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step a
+  * dedup pipeline runs AFTER pairwise candidates: near-duplicate pairs
+  * (from [[Dedup.jaccardJoinExact]], [[Dedup.nearDuplicates]], LSH,
+  * ...) form a graph whose components are the duplicate clusters; the
+  * pipeline then keeps one representative per cluster.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014). Each
+  * round is two shuffles (a groupBy-min and a re-join) and the edge
+  * set provably converges to a star forest in O(log²&nbsp;n) rounds
+  * (O(log n) in practice) — unlike naive min-label propagation, whose
+  * round count is the graph DIAMETER (a 100M-node chain would need
+  * 100M rounds; this needs ~27). That round bound is what makes the
+  * operator viable on a 100 TB corpus: per-round cost is linear in
+  * |E| with no single-machine state, skew in high-degree nodes is
+  * bounded because large-star only re-attaches the LARGER neighbors
+  * of a node while small-star touches the strictly-smaller ones.
+  *
+  * Lineage is cut with an eager `localCheckpoint` per round
+  * (mandatory for iterative DataFrame jobs — without it the plan
+  * doubles every round and the driver dies on plan analysis long
+  * before the executors break a sweat). Convergence is detected by a
+  * deterministic set signature (count + XOR of row hashes over the
+  * canonicalized edge set) instead of a full `except` anti-join.
+  */
+object ConnectedComponents {
+
+  /** Component assignment for every node that appears in `edges`:
+    * returns (`node`, `component`) where `component` is the smallest
+    * node id in the connected component. Edges are undirected;
+    * self-loops and duplicate/reversed edges are tolerated, and every
+    * node mentioned in `edges` (even only in a self-loop) gets a
+    * label. Nodes never mentioned in `edges` are absent — callers
+    * union singletons (see [[dupClusters]]).
+    *
+    * Column types: any orderable Spark type (long ids, strings, ...);
+    * `component` has the same type as the node columns.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+
+    // Canonical working set: distinct (u, v) with u < v, no self-loops.
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+               greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+
+    // large-star: for every node u, attach each neighbor v > u to
+    // m = min(Γ(u) ∪ {u}). small-star: attach each neighbor v ≤ u
+    // (and u itself) to the same m, over edges oriented large→small.
+    // Both emit (m, x) pairs; canon() restores the invariant.
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val oriented =
+        if (large) // undirected neighborhoods: both orientations
+          e.union(e.select(col("v").as("u"), col("u").as("v")))
+        else       // only edges pointing at strictly smaller ids
+          e.select(col("v").as("u"), col("u").as("v"))
+      val m = oriented.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val joined = oriented.join(m, "u")
+      val attached =
+        if (large) joined.where(col("v") > col("u"))
+          .select(col("m").as("u"), col("v"))
+        else joined.select(col("m").as("u"), col("v"))
+          .union(m.select(col("m").as("u"), col("u").as("v")))
+      canon(attached)
+    }
+
+    def signature(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-invariant, overflow-free (ANSI-safe) set
+      // signature — valid because the edge set is distinct.
+      val row = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    var cur = canon(edges.select(col(srcCol).as("u"), col(dstCol).as("v")))
+      .localCheckpoint(true)
+    var sig = signature(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = star(star(cur, large = true), large = false)
+        .localCheckpoint(true)
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+
+    // Star forest: every edge is (root, member). Roots label
+    // themselves; nodes that only ever appeared in self-loops (erased
+    // by canon) label themselves too via the left join on all
+    // mentioned nodes.
+    val labels = cur.select(col("v").as("node"), col("u").as("component"))
+      .union(cur.select(col("u").as("node"), col("u").as("component")))
+      .groupBy("node").agg(min(col("component")).as("component"))
+    val mentioned = edges.select(col(srcCol).as("node"))
+      .union(edges.select(col(dstCol).as("node"))).distinct()
+    mentioned.join(labels, Seq("node"), "left")
+      .select(col("node"),
+              coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** Cluster assignment for a document table: every id in `docs` gets
+    * the component id of the dup-pair graph `pairs` (aCol/bCol), with
+    * docs in no pair as their own singleton cluster. */
+  def dupClusters(docs: DataFrame, idCol: String,
+                  pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol))
+      .join(cc, col(idCol) === col("node"), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+}
