@@ -771,6 +771,55 @@ FROM summary
 GROUP BY GROUPING SETS ((product_category), (transaction_card), ())
 ORDER BY gid, product_category, transaction_card"""),
 
+    "q50_gap_fill" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS c
+  FROM summary WHERE transaction_date >= DATE '1998-01-01'
+  GROUP BY 1, 2),
+bounds AS (
+  SELECT transaction_category, MIN(transaction_date) AS d0,
+         MAX(transaction_date) AS d1
+  FROM daily GROUP BY 1),
+cal AS (
+  SELECT transaction_category,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+           AS transaction_date
+  FROM bounds)
+SELECT cal.transaction_category, cal.transaction_date,
+       (daily.c IS NULL) AS is_gap,
+       CAST(last_value(daily.c IGNORE NULLS) OVER (
+              PARTITION BY cal.transaction_category
+              ORDER BY cal.transaction_date
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) / 100.0 AS revenue_ffill
+FROM cal LEFT JOIN daily
+  USING (transaction_category, transaction_date)
+ORDER BY transaction_category, transaction_date"""),
+
+    "q51_percentiles" -> (star + """
+, cts AS (
+  SELECT transaction_category,
+         CAST(ROUND(total_price * 100) AS BIGINT) AS c
+  FROM summary)
+SELECT transaction_category,
+       ROUND(quantile_cont(c, 0.25) / 100.0, 6) AS p25,
+       ROUND(quantile_cont(c, 0.50) / 100.0, 6) AS p50,
+       ROUND(quantile_cont(c, 0.75) / 100.0, 6) AS p75
+FROM cts GROUP BY transaction_category ORDER BY transaction_category"""),
+
+    "q52_cohort_retention" -> (star + """
+, sm AS (
+  SELECT customer_id, date_trunc('month', transaction_date)::DATE AS m
+  FROM summary),
+cohorts AS (SELECT customer_id, MIN(m) AS cohort FROM sm GROUP BY 1)
+SELECT cohort, m,
+       CAST(datediff('month', cohort, m) AS BIGINT) AS months_since,
+       CAST(COUNT(DISTINCT sm.customer_id) AS BIGINT) AS n_active
+FROM (SELECT DISTINCT customer_id, m FROM sm) sm
+JOIN cohorts USING (customer_id)
+GROUP BY cohort, m ORDER BY cohort, m"""),
+
     "s01_cosine_topk" -> ("""
 WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

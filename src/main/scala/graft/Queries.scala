@@ -629,6 +629,70 @@ object Queries {
         ORDER BY gid, product_category, transaction_card""")
     }),
 
+    // Time-series gap-fill: per-category daily revenue on a dense
+    // calendar spine (sequence+explode — generated distributed, never
+    // a driver-side loop) with forward-fill of the last observed value
+    // via last(ignoreNulls) over a running frame. One shuffle for the
+    // agg, one for the window; the spine join is broadcast-sized
+    // (categories × days).
+    "q50_gap_fill" -> ((s, d) => {
+      val daily = summary(s, d)
+        .filter(col("transaction_date") >= lit("1998-01-01").cast("date"))
+        .groupBy("transaction_category", "transaction_date")
+        .agg(sum(cents(col("total_price"))).as("__c"))
+      val cal = daily.groupBy("transaction_category")
+        .agg(min("transaction_date").as("d0"), max("transaction_date").as("d1"))
+        .select(col("transaction_category"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("transaction_date"))
+      val ffill = Window.partitionBy("transaction_category")
+        .orderBy("transaction_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("transaction_category", "transaction_date"), "left")
+        .withColumn("is_gap", col("__c").isNull)
+        .withColumn("revenue_ffill",
+          last(col("__c"), ignoreNulls = true).over(ffill) / 100.0)
+        .select("transaction_category", "transaction_date", "is_gap",
+                "revenue_ffill")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
+    // Exact quartiles per group (percentile with linear interpolation —
+    // both engines use the same (n-1)·p rank formula on integer cents,
+    // so the interpolated doubles agree bit-for-bit before rounding).
+    // The 100 TB path is the single-pass mergeable sketch
+    // (percentile_approx / BottomKSketch — see SketchAggSpec); this is
+    // the exact form that doubles as its oracle.
+    "q51_percentiles" -> ((s, d) =>
+      summary(s, d)
+        .groupBy("transaction_category")
+        .agg(expr("percentile(CAST(ROUND(total_price * 100) AS BIGINT)," +
+                  " array(0.25D, 0.5D, 0.75D))").as("__p"))
+        .select(col("transaction_category"),
+          round(element_at(col("__p"), 1) / 100.0, 6).as("p25"),
+          round(element_at(col("__p"), 2) / 100.0, 6).as("p50"),
+          round(element_at(col("__p"), 3) / 100.0, 6).as("p75"))
+        .orderBy("transaction_category")),
+
+    // Cohort retention: customers bucketed by first-purchase month,
+    // counted distinct per (cohort, active month). Two aggregations +
+    // one equi-join on customer_id — all shuffle-partitioned by the
+    // natural keys, no windows over the whole table.
+    "q52_cohort_retention" -> ((s, d) => {
+      val sm = summary(s, d)
+        .select(col("customer_id"),
+                trunc(col("transaction_date"), "MM").as("m"))
+      val cohorts = sm.groupBy("customer_id").agg(min(col("m")).as("cohort"))
+      sm.distinct()
+        .join(cohorts, "customer_id")
+        .groupBy("cohort", "m")
+        .agg(countDistinct(col("customer_id")).as("n_active"))
+        .withColumn("months_since",
+          months_between(col("m"), col("cohort")).cast("long"))
+        .select("cohort", "m", "months_since", "n_active")
+        .orderBy("cohort", "m")
+    }),
+
     // ---- training-data pipeline extensions (SURVEY.md §7.2 M6) ----
 
     // Exact dedup: hash-partitioned group by content, keep min id
