@@ -829,5 +829,132 @@ SELECT e.vec_id,
 FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
+
+    // Multi-way TPC-H-style joins. Revenue mirrors the Spark side's
+    // integer domain: cents(extendedprice) × (100 − discount%) summed
+    // exactly, one division at the end. DuckDB widens BIGINT sums to
+    // HUGEINT — cast back before the division so types match Spark.
+    "q53_regional_revenue" -> ("""
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, nation"""),
+
+    "q54_shipping_priority" -> ("""
+SELECT l_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority AS priority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, orderkey LIMIT 10"""),
+
+    "q55_returned_revenue" -> ("""
+SELECT c_custkey AS custkey, c_name AS customer_name, n_name AS nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+         / 10000.0 AS lost_revenue,
+       COUNT(*) AS n_returned
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, custkey LIMIT 20"""),
+
+    "q56_promo_share" -> ("""
+WITH m AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+             ELSE 0 END) AS promo,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT ship_month,
+       CAST(promo AS BIGINT) / 10000.0 AS promo_revenue,
+       ROUND(100.0 * CAST(promo AS BIGINT) / CAST(total AS BIGINT), 6)
+         AS promo_pct
+FROM m ORDER BY ship_month"""),
+
+    "q57_range_frame" -> (star + """
+, daily AS (
+  SELECT transaction_category, transaction_date,
+         datediff('day', DATE '1990-01-01', transaction_date) AS day_n,
+         CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM summary GROUP BY 1, 2, 3)
+SELECT transaction_category, transaction_date,
+       c / 100.0 AS daily_revenue,
+       CAST(SUM(c) OVER w AS BIGINT) / 100.0 AS rev7d,
+       COUNT(*) OVER w AS n7d
+FROM daily
+WINDOW w AS (PARTITION BY transaction_category ORDER BY day_n
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY transaction_category, transaction_date"""),
+
+    "t12_sequence_packing" -> ("""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS tok
+  FROM documents),
+c AS (
+  SELECT source, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT source, CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY source, seq_id
+ORDER BY source, seq_id"""),
+
+    "t13_oov_rate" -> ("""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok HAVING COUNT(DISTINCT doc_id) >= 5)
+SELECT t.doc_id, t.source,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id, t.source
+ORDER BY t.doc_id"""),
+
+    "d07_stratified_sample" -> ("""
+WITH h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS pick_hash,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents)
+SELECT source, doc_id, pick_hash, CAST(rn AS BIGINT) AS sample_rank
+FROM h WHERE rn <= 5
+ORDER BY source, sample_rank"""),
   )
 }

@@ -969,5 +969,198 @@ object Queries {
                 element_at(col("features"), 1).as("f0"))
         .orderBy("asset_id")
     }),
+
+    // ----- Multi-way join analytics on the raw TPC-H tables ---------
+    // These exercise Catalyst's join planning directly: a 6-table
+    // star/snowflake chain where the two big inputs (lineitem, orders)
+    // meet in ONE shuffled key join and every dimension hop is a
+    // broadcast — the shape that survives a 1000-executor scale-up.
+    // Revenue is computed in the integer domain throughout:
+    // cents(extendedprice) × (100 − discount%), summed as BIGINT and
+    // divided once at the end — order-insensitive, bit-stable under
+    // AQE re-planning, and identical in DuckDB.
+
+    // Local-supply revenue by region/nation (TPC-H Q5 flavor): customer
+    // and supplier must sit in the same nation. lineitem⋈orders is the
+    // only big-big join; customer is broadcast at testdata scale and a
+    // key-partitioned join at 100 TB (AQE decides); nation/region are
+    // always broadcast.
+    "q53_regional_revenue" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val o  = TestData.table(s, d, "orders")
+      val c  = TestData.table(s, d, "customer")
+      val su = TestData.table(s, d, "supplier")
+      val n  = TestData.table(s, d, "nation")
+      val r  = TestData.table(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg((sum(cents(col("l_extendedprice")) *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+               / 10000.0).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .select("region", "nation", "revenue", "n_items")
+        .orderBy("region", "nation")
+    }),
+
+    // Unshipped-order shipping priority (TPC-H Q3 flavor): BUILDING
+    // segment, ordered before / shipped after a cutoff; top 10 orders
+    // by discounted revenue. Compiles to TakeOrderedAndProject over a
+    // single aggregation — the global sort never materializes.
+    "q54_shipping_priority" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val o  = TestData.table(s, d, "orders")
+      val c  = TestData.table(s, d, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey").as("orderkey"),
+                 col("o_orderdate").cast("date").as("orderdate"),
+                 col("o_orderpriority").as("priority"))
+        .agg((sum(cents(col("l_extendedprice")) *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+               / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("orderkey"))
+        .limit(10)
+    }),
+
+    // Revenue lost to returns per customer (TPC-H Q10 flavor): top 20
+    // customers by returned-item revenue, with their nation. The
+    // returnflag filter lands in the lineitem scan (PushedFilters)
+    // before any join.
+    "q55_returned_revenue" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val o  = TestData.table(s, d, "orders")
+      val c  = TestData.table(s, d, "customer")
+      val n  = TestData.table(s, d, "nation")
+      li.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey").as("custkey"),
+                 col("c_name").as("customer_name"),
+                 col("n_name").as("nation"))
+        .agg((sum(cents(col("l_extendedprice")) *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+               / 10000.0).as("lost_revenue"),
+             count(lit(1)).as("n_returned"))
+        .orderBy(col("lost_revenue").desc, col("custkey"))
+        .limit(20)
+    }),
+
+    // Promotional revenue share per month (TPC-H Q14 flavor): a
+    // conditional numerator over a lineitem⋈part join, one exact
+    // integer sum each, one final double division. part broadcasts at
+    // testdata scale; at 100 TB it is a key-partitioned join on
+    // partkey (both sides shuffle once — no fact re-shuffle later,
+    // the group key is derived from lineitem alone).
+    "q56_promo_share" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val p  = TestData.table(s, d, "part")
+      val rev = cents(col("l_extendedprice")) *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L))
+               .as("__promo"),
+             sum(rev).as("__total"))
+        .select(col("ship_month"),
+          (col("__promo") / 10000.0).as("promo_revenue"),
+          round(lit(100.0) * col("__promo") / col("__total"), 6)
+            .as("promo_pct"))
+        .orderBy("ship_month")
+    }),
+
+    // RANGE-frame window (vs q36's ROWS frame): trailing 7-DAY revenue
+    // per category, ordered by integer day-number so the frame is
+    // engine-portable (Spark rangeBetween and DuckDB RANGE BETWEEN see
+    // the same integer distance). Days with no neighbors in range
+    // average only themselves — the semantic difference from ROWS.
+    "q57_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("transaction_category")
+        .orderBy(col("__day")).rangeBetween(-6, 0)
+      summary(s, d)
+        .groupBy(col("transaction_category"),
+                 col("transaction_date"),
+                 datediff(col("transaction_date"),
+                          lit("1990-01-01").cast("date")).as("__day"))
+        .agg(sum(cents(col("total_price"))).as("__c"))
+        .withColumn("daily_revenue", col("__c") / 100.0)
+        .withColumn("rev7d", sum(col("__c")).over(w) / 100.0)
+        .withColumn("n7d", count(lit(1)).over(w))
+        .select("transaction_category", "transaction_date", "daily_revenue",
+                "rev7d", "n7d")
+        .orderBy("transaction_category", "transaction_date")
+    }),
+
+    // ----- Training-data curation additions -------------------------
+
+    // Sequence packing: concat-and-chunk documents into 2048-token
+    // training sequences per source stream (docs in doc_id order; a
+    // doc belongs to the sequence where it STARTS). One window cumsum
+    // per source partition — packing is inherently per-stream, and a
+    // source shard is the natural unit a 100 TB pipeline packs
+    // independently (the partition key would be (source, shard)).
+    "t12_sequence_packing" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+                TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+        .withColumn("__cum", sum(col("tok")).over(w))
+        .withColumn("seq_id", floor((col("__cum") - col("tok")) / 2048L))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("tok")).as("seq_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
+    // Vocabulary-pruning / OOV-rate: corpus vocabulary = tokens seen in
+    // ≥ 5 documents; per-doc fraction of token occurrences outside it.
+    // Both sides derive from one token explode; the df aggregation is
+    // map-side-combined on the token key, and the vocab join is a
+    // broadcast at any realistic vocab size (vocab ≪ corpus).
+    "t13_oov_rate" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"),
+                explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("__df"))
+        .filter(col("__df") >= 5)
+        .select(col("tok"), lit(1).as("__in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("__in_vocab").isNull, 1L).otherwise(0L))
+               .as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling: k docs per source, picked by
+    // md5(doc_id) order — a pure function of the key, so the sample is
+    // reproducible across engines, runs, and partitionings (the t07
+    // split discipline applied to per-stratum top-k). At scale this is
+    // one hash-partitioned window per stratum, no global sort.
+    "d07_stratified_sample" -> ((s, d) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"),
+                md5(col("doc_id").cast("string")).as("pick_hash"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .select(col("source"), col("doc_id"), col("pick_hash"),
+                col("__rn").cast("long").as("sample_rank"))
+        .orderBy("source", "sample_rank")
+    }),
   )
 }
