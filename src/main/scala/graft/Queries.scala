@@ -64,22 +64,30 @@ object Queries {
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)
 
-  /** Duplicate-cluster assignment (j01 edge set → connected
-    * components), computed once per (session, SF dir) and shared by
-    * d05/d06 — a pipeline materializes cluster ids once and derives
-    * both the per-doc map and the keep-list from it. */
+  /** Exact near-dup pair set (the j01 edge set), computed ONCE per
+    * (session, SF dir) and shared by j01/d05/d06 — the pipeline shape:
+    * pairwise candidates are materialized once, then both the pair
+    * report and the cluster assignment derive from them. */
+  private val dupPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupPairs(spark: SparkSession, dir: String): DataFrame =
+    dupPairsCache.getOrElseUpdate((spark, dir), {
+      val t = documents(spark, dir).select(col("doc_id"),
+        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source")).cache()
+    })
+
+  /** Duplicate-cluster assignment over the shared pair set, likewise
+    * computed once and shared by d05/d06. */
   private val clustersCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def dupClusters(spark: SparkSession, dir: String): DataFrame =
-    clustersCache.getOrElseUpdate((spark, dir), {
-      val t = documents(spark, dir).select(col("doc_id"),
-        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
-      val pairs = Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
-        .select(col("a"), col("b"))
+    clustersCache.getOrElseUpdate((spark, dir),
       ConnectedComponents.dupClusters(
-        documents(spark, dir), "doc_id", pairs, "a", "b").cache()
-    })
+        documents(spark, dir), "doc_id",
+        dupPairs(spark, dir).select(col("a"), col("b")), "a", "b").cache())
 
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */
@@ -738,12 +746,8 @@ object Queries {
     // from shared rare-prefix-token buckets instead of a join keyed on
     // the low-cardinality `source` (which goes quadratic per source at
     // scale).
-    "j01_word_jaccard_pairs" -> ((s, d) => {
-      val t = documents(s, d).select(col("doc_id"),
-        col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
-      Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
-        .orderBy("a", "b")
-    }),
+    "j01_word_jaccard_pairs" -> ((s, d) =>
+      dupPairs(s, d).orderBy("a", "b")),
 
     // Token statistics (whitespace + BPE-ish subword counting).
     "t01_token_stats" -> ((s, d) =>

@@ -45,17 +45,23 @@ object ConnectedComponents {
                           maxIter: Int = 64): DataFrame = {
     val spark = edges.sparkSession
 
-    // Canonical working set: distinct (u, v) with u < v, no self-loops.
-    def canon(e: DataFrame): DataFrame =
-      e.select(least(col("u"), col("v")).as("u"),
+    // Canonical working set: (u, v) with u < v, no self-loops. The
+    // `dedup` pass restores SET semantics; the intermediate star skips
+    // it (one shuffle saved per round) because the next star's
+    // groupBy-min is duplicate-insensitive and the transient ≤2×
+    // inflation never compounds — every round ends in a distinct.
+    def canon(e: DataFrame, dedup: Boolean = true): DataFrame = {
+      val c = e.select(least(col("u"), col("v")).as("u"),
                greatest(col("u"), col("v")).as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
+      if (dedup) c.distinct() else c
+    }
 
     // large-star: for every node u, attach each neighbor v > u to
     // m = min(Γ(u) ∪ {u}). small-star: attach each neighbor v ≤ u
     // (and u itself) to the same m, over edges oriented large→small.
-    // Both emit (m, x) pairs; canon() restores the invariant.
+    // Both emit (m, x) pairs; canon() restores the invariant (the
+    // distinct only on the round-final small-star).
     def star(e: DataFrame, large: Boolean): DataFrame = {
       val oriented =
         if (large) // undirected neighborhoods: both orientations
@@ -70,7 +76,7 @@ object ConnectedComponents {
           .select(col("m").as("u"), col("v"))
         else joined.select(col("m").as("u"), col("v"))
           .union(m.select(col("m").as("u"), col("u").as("v")))
-      canon(attached)
+      canon(attached, dedup = !large)
     }
 
     def signature(e: DataFrame): (Long, Long) = {
