@@ -830,6 +830,15 @@ FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
 
+    "m02_multimodal_frames" -> ("""
+SELECT doc_id AS asset_id,
+       CAST(strlen(substr(text, 1, 32)) AS INTEGER) AS thumb_bytes,
+       md5(substr(text, 1, 32)) AS thumb_md5,
+       CAST(4 AS INTEGER) AS n_frames,
+       md5(substr(text, 1, 64)) AS frame0_md5,
+       md5(substr(text, 193, 64)) AS frame3_md5
+FROM documents ORDER BY asset_id"""),
+
     // Multi-way TPC-H-style joins. Revenue mirrors the Spark side's
     // integer domain: cents(extendedprice) × (100 − discount%) summed
     // exactly, one division at the end. DuckDB widens BIGINT sums to

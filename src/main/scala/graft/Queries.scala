@@ -974,6 +974,23 @@ object Queries {
         .orderBy("asset_id")
     }),
 
+    // Multimodal resize + frame-sample plumbing (stubbed codecs): the
+    // thumbnail and per-frame byte windows flow as binary columns whose
+    // md5s are engine-portable — the operator shape (schema, batch
+    // plumbing) is what a real libjpeg/ffmpeg swap-in would keep.
+    "m02_multimodal_frames" -> ((s, d) => {
+      val assets = Multimodal.assetsFromDocuments(documents(s, d))
+      assets
+        .withColumn("__frames", Multimodal.frameSample(col("content"), 4, 64))
+        .select(col("asset_id"),
+          length(Multimodal.thumbnail(col("content"), 32)).as("thumb_bytes"),
+          md5(Multimodal.thumbnail(col("content"), 32)).as("thumb_md5"),
+          size(col("__frames")).as("n_frames"),
+          md5(element_at(col("__frames"), 1)).as("frame0_md5"),
+          md5(element_at(col("__frames"), 4)).as("frame3_md5"))
+        .orderBy("asset_id")
+    }),
+
     // ----- Multi-way join analytics on the raw TPC-H tables ---------
     // These exercise Catalyst's join planning directly: a 6-table
     // star/snowflake chain where the two big inputs (lineitem, orders)
