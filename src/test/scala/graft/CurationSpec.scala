@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TestData
+import graft.text.TextFunctions
+
+/** Semantics of the round-4 curation operators beyond the oracle's
+  * hash check: packing invariants, sample determinism under
+  * repartitioning, and frame-window reassembly. */
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("t12: sequences are contiguous, disjoint doc-id ranges per source") {
+    val out = Queries.all("t12_sequence_packing")(spark, sf)
+      .orderBy("source", "seq_id").collect()
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      // ranges [first_doc, last_doc] must be strictly increasing and
+      // non-overlapping in seq order, with n_docs covering the range
+      // exactly (doc_ids are dense per source in seq order).
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(1) < b.getLong(1), "seq_ids increase")
+          assert(a.getLong(5) < b.getLong(4),
+            s"ranges overlap: ${a.mkString(",")} vs ${b.mkString(",")}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("t12: every multi-doc sequence stays under the 2048-token budget at entry") {
+    // A doc is packed into the sequence where it STARTS, so for every
+    // doc the start offset (cum - tok) lies inside its sequence's
+    // window [seq*2048, (seq+1)*2048).
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val checked = docs
+      .withColumn("start", sum(col("tok")).over(w) - col("tok"))
+      .withColumn("seq", floor(col("start") / 2048L))
+      .filter(col("start") < col("seq") * 2048L ||
+              col("start") >= (col("seq") + 1) * 2048L)
+    assert(checked.count() == 0)
+  }
+
+  test("d07: exactly k per source, stable under repartitioning") {
+    val out = Queries.all("d07_stratified_sample")(spark, sf)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach(r => assert(r.getLong(1) == 5L,
+      s"source ${r.getString(0)} sampled ${r.getLong(1)} docs"))
+
+    // determinism: same picks regardless of input partitioning
+    val a = out.collect().map(_.toString).sorted
+    val repart = TestData.table(spark, sf, "documents").repartition(7)
+    repart.createOrReplaceTempView("graft_curation_docs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val b = repart
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("pick_hash"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 5)
+      .select(col("source"), col("doc_id"), col("pick_hash"),
+        col("__rn").cast("long").as("sample_rank"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("m02: frame windows reassemble into the content prefix") {
+    val docs = Queries.all("m02_multimodal_frames")(spark, sf)
+    // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
+    val assets = graft.multimodal.Multimodal
+      .assetsFromDocuments(TestData.table(spark, sf, "documents"))
+    val frames = assets.withColumn("__f",
+        graft.multimodal.Multimodal.frameSample(col("content"), 4, 64))
+      .select(col("asset_id"),
+        concat((1 to 4).map(i => element_at(col("__f"), i)): _*).as("joined"),
+        graft.multimodal.Multimodal.thumbnail(col("content"), 256).as("prefix"))
+      .filter(col("joined") =!= col("prefix"))
+    assert(frames.count() == 0)
+    assert(docs.count() > 0)
+  }
+
+  test("t13: oov rate is 0 for docs made only of vocab tokens") {
+    // every token with df >= 5 is in-vocab; a doc whose tokens all have
+    // df >= 5 must report n_oov = 0
+    val out = Queries.all("t13_oov_rate")(spark, sf)
+    assert(out.filter(col("n_oov") === 0).count() > 0)
+    assert(out.filter(col("oov_rate") < 0 || col("oov_rate") > 1).count() == 0)
+  }
+}
