@@ -11,6 +11,12 @@ import org.apache.spark.sql.Column
   * Column-composition functions are registered by round-tripping the
   * argument expressions through the Column API — same trees as the
   * Scala surface, zero duplication.
+  *
+  * Two entry points share one builder list:
+  *  - [[registerAll]] — imperative, on a live session (temp functions);
+  *  - [[graft.GraftExtensions]] — declarative, via
+  *    `spark.sql.extensions=graft.GraftExtensions`, the standard way a
+  *    cluster ships a library's function surface to every session.
   */
 object GraftFunctions {
 
@@ -23,39 +29,47 @@ object GraftFunctions {
   private def asExpr(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
-  private def register1(spark: SparkSession, name: String,
-                        f: Column => Column): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => asExpr(spark, f(asCol(exprs.head))), "scala_udf")
+  /** Column-composition builders resolve through the ACTIVE session at
+    * analysis time (a session always exists when an expression is being
+    * resolved) — this is what lets the same builder serve both the
+    * temp-function path and session-less extension injection. */
+  private def col1(f: Column => Column): Seq[Expression] => Expression =
+    exprs => asExpr(SparkSession.active, f(asCol(exprs.head)))
 
-  private def register2(spark: SparkSession, name: String,
-                        f: (Column, Column) => Column): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => asExpr(spark, f(asCol(exprs(0)), asCol(exprs(1)))), "scala_udf")
+  private def col2(f: (Column, Column) => Column): Seq[Expression] => Expression =
+    exprs => asExpr(SparkSession.active, f(asCol(exprs(0)), asCol(exprs(1))))
+
+  /** Every expression-level function: (name, builder). */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = {
+    import graft.text.TextFunctions._
+    Seq(
+      "vector_dot" -> (exprs => VectorDot(exprs(0), exprs(1))),
+      "sorted_intersect_size" ->
+        (exprs => SortedIntersectSize(exprs(0), exprs(1))),
+      "sorted_first_common" ->
+        (exprs => SortedFirstCommon(exprs(0), exprs(1))),
+      "cosine_similarity" -> col2(graft.similarity.Similarity.cosine),
+      "token_count" -> col1(tokenCount),
+      "subword_count" -> col1(subwordCount),
+      "punct_ratio" -> col1(punctRatio),
+      "quality_score" -> col1(t => qualityScore(t)),
+      "lang_id" -> col1(langId),
+      "doc_fingerprint" -> col1(fingerprint),
+      "simhash" -> col1(graft.dedup.Dedup.simhashSignature),
+      // fixed-parameter forms of the parameterized operators
+      "lsh_bucket" ->
+        (exprs => VectorLshBucket(exprs.head, 8, 42L)),
+      "md5_bucket" -> col1(c => md5Bucket(c, 100)),
+      "hash_split" -> col1(c => hashSplit(c)))
+  }
 
   def registerAll(spark: SparkSession): Unit = {
-    import graft.text.TextFunctions._
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_size",
-      exprs => SortedIntersectSize(exprs(0), exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_first_common",
-      exprs => SortedFirstCommon(exprs(0), exprs(1)), "scala_udf")
-    register2(spark, "cosine_similarity", graft.similarity.Similarity.cosine)
-    register1(spark, "token_count", tokenCount)
-    register1(spark, "subword_count", subwordCount)
-    register1(spark, "punct_ratio", punctRatio)
-    register1(spark, "quality_score", t => qualityScore(t))
-    register1(spark, "lang_id", langId)
-    register1(spark, "doc_fingerprint", fingerprint)
-    register1(spark, "simhash", graft.dedup.Dedup.simhashSignature)
-    // fixed-parameter forms of the parameterized operators
-    register1(spark, "lsh_bucket",
-      v => asCol(VectorLshBucket(asExpr(spark, v), 8, 42L)))
-    register1(spark, "md5_bucket", c => md5Bucket(c, 100))
-    register1(spark, "hash_split", c => hashSplit(c))
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+    // typed Aggregator — session-level udf registration, not an
+    // expression builder (absent from the extensions injection set)
     graft.functions.BottomKSketch.register(spark)
   }
 }
