@@ -116,6 +116,29 @@ object ConnectedComponents {
               coalesce(col("component"), col("node")).as("component"))
   }
 
+  /** INCREMENTAL component maintenance: fold a batch of new edges into
+    * an existing assignment without re-walking the old graph. The
+    * previous labeling is already a star forest — each component is
+    * two-level by construction — so the converged state is re-derived
+    * from `|components| + |newEdges|` star/new edges, NOT the original
+    * edge set. New edges mostly land inside one component or bridge two
+    * stars, so the alternating rounds converge in 1–2 iterations
+    * regardless of how large the accumulated graph has grown: the IVM
+    * discipline (deltas touch Δ-sized state) applied to the dedup
+    * pipeline. Incremental ≡ full recompute is property-tested.
+    *
+    * `labels` is (node, component) as returned by
+    * [[connectedComponents]] (or a previous `addEdges`). Returns the
+    * updated labeling covering every node in `labels` or `newEdges`. */
+  def addEdges(labels: DataFrame, newEdges: DataFrame,
+               srcCol: String, dstCol: String): DataFrame = {
+    val starEdges = labels
+      .select(col("component").as("__s"), col("node").as("__d"))
+    val delta = newEdges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+    connectedComponents(starEdges.union(delta), "__s", "__d")
+  }
+
   /** Cluster assignment for a document table: every id in `docs` gets
     * the component id of the dup-pair graph `pairs` (aCol/bCol), with
     * docs in no pair as their own singleton cluster. */

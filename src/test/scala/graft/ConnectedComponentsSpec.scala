@@ -59,6 +59,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("property: incremental addEdges ≡ full recompute over random edge batches") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(40)
+      val batches = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(rnd.nextInt(2 * n))(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)))
+      // fold batches incrementally
+      var labels = ConnectedComponents
+        .connectedComponents(batches.head.toDF("a", "b"), "a", "b")
+      batches.tail.foreach { b =>
+        labels = ConnectedComponents.addEdges(labels, b.toDF("a", "b"), "a", "b")
+      }
+      val inc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = run(batches.flatten)
+      assert(inc === full, s"trial $trial n=$n batches=${batches.map(_.size)}")
+    }
+  }
+
+  test("incremental fold of a bridge merges two stars in bounded rounds") {
+    // two converged components, one bridging edge: the delta graph is
+    // |comp|+1 star edges, never the original chain
+    val chainA = Seq.tabulate(50)(i => (i.toLong, (i + 1).toLong))
+    val chainB = Seq.tabulate(50)(i => (100L + i, 101L + i))
+    val base = ConnectedComponents
+      .connectedComponents((chainA ++ chainB).toDF("a", "b"), "a", "b")
+    val merged = ConnectedComponents
+      .addEdges(base, Seq((50L, 100L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.values.toSet === Set(0L), "bridge merges everything to 0")
+    assert(merged.size === 102)
+  }
+
   test("deterministic across runs and repartitionings") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
