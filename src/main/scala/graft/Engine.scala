@@ -16,7 +16,14 @@ object Engine {
 
   /** Session defaults for this engine: shuffle partitions sized to the
     * machine (not Spark's 200 default), AQE on (runtime re-plan for
-    * skew/joins), UTC (oracle parity). */
+    * skew/joins), UTC (oracle parity), and runtime bloom-filter join
+    * pruning on — when a big-big shuffle join has a selective filter on
+    * one side, the optimizer injects a bloom filter of that side's join
+    * keys into the OTHER side's scan, cutting the probe-side shuffle to
+    * the keys that can match. At 100 TB this is the difference between
+    * shuffling a full fact table and shuffling the ~1% that survives
+    * the dim filter (the injection fires only past size thresholds, so
+    * small/broadcast joins are untouched). */
   def session(master: String = "local[*]",
               shufflePartitions: Int =
                 Runtime.getRuntime.availableProcessors): SparkSession = {
@@ -26,6 +33,9 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+              "false") // bloom beats the semi-join rewrite for our shapes
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
