@@ -920,6 +920,13 @@ WINDOW w AS (PARTITION BY transaction_category ORDER BY day_n
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY transaction_category, transaction_date"""),
 
+    "q58_keyset_page" -> (star + """
+SELECT transaction_id, product_id, merchant_id, total_price
+FROM summary
+WHERE (transaction_id, product_id, merchant_id) > ('3000-1', 0, 0)
+ORDER BY transaction_id, product_id, merchant_id, total_price
+LIMIT 50"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

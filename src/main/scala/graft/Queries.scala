@@ -1120,6 +1120,22 @@ object Queries {
         .orderBy("transaction_category", "transaction_date")
     }),
 
+    // Keyset pagination (the scale-correct page fetch): resume AFTER a
+    // composite cursor via lexicographic row comparison — a sargable
+    // filter + TakeOrderedAndProject, never the OFFSET pattern that
+    // scans and discards all preceding rows. The struct comparison is
+    // the same lexicographic order DuckDB gives row values.
+    "q58_keyset_page" -> ((s, d) =>
+      summary(s, d)
+        .filter(struct(col("transaction_id"), col("product_id"),
+                       col("merchant_id")) >
+                struct(lit("3000-1"), lit(0L), lit(0L)))
+        .select("transaction_id", "product_id", "merchant_id",
+                "total_price")
+        .orderBy("transaction_id", "product_id", "merchant_id",
+                 "total_price")
+        .limit(50)),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token
