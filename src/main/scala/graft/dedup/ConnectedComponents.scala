@@ -42,7 +42,8 @@ object ConnectedComponents {
     * `component` has the same type as the node columns.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 64): DataFrame = {
+                          maxIter: Int = 64,
+                          verbose: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
 
     // Canonical working set: (u, v) with u < v, no self-loops. The
@@ -92,6 +93,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
       val next = star(star(cur, large = true), large = false)
         .localCheckpoint(true)
       val nextSig = signature(next)
@@ -99,6 +101,8 @@ object ConnectedComponents {
       cur = next
       sig = nextSig
       iter += 1
+      if (verbose) println(
+        f"[cc] round $iter: ${nextSig._1} edges, ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
 

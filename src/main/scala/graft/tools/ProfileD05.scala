@@ -35,7 +35,7 @@ object ProfileD05 {
     }
     println(s"[d05] edges: ${time("edge count")(pairs.count())}")
     val cc = time("connectedComponents") {
-      ConnectedComponents.connectedComponents(pairs, "a", "b")
+      ConnectedComponents.connectedComponents(pairs, "a", "b", verbose = true)
     }
     println(s"[d05] labels: ${time("label count")(cc.count())}")
     spark.stop()
