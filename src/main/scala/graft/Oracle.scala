@@ -927,6 +927,44 @@ WHERE (transaction_id, product_id, merchant_id) > ('3000-1', 0, 0)
 ORDER BY transaction_id, product_id, merchant_id, total_price
 LIMIT 50"""),
 
+    "q59_calendar_funcs" -> (star + """
+SELECT date_trunc('quarter', transaction_date)::DATE AS quarter_start,
+       CAST(quarter(transaction_date) AS INTEGER) AS q,
+       CAST(weekofyear(transaction_date) AS INTEGER) AS iso_week,
+       CAST(dayofweek(transaction_date) + 1 AS INTEGER) AS dow,
+       last_day(transaction_date) AS month_end,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM summary
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY quarter_start, iso_week, dow"""),
+
+    "q60_null_semantics" -> (star + """
+, ag AS (
+  SELECT transaction_id, customer_id, transaction_category,
+         CASE WHEN customer_age BETWEEN 18 AND 25 THEN 'Gen Z'
+              WHEN customer_age BETWEEN 26 AND 41 THEN 'Millennials'
+              WHEN customer_age BETWEEN 42 AND 57 THEN 'Gen X'
+              WHEN customer_age BETWEEN 58 AND 76 THEN 'Boomers'
+              WHEN customer_age BETWEEN 77 AND 90 THEN 'Silent Generation'
+         END AS age_group
+  FROM summary)
+SELECT COALESCE(age_group, '(unbucketed)') AS age_or_default,
+       COUNT(*) AS n,
+       COUNT(NULLIF(transaction_category, 'Refund')) AS n_purchases,
+       CAST(SUM(CASE WHEN age_group IS NOT DISTINCT FROM 'Gen Z'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gen_z
+FROM ag GROUP BY 1 ORDER BY age_or_default"""),
+
+    "q61_json_typed" -> ("""
+SELECT event_type,
+       COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

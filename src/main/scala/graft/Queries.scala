@@ -1136,6 +1136,55 @@ object Queries {
                  "total_price")
         .limit(50)),
 
+    // Calendar-function family: truncations, field extraction, EOM
+    // arithmetic — the date surface a reporting layer leans on, all
+    // codegen'd projections over one aggregate.
+    "q59_calendar_funcs" -> ((s, d) =>
+      summary(s, d)
+        .groupBy(
+          date_trunc("quarter", col("transaction_date")).cast("date")
+            .as("quarter_start"),
+          quarter(col("transaction_date")).as("q"),
+          weekofyear(col("transaction_date")).cast("int").as("iso_week"),
+          dayofweek(col("transaction_date")).cast("int").as("dow"),
+          last_day(col("transaction_date")).as("month_end"))
+        .agg(count(lit(1)).as("n"),
+             sumMoney(col("total_price")).as("revenue"))
+        .orderBy("quarter_start", "iso_week", "dow"))
+      ,
+
+    // NULL-semantics family: NULLIF / NULL-safe equality (IS [NOT]
+    // DISTINCT FROM) / coalesce chains — the semantics that silently
+    // corrupt aggregates when an engine gets them wrong.
+    "q60_null_semantics" -> ((s, d) =>
+      Dashboard.categorizeByAge(summary(s, d)) // age_group NULL outside 18-90
+        .select(col("transaction_id"), col("customer_id"),
+          col("age_group"),
+          nullif(col("transaction_category"), lit("Refund")).as("purchase_only"),
+          col("age_group").eqNullSafe(lit("Gen Z")).as("is_gen_z"),
+          coalesce(col("age_group"), lit("(unbucketed)")).as("age_or_default"))
+        .groupBy("age_or_default")
+        .agg(count(lit(1)).as("n"),
+             count(col("purchase_only")).as("n_purchases"),
+             sum(when(col("is_gen_z"), 1L).otherwise(0L)).as("n_gen_z"))
+        .orderBy("age_or_default")),
+
+    // Typed JSON parsing (from_json → struct) vs q35's string-path
+    // extraction: the schema is declared, fields project as typed
+    // columns, and malformed rows become NULL structs (not errors).
+    "q61_json_typed" -> ((s, d) =>
+      events(s, d)
+        .withColumn("__j", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .groupBy("event_type")
+        .agg(count(col("__j.k")).as("n_parsed"),
+             sum(col("__j.k")).as("sum_k"),
+             min(col("__j.k")).as("min_k"),
+             max(col("__j.k")).as("max_k"))
+        .orderBy("event_type")),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token
