@@ -133,20 +133,55 @@ object Dedup {
       .select(col(idCol),
         array(Seq.tabulate(numHashes)(i => col(s"__h$i")): _*).as("__sig"),
         col("__shh"))
-    val bandKeys = sigs.select(col(idCol), col("__shh"), posexplode(
-      transform(sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(slice(col("__sig"), b * r + 1, lit(r)), b)))
-      .as(Seq("band", "key")))
-    val buckets = bandKeys.groupBy("band", "key")
-      .agg(collect_list(struct(col(idCol).as("__id"), col("__shh"))).as("__ms"))
+    // members carry their full band-key vector (numBands longs — tiny
+    // next to the shingle set) so the pair can apply the verify-ONCE
+    // guard below
+    val withBk = sigs.select(col(idCol), col("__shh"),
+      array(Seq.tabulate(numBands)(b =>
+        xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*).as("__bk"))
+    val bandKeys = withBk.select(col(idCol), col("__shh"), col("__bk"),
+      posexplode(col("__bk")).as(Seq("band", "key")))
+    // per-doc band-survival vector: __ok[b] ⇔ the doc's band-b bucket
+    // stayed under maxBucket. The verify-once guard must skip CAPPED
+    // bands (their buckets are dropped), or pairs whose first common
+    // band was capped would silently vanish — recall under caps has to
+    // stay exactly what the multi-band emission gave. The size
+    // aggregation is map-side-combinable and the join is on the same
+    // (band, key) the bucketing shuffles anyway.
+    val sizes = bandKeys.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+    val masked = bandKeys.join(sizes, Seq("band", "key"))
+      .groupBy(idCol)
+      .agg(first(col("__shh")).as("__shh"), first(col("__bk")).as("__bk"),
+           sort_array(collect_list(struct(col("band"),
+             (col("__n") <= maxBucket).as("ok")))).as("__okArr"))
+      .select(col(idCol), col("__shh"), col("__bk"),
+        array(Seq.tabulate(numBands)(b =>
+          col("__okArr")(b)("ok")): _*).as("__ok"))
+    val buckets = masked.select(col(idCol), col("__shh"), col("__bk"),
+        col("__ok"), posexplode(col("__bk")).as(Seq("band", "key")))
+      .groupBy("band", "key")
+      .agg(collect_list(struct(col(idCol).as("__id"), col("__shh"),
+        col("__bk"), col("__ok"))).as("__ms"))
       .filter(size(col("__ms")).between(2, maxBucket))
     val nx = size(col("x.__shh")); val ny = size(col("y.__shh"))
+    // verify-ONCE guard: a pair colliding in k surviving bands would
+    // otherwise be verified k times and need a final distinct; emitting
+    // only from the FIRST surviving band both agree on runs the
+    // expensive merge walk once per pair. Unrolled CASE (numBands is a
+    // plan-time constant) — codegen'd long comparisons, no lambda.
+    val firstCommonBand = Seq.range(0, numBands).foldRight(lit(-1)) {
+      (b, rest) => when(element_at(col("x.__bk"), b + 1) ===
+                        element_at(col("y.__bk"), b + 1) &&
+                        element_at(col("x.__ok"), b + 1), lit(b))
+                     .otherwise(rest)
+    }
     buckets
-      .select(col("__ms"), explode(col("__ms")).as("x"))
-      .select(col("x"), explode(col("__ms")).as("y"))
+      .select(col("__ms"), col("band"), explode(col("__ms")).as("x"))
+      .select(col("band"), col("x"), explode(col("__ms")).as("y"))
       .filter(col("x.__id") < col("y.__id"))
       // length filter: jaccard ≥ t forces t·|x| ≤ |y| ∧ t·|y| ≤ |x|
       .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
+      .filter(col("band") === firstCommonBand)
       // per-pair hot loop: native merge walk over the sorted hash sets
       // (array_intersect builds a hash set per pair — allocation +
       // hashing the walk doesn't pay)
@@ -157,7 +192,6 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
               round(col("jaccard"), 4).as("jaccard"))
-      .distinct()
   }
 
   /** EXACT all-pairs Jaccard-similarity self-join via prefix filtering
