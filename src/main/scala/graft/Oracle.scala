@@ -965,6 +965,21 @@ SELECT event_type,
        CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
 FROM events GROUP BY event_type ORDER BY event_type"""),
 
+    "q62_topk_per_group" -> (star + """
+, rev AS (
+  SELECT merchant_category, merchant_name,
+         CAST(SUM(CAST(ROUND(total_price * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM summary GROUP BY 1, 2),
+rk AS (
+  SELECT merchant_category, merchant_name, rev,
+         ROW_NUMBER() OVER (PARTITION BY merchant_category
+                            ORDER BY rev DESC, merchant_name) AS rank
+  FROM rev)
+SELECT merchant_category, CAST(rank AS BIGINT) AS rank, merchant_name,
+       rev / 100.0 AS revenue
+FROM rk WHERE rank <= 3
+ORDER BY merchant_category, rank"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

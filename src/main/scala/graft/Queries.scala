@@ -1185,6 +1185,27 @@ object Queries {
              max(col("__j.k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Top-k per group through the mergeable k-bounded Aggregator
+    // (functions.TopKAgg): only k rows per group cross the shuffle —
+    // the scale form of the window row_number pattern, which the
+    // DuckDB oracle mirrors (provably identical incl. tie-break).
+    "q62_topk_per_group" -> ((s, d) => {
+      import s.implicits._
+      val rows = summary(s, d)
+        .groupBy("merchant_category", "merchant_name")
+        .agg(sum(cents(col("total_price"))).as("rev"))
+        .select(col("merchant_category"), col("rev"), col("merchant_name"))
+        .as[(String, Long, String)]
+      rows.groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(graft.functions.TopKAgg.of(3).toColumn.name("top"))
+        .flatMap { case (cat, top) =>
+          top.zipWithIndex.map { case ((rev, m), i) =>
+            (cat, i + 1L, m, rev / 100.0) } }
+        .toDF("merchant_category", "rank", "merchant_name", "revenue")
+        .orderBy("merchant_category", "rank")
+    }),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token
