@@ -92,6 +92,41 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(merged.size === 102)
   }
 
+  test("incremental dedup pipeline on real docs: batch arrivals ≡ full recompute") {
+    import graft.sources.TestData
+    import graft.text.TextFunctions
+    import graft.dedup.Dedup
+
+    val docs = TestData.table(spark, sf, "documents")
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      col("source"), array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.jaccardJoinExact(toks(df), "doc_id", "w", 0.7, Seq("source"))
+        .select(col("a"), col("b"))
+
+    // full: every doc labeled over the complete pair graph
+    val full = graft.dedup.ConnectedComponents
+      .dupClusters(docs, "doc_id", pairsOf(docs), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // incremental: first 300 docs land, then the rest arrive as a batch;
+    // the delta edges are the pairs touching a new doc (a real pipeline
+    // gets them from the LSH index probe of the new docs)
+    val batch0 = docs.filter(col("doc_id") < 300)
+    val labels0 = graft.dedup.ConnectedComponents
+      .connectedComponents(pairsOf(batch0), "a", "b")
+    val newIds = docs.filter(col("doc_id") >= 300).select(col("doc_id"))
+    val delta = pairsOf(docs).join(newIds,
+      col("a") === col("doc_id") || col("b") === col("doc_id"), "left_semi")
+    val labels1 = graft.dedup.ConnectedComponents
+      .addEdges(labels0, delta, "a", "b")
+    val incMap = labels1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => id -> incMap.getOrElse(id, id)).toMap
+
+    assert(inc === full)
+  }
+
   test("deterministic across runs and repartitionings") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
