@@ -232,13 +232,25 @@ object Dedup {
 
     val ex = docs.select(
       (pc :+ col(idCol).as("__id")) :+ explode(col(tokensCol)).as("__t"): _*)
-    // Dense int token ids ranked rare-first: the vocab-sized window
-    // sort is the only global step (O(vocab log vocab), vocab ≪
-    // corpus), and every later compare/intersect runs on ints, not
-    // strings.
+    // Long token ids ranked rare-first WITHOUT a global single-partition
+    // sort (a billion-token vocabulary must never funnel through one
+    // task): range-repartition the vocabulary on (freq, token) — range
+    // partitions tile the total order, so (partition id, rank within
+    // partition) is order-isomorphic to the global (freq, token) order —
+    // and pack the two into one long. Downstream only needs a total
+    // ORDER (prefix slicing is by array position, bucket keys by
+    // equality, merge walks by comparison), not dense ids, so there is
+    // no offset pass, no driver collect, and every later
+    // compare/intersect runs on longs, not strings. Ids differ run-to-
+    // run only by order-preserving relabeling (range boundaries are
+    // sampled), which the output is invariant to.
     val vocab = ex.groupBy("__t").agg(count(lit(1)).as("__f"))
-      .select(col("__t"), row_number().over(
-        Window.orderBy(col("__f"), col("__t"))).as("__r"))
+      .repartitionByRange(col("__f"), col("__t"))
+      .withColumn("__pid", spark_partition_id())
+      .select(col("__t"),
+        (shiftleft(col("__pid").cast("long"), 40) +
+          row_number().over(Window.partitionBy(col("__pid"))
+            .orderBy(col("__f"), col("__t"))).cast("long")).as("__r"))
     val sorted = ex.join(vocab, "__t")
       .groupBy(pc :+ col("__id"): _*)
       .agg(sort_array(collect_list(col("__r"))).as("__w"))

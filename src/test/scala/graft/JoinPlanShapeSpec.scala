@@ -41,7 +41,26 @@ class JoinPlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q53: the returnflag filter of q55 reaches the lineitem scan") {
+  test("j01: the vocab ranking runs distributed — no single-partition Window") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+    val df = graft.dedup.Dedup.jaccardJoinExact(t, "doc_id", "w", 0.7, Seq("source"))
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val globalWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"vocabulary ranking funnels through one task:\n$plan")
+  }
+
+  test("q55: the returnflag filter reaches the lineitem scan") {
     val scans = executed("q55_returned_revenue").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
