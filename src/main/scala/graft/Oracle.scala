@@ -399,6 +399,36 @@ WHERE ROUND(list_dot_product(x.v, y.v)
             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4
 ORDER BY a, b"""),
 
+    // e03 shares e02's brute-force SQL: the LSH form's verification is
+    // exact and its recall is measured 100% on the shipped corpora
+    // (LshScaleGateSpec), so the emitted set IS the exact set.
+    "e03_cosine_lsh_pairs" -> ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       ROUND(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE ROUND(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4
+ORDER BY a, b"""),
+
+    // e04: per-vector argmax over the >= 0.4 band. WHERE runs before
+    // QUALIFY in DuckDB, but filter-then-argmax == argmax-then-filter
+    // here: a vector whose best neighbor passes the floor has that
+    // same best inside the filtered band.
+    "e04_self_knn_bucketed" -> ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (
+  SELECT x.vec_id AS id, y.vec_id AS nn,
+         ROUND(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4)
+           AS cosine
+  FROM e x JOIN e y ON x.vec_id <> y.vec_id)
+SELECT id, nn, cosine FROM c
+WHERE cosine >= 0.4
+QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, nn) = 1
+ORDER BY id"""),
+
     "q25_filtered_dashboard" -> (star + """
 , ag AS (
   SELECT *,

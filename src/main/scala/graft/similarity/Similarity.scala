@@ -214,6 +214,94 @@ object Similarity {
       .distinct()
   }
 
+  /** OR-amplified multi-table LSH near-duplicate pairs: every (a, b),
+    * a < b, with exact cosine ≥ `threshold` (rounded to 4dp first, as
+    * in [[exactCosinePairs]] — same contract, LSH candidates instead
+    * of all pairs). Each of the `tables` independent hyperplane tables
+    * probes home + single-bit-flip buckets, so a pair is a candidate
+    * when its sign patterns differ in ≤ 2 planes in ANY table — the
+    * classic OR-amplification that drives per-pair miss probability
+    * down exponentially in `tables`.
+    *
+    * Shape at corpus scale: candidate generation ships only (table,
+    * bucket, id) longs; candidate ids are distinct-ed BEFORE
+    * verification (ids are two longs — the distinct is narrow), and
+    * vectors join back once per unique candidate pair (dim-fixed rows;
+    * Spark broadcasts the vector side when small, hash-joins on id
+    * otherwise) — vectors never fan out per bucket. `maxBucket` drops
+    * degenerate buckets per (table, bucket), the skew cap; a pair
+    * capped in one table still surfaces from any other.
+    *
+    * Recall is probabilistic by construction (like every LSH method):
+    * subset-of-exact ALWAYS holds (verification is exact), and the
+    * shipped corpora are measured at 100% recall with the default
+    * `tables` (pinned in LshScaleGateSpec), which is what lets the
+    * driver hash-check this against the brute-force oracle. */
+  def cosineNearDuplicatesMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, numPlanes: Int = 8,
+                                tables: Int = 16, seed: Long = 42L,
+                                maxBucket: Int = 4000): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    // distinct-valued table seeds; the multiplier is unrelated to the
+    // plane/dim mix constants so tables never alias, and splitmix64's
+    // finalizer decorrelates the planes across tables
+    val tableSeeds = Seq.tabulate(tables)(t => seed + t * 0x5851F42D4C957F2DL)
+    val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val homes = array(tableSeeds.map(s => lshBucket(col("__v"), numPlanes, s)): _*)
+    val probes = base
+      .select(col("__id"), posexplode(homes).as(Seq("__t", "__b")))
+      .select(col("__id"), col("__t"),
+        explode(array(col("__b") +: Seq.tabulate(numPlanes)(p =>
+          col("__b").bitwiseXOR(lit(1L << p))): _*)).as("__bk"))
+    val cand = probes.groupBy("__t", "__bk")
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(col("__ids"), explode(col("__ids")).as("a"))
+      .select(col("a"), explode(col("__ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val xa = corpus.select(col(idCol).as("a"), col(vecCol).as("__vx"),
+      norm(col(vecCol)).as("__nx"))
+    val xb = corpus.select(col(idCol).as("b"), col(vecCol).as("__vy"),
+      norm(col(vecCol)).as("__ny"))
+    cand.join(xa, "a").join(xb, "b")
+      .withColumn("cosine", round(
+        when(col("__nx") * col("__ny") === 0, 0.0)
+          .otherwise(dot(col("__vx"), col("__vy")) / (col("__nx") * col("__ny"))),
+        4))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Bucketed self-nearest-neighbor: for each vector whose best
+    * neighbor reaches `minCosine`, that neighbor — the LSH-scale form
+    * of [[selfNearestNeighbor]] restricted to the near-dup band.
+    * Argmax over the multi-table verified pairs; when pair recall at
+    * `minCosine` is 100% (measured on the shipped corpora) this equals
+    * the exact argmax filtered to best ≥ `minCosine`: the filtered-out
+    * vectors' candidates all verify below the floor, and a found
+    * vector's true best IS among its candidates. Same tie rule as the
+    * exact form: (cosine desc, neighbor id asc) on 4dp-rounded cosine. */
+  def selfNearestNeighborBucketed(corpus: DataFrame, idCol: String,
+                                  vecCol: String, minCosine: Double,
+                                  numPlanes: Int = 8, tables: Int = 16,
+                                  seed: Long = 42L,
+                                  maxBucket: Int = 4000): DataFrame =
+    nearestFromPairs(cosineNearDuplicatesMulti(
+      corpus, idCol, vecCol, minCosine, numPlanes, tables, seed, maxBucket))
+
+  /** Per-id argmax over an undirected (a, b, cosine) pair set — the
+    * reduce step shared by the bucketed self-NN and any precomputed
+    * pair table. Map-side partial maxes, no window. */
+  def nearestFromPairs(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("a").as("id"), col("b").as("nn"), col("cosine"))
+      .unionAll(pairs.select(col("b").as("id"), col("a").as("nn"), col("cosine")))
+    sym.groupBy("id")
+      .agg(max(struct(col("cosine"), (-col("nn")).as("__negnn"))).as("__m"))
+      .select(col("id"), (-col("__m.__negnn")).as("nn"),
+              col("__m.cosine").as("cosine"))
+  }
+
   /** The query's bucket and its single-bit-flip neighbors, computed with
     * the same Spark expressions as [[lshBucket]] (hash parity by
     * construction). */
