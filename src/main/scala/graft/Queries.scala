@@ -739,7 +739,9 @@ object Queries {
       Dedup.exactCounts(documents(s, d), "doc_id", "text")
         .select("doc_id", "dup_count").orderBy("doc_id")),
 
-    // MinHash + banded LSH near-dup (hash-based: no SQL oracle).
+    // MinHash + banded LSH near-dup (hash-based: no SQL oracle; gated
+    // on the shipped corpora by DedupRecallGateSpec — subset of the
+    // exact pair set, identical jaccard values, pinned recall floor).
     "d02_minhash_neardups" -> ((s, d) =>
       Dedup.nearDuplicates(documents(s, d), "doc_id", "text",
         shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,
@@ -748,7 +750,10 @@ object Queries {
 
     // SimHash near-dup via chunk-collision candidates (no SQL oracle).
     // maxHamming=3 keeps the pigeonhole recall guarantee: 4 chunks of
-    // 16 bits, any pair within radius 3 must collide on one chunk.
+    // 16 bits, any pair within radius 3 must collide on one chunk —
+    // and DedupRecallGateSpec pins EXACT equality with the brute-force
+    // Hamming join on the shipped sf0.01/sf0.1 corpora (the cap never
+    // trips there).
     "d03_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDuplicates(documents(s, d),
         "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
