@@ -1,0 +1,12 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+
+/** Public column API over the native image expressions (implementation
+  * under org.apache.spark.sql.graft — see the note there on why). */
+object images {
+  /** REAL PNG/JPEG header decode (javax.imageio): struct(mime, width,
+    * height), NULL when the bytes are not a well-formed image. */
+  def image_meta(content: Column): Column =
+    org.apache.spark.sql.graft.ImageMeta.imageMeta(content)
+}

@@ -1,0 +1,68 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL image header decode (JDK javax.imageio — public and offline):
+  * width/height/mime for PNG and JPEG byte content.
+  *
+  * Only bytes carrying the strict PNG (\\x89PNG\\r\\n\\x1a\\n) or JPEG
+  * (\\xFF\\xD8\\xFF) magic are handed to ImageIO — both signatures are
+  * invalid as leading UTF-8 text, so text-derived binary content can
+  * never accidentally "decode" (the stub fallback path in
+  * [[Multimodal.decodeMeta]] stays deterministic for it, which is what
+  * keeps the m01 oracle exact). `getWidth(0)`/`getHeight(0)` read only
+  * the header, not the pixel payload, so this is a metadata-speed
+  * probe, not a full decode.
+  *
+  * Corpus-scale note: `ImageIO.getImageReaders` does a registry lookup
+  * per call; a hot decode stage should hold a reader per partition
+  * (that is what [[Multimodal.decodeBatched]]'s per-partition init slot
+  * is for). For the header-sniff path the lookup is dwarfed by I/O.
+  */
+object ImageHeaders {
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 24 &&
+      (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(4) == 0x0D && b(5) == 0x0A && b(6) == 0x1A && b(7) == 0x0A
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 &&
+      (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+
+  /** (mime, width, height), or null when the bytes are not a
+    * well-formed PNG/JPEG. Never throws. */
+  def meta(bytes: Array[Byte]): Multimodal.AssetMeta = {
+    if (bytes == null || !(isPng(bytes) || isJpeg(bytes))) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Multimodal.AssetMeta(
+            if (isPng(bytes)) "image/png" else "image/jpeg",
+            r.getWidth(0), r.getHeight(0))
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** [[meta]] as a Catalyst struct row (mime, width, height) — the
+    * call target of the codegen'd ImageMeta expression; null when not
+    * an image. */
+  def metaRow(bytes: Array[Byte]): InternalRow = {
+    val m = meta(bytes)
+    if (m == null) null
+    else new GenericInternalRow(
+      Array[Any](UTF8String.fromString(m.mime), m.width, m.height))
+  }
+}

@@ -41,15 +41,23 @@ object Multimodal {
       ascii(substring(md5Hex, from + 2, 1)) * 10 +
       ascii(substring(md5Hex, from + 3, 1))
 
-  /** STUB DECODER: metadata struct parsed "from the header bytes".
-    * Real impl: image header sniffing. Fake: deterministic from the
-    * content's md5, same schema. Pure projection — runs in the scan. */
+  /** Metadata struct from the content bytes. PNG/JPEG content is
+    * REALLY decoded (javax.imageio header probe via the codegen'd
+    * [[graft.functions.images.image_meta]] expression — width/height/
+    * mime from the actual header, pixel payload untouched); anything
+    * else falls back to the deterministic md5 stub, which stands in
+    * for the remaining codecs (this environment has no audio/video
+    * libraries) and keeps the m01 oracle exact for text-derived
+    * content — the PNG/JPEG magic bytes are invalid leading UTF-8, so
+    * the two paths can never collide. Pure projection — runs in the
+    * scan. */
   def decodeMeta(content: Column): Column = {
     val h = md5(content)
-    struct(
+    val stub = struct(
       lit("image/fake").as("mime"),
       (pmod(md5Num(h, 1), lit(1920)) + 1).cast("int").as("width"),
       (pmod(md5Num(h, 5), lit(1080)) + 1).cast("int").as("height"))
+    coalesce(graft.functions.images.image_meta(content), stub)
   }
 
   /** Thumbnail = leading byte slice (STUB DECODER for a resize). */
@@ -75,17 +83,25 @@ object Multimodal {
 
   /** Batch decode through the typed per-partition path — the Scala
     * equivalent of a pandas-batch UDF stage: one decoder instance per
-    * partition, rows streamed through it. This is where a real codec
-    * (heavyweight init) would live; the fake keeps the exact shape. */
+    * partition, rows streamed through it. PNG/JPEG content really
+    * decodes ([[ImageHeaders]]); other content keeps the hash stub
+    * (same schema/shape a real libav swap-in would keep). */
   def decodeBatched(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition init: a real pipeline would open the codec here
+      // per-partition init: a heavyweight codec (reader instances,
+      // native contexts) would be opened once here
       it.map { a =>
-        val h = java.util.Arrays.hashCode(a.content).toLong & 0x7fffffffL
-        DecodedAsset(a.asset_id, a.mime,
-          (h % 1920 + 1).toInt, ((h >> 8) % 1080 + 1).toInt,
-          a.content.length.toLong)
+        val real = ImageHeaders.meta(a.content)
+        if (real != null)
+          DecodedAsset(a.asset_id, real.mime, real.width, real.height,
+            a.content.length.toLong)
+        else {
+          val h = java.util.Arrays.hashCode(a.content).toLong & 0x7fffffffL
+          DecodedAsset(a.asset_id, a.mime,
+            (h % 1920 + 1).toInt, ((h >> 8) % 1080 + 1).toInt,
+            a.content.length.toLong)
+        }
       }
     }
   }

@@ -1,0 +1,53 @@
+// Lives under org.apache.spark.sql for the same reason as VectorDot:
+// the coercion/bridge APIs are private[sql]. Public API is
+// graft.functions.images.image_meta.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native expression for REAL image header decode: returns a
+  * struct(mime, width, height) for PNG/JPEG byte content, NULL for
+  * anything else. The parse itself lives in
+  * [[graft.multimodal.ImageHeaders]] (javax.imageio) — eval and
+  * codegen both call the same static method, so parity is by
+  * construction; codegen emits one direct call inside the stage (no
+  * UDF wrapping, no serialization of the bytes out of the row).
+  */
+case class ImageMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+
+  override def dataType: DataType = ImageMeta.schema
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    graft.multimodal.ImageHeaders.metaRow(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.multimodal.ImageHeaders.metaRow($b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
+    copy(child = newChild)
+}
+
+object ImageMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+
+  /** Column API: real PNG/JPEG header metadata, null otherwise. */
+  def imageMeta(content: Column): Column =
+    ExpressionUtils.column(ImageMeta(ExpressionUtils.expression(content)))
+}

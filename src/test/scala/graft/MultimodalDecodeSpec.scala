@@ -1,0 +1,99 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{ImageHeaders, Multimodal}
+
+/** The REAL image decode path: known-dimension PNG/JPEG fixtures
+  * synthesized via the JDK, decoded through every surface —
+  * the ImageHeaders helper, the codegen'd image_meta expression,
+  * decodeMeta's real/stub dispatch, and the typed decodeBatched
+  * stage. Non-image and corrupted content must fall back to the
+  * deterministic stub (never throw), which is what keeps the m01
+  * oracle exact for text-derived assets. */
+class MultimodalDecodeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"JDK can't encode $fmt")
+    out.toByteArray
+  }
+
+  test("ImageHeaders: PNG/JPEG headers decode to true dimensions; junk is null") {
+    val png = ImageHeaders.meta(imageBytes("png", 123, 45))
+    assert(png == Multimodal.AssetMeta("image/png", 123, 45))
+    val jpg = ImageHeaders.meta(imageBytes("jpg", 640, 480))
+    assert(jpg == Multimodal.AssetMeta("image/jpeg", 640, 480))
+    assert(ImageHeaders.meta("not an image".getBytes("UTF-8")) == null)
+    assert(ImageHeaders.meta(Array[Byte]()) == null)
+    // valid magic, corrupted body: must be null, not an exception
+    val corrupt = imageBytes("png", 10, 10).take(12) ++ Array.fill(30)(0x7f.toByte)
+    assert(ImageHeaders.meta(corrupt) == null)
+  }
+
+  test("decodeMeta: real decode for images, md5 stub for everything else") {
+    val rows = Seq(
+      (1L, imageBytes("png", 123, 45)),
+      (2L, imageBytes("jpg", 640, 480)),
+      (3L, "plain text content".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows
+      .select(col("asset_id"), Multimodal.decodeMeta(col("content")).as("m"))
+      .select(col("asset_id"), col("m.mime"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(got(1L) == ("image/png", 123, 45))
+    assert(got(2L) == ("image/jpeg", 640, 480))
+    val (mime3, w3, h3) = got(3L)
+    assert(mime3 == "image/fake" && w3 >= 1 && w3 <= 1920 && h3 >= 1 && h3 <= 1080)
+  }
+
+  test("image_meta participates in codegen and survives repeated use in one stage") {
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq(
+        (1L, imageBytes("png", 77, 33)),
+        (2L, "text".getBytes("UTF-8"))).toDF("asset_id", "content")
+      import graft.functions.images.image_meta
+      val n = rows
+        .filter(image_meta(col("content")).isNotNull ||
+                length(col("content")) > 0)
+        .select(image_meta(col("content")).as("m1"),
+                image_meta(col("content")).as("m2"))
+        .collect()
+      assert(n.length == 2)
+      assert(n.exists(r => !r.isNullAt(0) &&
+        r.getStruct(0).getString(0) == "image/png" &&
+        r.getStruct(0).getInt(1) == 77 && r.getStruct(0).getInt(2) == 33))
+      assert(n.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("decodeBatched: typed per-partition path really decodes images") {
+    val assets = Seq(
+      Multimodal.Asset(1L, imageBytes("png", 31, 64), "application/x-unknown"),
+      Multimodal.Asset(2L, "some document".getBytes("UTF-8"), "text/plain"))
+      .toDS()
+    val out = Multimodal.decodeBatched(assets).collect()
+      .map(d => d.asset_id -> d).toMap
+    assert(out(1L).mime == "image/png" &&
+      out(1L).width == 31 && out(1L).height == 64)
+    assert(out(2L).mime == "text/plain" &&
+      out(2L).width >= 1 && out(2L).width <= 1920)
+  }
+}
