@@ -23,7 +23,12 @@ object Engine {
     * the keys that can match. At 100 TB this is the difference between
     * shuffling a full fact table and shuffling the ~1% that survives
     * the dim filter (the injection fires only past size thresholds, so
-    * small/broadcast joins are untouched). */
+    * small/broadcast joins are untouched). NOTE both runtime-filter
+    * configs below MATCH Spark 4's defaults (bloomFilter.enabled=true,
+    * semiJoinReduction.enabled=false since 3.4) — they are deliberate
+    * PINS documenting the engine's contract against upstream default
+    * drift, not behavior changes; no bench delta is attributable to
+    * them. */
   def session(master: String = "local[*]",
               shufflePartitions: Int =
                 Runtime.getRuntime.availableProcessors): SparkSession = {

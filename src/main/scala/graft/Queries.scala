@@ -829,8 +829,10 @@ object Queries {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       val corpus = emb.filter(col("vec_id") =!= 0)
+      // path versions the quantizer (ivf16 = stride seeds, -l1 = one
+      // Lloyd refinement) so stale persisted indexes never get reused
       val (idx, cents) = Similarity.ensureIvfIndex(
-        corpus, "vec_id", "embedding", annIndexPath(d, "ivf16"), 16)
+        corpus, "vec_id", "embedding", annIndexPath(d, "ivf16-l1"), 16)
       Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
     }),
 

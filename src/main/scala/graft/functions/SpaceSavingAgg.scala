@@ -17,49 +17,63 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Counters carry (count, err): `count` overestimates the true
   * frequency by at most `err` (the count absorbed when the counter was
-  * recycled). Exactness guarantee: if `capacity` ≥ the number of
-  * distinct items actually seen, no counter is ever recycled, every
-  * `err` is 0, and the summary IS the exact frequency table — the
-  * property the spec leans on.
+  * recycled). The buffer also carries a LOSSY flag — true once any
+  * counter was recycled or a merge truncated — because "absent item
+  * was never seen" can only be concluded from a summary that never
+  * dropped anything; summary size alone can't distinguish "saw exactly
+  * `capacity` distinct items, losslessly" from "recycled at that
+  * size", and merging on the wrong conclusion would offset absent
+  * items by a phantom minimum. Exactness guarantee: if `capacity` ≥
+  * the number of distinct items actually seen (equality included),
+  * nothing is ever dropped anywhere, the flag stays false, and the
+  * summary IS the exact frequency table — the property the spec leans
+  * on.
   *
   * Merge follows the standard summary-merge: sum counts of shared
   * items (errs add), offset absent items by the other summary's
-  * minimum count bound, retake the top `capacity`. Deterministic
-  * tie-break on (count DESC, item ASC) keeps the result stable under
-  * any partitioning when ties are not at the truncation boundary (and
-  * exact whenever the capacity bound above holds).
+  * minimum count bound (zero for lossless summaries), retake the top
+  * `capacity`. Deterministic tie-break on (count DESC, item ASC) keeps
+  * the result stable under any partitioning when ties are not at the
+  * truncation boundary (and exact whenever the capacity bound above
+  * holds).
   */
 class SpaceSavingAgg(capacity: Int)
-    extends Aggregator[String, Map[String, (Long, Long)],
+    extends Aggregator[String, (Map[String, (Long, Long)], Boolean),
                        Seq[(String, Long, Long)]]
     with Serializable {
   require(capacity > 0, s"capacity must be positive, got $capacity")
 
-  override def zero: Map[String, (Long, Long)] = Map.empty
+  override def zero: (Map[String, (Long, Long)], Boolean) = (Map.empty, false)
 
-  private def minCount(m: Map[String, (Long, Long)]): Long =
-    if (m.size < capacity) 0L else m.valuesIterator.map(_._1).min
+  /** Upper bound on how often an item ABSENT from this summary may have
+    * been seen: 0 while the summary never dropped anything (absent ⇒
+    * truly never seen), else the minimum retained count. */
+  private def minCount(m: Map[String, (Long, Long)], lossy: Boolean): Long =
+    if (!lossy) 0L else m.valuesIterator.map(_._1).min
 
-  override def reduce(m: Map[String, (Long, Long)],
-                      item: String): Map[String, (Long, Long)] =
+  override def reduce(b: (Map[String, (Long, Long)], Boolean),
+                      item: String): (Map[String, (Long, Long)], Boolean) = {
+    val (m, lossy) = b
     m.get(item) match {
-      case Some((c, e)) => m.updated(item, (c + 1, e))
-      case None if m.size < capacity => m.updated(item, (1L, 0L))
+      case Some((c, e)) => (m.updated(item, (c + 1, e)), lossy)
+      case None if m.size < capacity => (m.updated(item, (1L, 0L)), lossy)
       case None =>
         // recycle the minimum counter: new item inherits its count as
         // error bound (the SpaceSaving step)
         val (minItem, (minC, _)) = m.minBy { case (i, (c, _)) => (c, i) }
-        (m - minItem).updated(item, (minC + 1, minC))
+        ((m - minItem).updated(item, (minC + 1, minC)), true)
     }
+  }
 
-  override def merge(x: Map[String, (Long, Long)],
-                     y: Map[String, (Long, Long)]): Map[String, (Long, Long)] = {
-    if (x.isEmpty) return y
-    if (y.isEmpty) return x
-    val mx = minCount(x); val my = minCount(y)
+  override def merge(x: (Map[String, (Long, Long)], Boolean),
+                     y: (Map[String, (Long, Long)], Boolean)):
+      (Map[String, (Long, Long)], Boolean) = {
+    if (x._1.isEmpty) return y
+    if (y._1.isEmpty) return x
+    val mx = minCount(x._1, x._2); val my = minCount(y._1, y._2)
     val merged = mutable.Map.empty[String, (Long, Long)]
-    (x.keySet ++ y.keySet).foreach { item =>
-      (x.get(item), y.get(item)) match {
+    (x._1.keySet ++ y._1.keySet).foreach { item =>
+      (x._1.get(item), y._1.get(item)) match {
         case (Some((cx, ex)), Some((cy, ey))) =>
           merged(item) = (cx + cy, ex + ey)
         case (Some((cx, ex)), None) => merged(item) = (cx + my, ex + my)
@@ -67,21 +81,23 @@ class SpaceSavingAgg(capacity: Int)
         case (None, None) => ()
       }
     }
-    if (merged.size <= capacity) merged.toMap
-    else merged.toSeq
+    val lossy = x._2 || y._2 || merged.size > capacity
+    if (merged.size <= capacity) (merged.toMap, lossy)
+    else (merged.toSeq
       .sortBy { case (i, (c, _)) => (-c, i) }
       .take(capacity)
-      .toMap
+      .toMap, lossy)
   }
 
   /** (item, count, err) sorted by count desc then item — count-err is a
     * lower bound, count an upper bound on the true frequency. */
-  override def finish(m: Map[String, (Long, Long)]): Seq[(String, Long, Long)] =
-    m.toSeq.map { case (i, (c, e)) => (i, c, e) }
+  override def finish(b: (Map[String, (Long, Long)], Boolean)):
+      Seq[(String, Long, Long)] =
+    b._1.toSeq.map { case (i, (c, e)) => (i, c, e) }
       .sortBy { case (i, c, _) => (-c, i) }
 
-  override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
-    ExpressionEncoder[Map[String, (Long, Long)]]()
+  override def bufferEncoder: Encoder[(Map[String, (Long, Long)], Boolean)] =
+    ExpressionEncoder[(Map[String, (Long, Long)], Boolean)]()
   override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
     ExpressionEncoder[Seq[(String, Long, Long)]]()
 }

@@ -302,36 +302,59 @@ object Similarity {
               col("__m.cosine").as("cosine"))
   }
 
-  /** The query's bucket and its single-bit-flip neighbors, computed with
-    * the same Spark expressions as [[lshBucket]] (hash parity by
-    * construction). */
+  /** The query's bucket and its single-bit-flip neighbors. The bucket
+    * id is computed DRIVER-SIDE by the expression's local twin
+    * ([[graft] VectorLshBucket.evalLocal] — same constants, parity
+    * spec-checked), so an ANN probe costs zero Spark jobs before the
+    * partition-pruned scan itself. */
   def probeBuckets(query: Seq[Float], numPlanes: Int, seed: Long): Seq[Long] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    val q = array(query.map(lit): _*)
-    val bucket = spark.range(1)
-      .select(lshBucket(q, numPlanes, seed).as("b"))
-      .head().getLong(0)
+    val bucket = org.apache.spark.sql.graft.VectorLshBucket
+      .evalLocal(query, numPlanes, seed)
     bucket +: Seq.tabulate(numPlanes)(p => bucket ^ (1L << p))
   }
 
   // ---- IVF (inverted-file) variant: coarse quantizer + probed lists ----
 
-  /** Deterministic coarse centroids: every ⌈n/k⌉-th vector by id order.
-    * A k-means refinement would drop in here; deterministic striding
-    * keeps tests and re-builds reproducible, and for ANN the quantizer
-    * only needs to be *fixed*, not optimal. Centroids are collected to
-    * the driver — k is small (√n-ish) by construction. */
+  /** Deterministic coarse centroids: every ⌈n/k⌉-th vector by id order
+    * as seeds, then `refineSteps` Lloyd passes (assign each vector to
+    * its nearest centroid, recenter each list on its mean — one
+    * distributed aggregation per pass, nothing quadratic). Centroids
+    * are collected to the driver — k is small (√n-ish) by
+    * construction.
+    *
+    * Everything stays REPRODUCIBLE: the seeds are a pure function of
+    * the ids, and the per-list means aggregate as decimals — decimal
+    * addition is order-independent, so the result doesn't depend on
+    * shuffle-block arrival order the way double sums would (the
+    * persisted-index round-trip spec asserts recompute == sidecar
+    * bit-for-bit). Decimal aggs cost more than double aggs, but the
+    * quantizer build is a one-time k·dim-bounded step. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int): Array[(Int, Seq[Float])] = {
+                   k: Int, refineSteps: Int = 1): Array[(Int, Seq[Float])] = {
     val n = corpus.count()
     val stride = math.max(1L, n / k)
     // stride on the id value — a distributed filter, no global sort
-    corpus.select(col(idCol), col(vecCol))
+    var cents = corpus.select(col(idCol), col(vecCol))
       .filter(pmod(col(idCol), lit(stride)) === 0)
       .orderBy(col(idCol))
       .limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    if (cents.isEmpty) return cents
+    val dim = cents.head._2.length
+    for (_ <- 0 until refineSteps) {
+      val avgs = Seq.tabulate(dim)(j =>
+        avg(col(vecCol)(j).cast("decimal(30,12)")).as(s"__c$j"))
+      val means = withIvfLists(corpus, vecCol, cents)
+        .groupBy("ivf_list").agg(avgs.head, avgs.tail: _*)
+        .collect().map { r =>
+          r.getInt(0) -> Seq.tabulate(dim)(j =>
+            r.getDecimal(j + 1).floatValue())
+        }.toMap
+      // a list that captured no vectors keeps its seed centroid
+      cents = cents.map { case (i, c) => (i, means.getOrElse(i, c)) }
+    }
+    cents
   }
 
   private def nearestCentroid(vec: Column,

@@ -32,7 +32,7 @@ object ScaleBench {
     // events.parquet carries ns timestamps (see TestData.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val done = new org.apache.hadoop.fs.Path(dst, "_DONE")
+    val done = new org.apache.hadoop.fs.Path(dst, "_DONE2")
     val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
@@ -46,8 +46,23 @@ object ScaleBench {
         .withColumn("l_orderkey", col("l_orderkey") + col("__i") * maxOrder)
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+      // documents scale with COPY-ISOLATED tokens (each token prefixed
+      // with its copy tag): every copy reproduces the original's whole
+      // near-dup structure without cross-copy similarity, so the TRUE
+      // pair/cluster output grows ×factor (linear), and wall-time
+      // ratios measure the ALGORITHM's scaling — replicating identical
+      // texts would instead ×factor² the true output (every dup group
+      // merges across copies) and any engine would look quadratic.
+      val maxDoc = t("documents").agg(max("doc_id")).head().getLong(0) + 1
+      t("documents").withColumn("__i", copies)
+        .withColumn("doc_id", col("doc_id") + col("__i") * maxDoc)
+        .withColumn("text", array_join(
+          transform(split(col("text"), "\\s+"),
+            tok => concat(lit("c"), col("__i"), lit("_"), tok)), " "))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
-                    "events", "documents", "embeddings"))
+                    "events", "embeddings"))
         t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       fs.create(done).close()
     }

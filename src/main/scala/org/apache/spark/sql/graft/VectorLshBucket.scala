@@ -108,4 +108,35 @@ object VectorLshBucket {
   def vectorLshBucket(v: Column, numPlanes: Int, seed: Long): Column =
     ExpressionUtils.column(
       VectorLshBucket(ExpressionUtils.expression(v), numPlanes, seed))
+
+  /** Driver-side twin of [[VectorLshBucket.nullSafeEval]] — same mix
+    * constants, same accumulation order, bit-identical buckets
+    * (parity is spec-checked in SimilarityIvfSpec). Lets a probe
+    * compute its bucket without scheduling a Spark job per query. */
+  def evalLocal(vec: Seq[Float], numPlanes: Int, seed: Long): Long = {
+    require(numPlanes > 0 && numPlanes <= 62,
+      s"numPlanes must be in [1, 62], got $numPlanes")
+    val proj = new Array[Double](numPlanes)
+    var i = 0
+    while (i < vec.length) {
+      val xi = vec(i).toDouble
+      var p = 0
+      while (p < numPlanes) {
+        var h = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL + seed
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h = h ^ (h >>> 31)
+        proj(p) += (if ((h & 1L) == 0L) xi else -xi)
+        p += 1
+      }
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      bucket = bucket * 2L + (if (proj(p) >= 0.0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
 }

@@ -33,6 +33,27 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("boundary: capacity == distinct stays exact under merge") {
+    // the bug class this guards: a partition summary that saw ALL
+    // `capacity` distinct items losslessly is full (size == capacity),
+    // and a lossiness conclusion drawn from size alone would offset
+    // items absent from it by its positive minimum count — inflating
+    // merged counts and errs right at the boundary the exactness
+    // guarantee still covers
+    val items = (1 to 16).flatMap(i => Seq.fill(3 * i)(f"tok$i%02d"))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    Seq(2, 7, 16).foreach { parts =>
+      val got = items.toDS().repartition(parts)
+        .groupByKey(_ => 0).mapValues(identity)
+        .agg(SpaceSavingAgg.of(16).toColumn.name("hh"))
+        .collect().head._2
+      assert(got.forall(_._3 == 0L),
+        s"nonzero err at the capacity==distinct boundary ($parts parts)")
+      assert(got.map(t => (t._1, t._2)).toMap == exact,
+        s"inexact at the capacity==distinct boundary ($parts parts)")
+    }
+  }
+
   test("under-capacity sketch: guarantees hold (containment + bounds)") {
     // synthetic skew: token i has frequency ~ 1000/i
     val items = (1 to 60).flatMap(i => Seq.fill(1000 / i)(f"tok$i%02d"))

@@ -82,4 +82,22 @@ class StreamingPackerSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 6L), (3L, 1L, 12L)))
   }
+
+  test("out-of-order cross-batch arrival fails loudly, not with silent divergence") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[DocTok]
+    val q = StreamingPacker.packAssignments(stream.toDS(), 10L)
+      .writeStream.outputMode(OutputMode.Append())
+      .queryName("packer_ooo").format("memory")
+      .trigger(Trigger.ProcessingTime(100)).start()
+    stream.addData(DocTok("s", 5, 6))
+    q.processAllAvailable()
+    stream.addData(DocTok("s", 3, 6)) // doc 3 after doc 5 was packed
+    val e = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out-of-order")),
+      s"expected the monotonicity guard, got: ${messages(e)}")
+    try q.stop() catch { case _: Exception => () }
+  }
 }
