@@ -2,11 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 
-/** Public column API over the native image expressions (implementation
+/** Public column API over the native media expressions (implementation
   * under org.apache.spark.sql.graft — see the note there on why). */
 object images {
   /** REAL PNG/JPEG header decode (javax.imageio): struct(mime, width,
     * height), NULL when the bytes are not a well-formed image. */
   def image_meta(content: Column): Column =
     org.apache.spark.sql.graft.ImageMeta.imageMeta(content)
+
+  /** REAL WAV header decode (javax.sound.sampled): struct(mime,
+    * channels, sample_rate_hz, frames, duration_ms), NULL when the
+    * bytes are not well-formed WAV. */
+  def audio_meta(content: Column): Column =
+    org.apache.spark.sql.graft.AudioMetaExpr.audioMeta(content)
 }

@@ -60,6 +60,15 @@ object Multimodal {
     coalesce(graft.functions.images.image_meta(content), stub)
   }
 
+  /** Audio metadata: WAV content REALLY decodes (javax.sound.sampled
+    * header probe via the codegen'd audio_meta expression —
+    * channels / sample rate / frames / duration from the actual RIFF
+    * header); non-audio bytes yield NULL (unlike [[decodeMeta]] there
+    * is no stub fallback — the catalog has no audio assets to keep
+    * oracle-stable, so absence is the honest signal). */
+  def decodeAudioMeta(content: Column): Column =
+    graft.functions.images.audio_meta(content)
+
   /** Thumbnail = leading byte slice (STUB DECODER for a resize). */
   def thumbnail(content: Column, nBytes: Int): Column =
     substring(content, 1, nBytes)

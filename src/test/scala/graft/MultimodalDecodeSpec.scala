@@ -84,6 +84,42 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     }
   }
 
+  private def wavBytes(sampleRateHz: Int, channels: Int,
+                       frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRateHz.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    for (i <- pcm.indices) pcm(i) = ((i * 37) & 0x7f).toByte
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioHeaders + audio_meta: WAV headers decode to true format; junk is null") {
+    import graft.multimodal.AudioHeaders
+    val m = AudioHeaders.meta(wavBytes(16000, 2, 8000))
+    assert(m == AudioHeaders.AudioMeta("audio/wav", 2, 16000, 8000L, 500L))
+    assert(AudioHeaders.meta("RIFFnot really a wave file".getBytes("UTF-8")) == null)
+    assert(AudioHeaders.meta("plain text".getBytes("UTF-8")) == null)
+
+    val rows = Seq(
+      (1L, wavBytes(8000, 1, 4000)),
+      (2L, "document body".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    import graft.functions.images.audio_meta
+    val got = rows
+      .select(col("asset_id"), audio_meta(col("content")).as("a"),
+        audio_meta(col("content")).as("b")) // repeated use in one stage
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = got(1L).getStruct(1)
+    assert(a.getString(0) == "audio/wav" && a.getInt(1) == 1 &&
+      a.getInt(2) == 8000 && a.getLong(3) == 4000L && a.getLong(4) == 500L)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2))
+  }
+
   test("decodeBatched: typed per-partition path really decodes images") {
     val assets = Seq(
       Multimodal.Asset(1L, imageBytes("png", 31, 64), "application/x-unknown"),
