@@ -809,17 +809,21 @@ object Queries {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
     }),
 
-    // Hyperplane-LSH ANN top-k (hash-based buckets: no SQL oracle).
-    // First call builds the persisted bucket-partitioned index (the
-    // one-time cost a real deployment amortizes); every probe after is
-    // a partition-pruned read of ≈ (planes+1)/2^planes of the corpus.
+    // Hyperplane-LSH ANN top-k over the MULTI-TABLE persisted index
+    // (hash-based buckets: no SQL oracle; recall floor pinned in
+    // SimilarityIvfSpec). First call builds the index — the one-time
+    // 8×-storage cost of OR-amplified LSH a real deployment
+    // amortizes; every probe after reads ≈ tables·(planes+1)/2^planes
+    // of the corpus via tb-range file skipping, with the probe
+    // buckets computed driver-side (zero pre-scan Spark jobs).
     "s02_ann_topk" -> ((s, d) => {
       val emb = TestData.table(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
-      val idx = Similarity.ensureLshIndex(
-        emb.filter(col("vec_id") =!= 0), "embedding", annIndexPath(d, "lsh8-42"))
-      Similarity.annTopK(idx, "vec_id", "embedding", q, 10)
+      val idx = Similarity.ensureLshIndexMulti(
+        emb.filter(col("vec_id") =!= 0), "embedding",
+        annIndexPath(d, "lsh8x8-42"), tables = 8)
+      Similarity.annTopKMulti(idx, "vec_id", "embedding", q, 10, tables = 8)
     }),
 
     // IVF ANN: persisted inverted lists (+ centroid sidecar), probed

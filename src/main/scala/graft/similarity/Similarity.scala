@@ -125,6 +125,61 @@ object Similarity {
     corpus.sparkSession.read.parquet(path)
   }
 
+  /** Per-table seed for the multi-table (OR-amplified) LSH surfaces —
+    * one shared definition so index build, pair join, and probes can
+    * never disagree. The multiplier is unrelated to the plane/dim mix
+    * constants (no aliasing); splitmix64's finalizer decorrelates the
+    * tables. */
+  private[graft] def tableSeed(seed: Long, t: Int): Long =
+    seed + t * 0x5851F42D4C957F2DL
+
+  /** Build (or reuse) a MULTI-TABLE LSH index at `path`: each vector
+    * appears once per hash table under the combined (table, bucket)
+    * key `tb` — the standard multi-index LSH trade (tables× storage
+    * for OR-amplified recall; single-table probes at this
+    * dimensionality/similarity miss most true neighbors).
+    *
+    * Layout: RANGE-partitioned and sorted on `tb`, so every parquet
+    * file covers a contiguous key slice and a probe's `tb IN (...)`
+    * predicate skips non-matching files/row-groups from footer
+    * min/max stats alone — file-granularity pruning with a BOUNDED
+    * file count. (A hive-style partitionBy("tb") dir per key would
+    * prune identically but mints tables·2^planes directories — small-
+    * file pathology at any corpus size where buckets ≪ files make
+    * sense.) */
+  def ensureLshIndexMulti(corpus: DataFrame, vecCol: String, path: String,
+                          numPlanes: Int = 8, tables: Int = 8,
+                          seed: Long = 42L): DataFrame = {
+    if (!indexExists(corpus, path))
+      corpus.withColumn("tb", explode(array(Seq.tabulate(tables)(t =>
+          lit(t.toLong * (1L << numPlanes)) +
+            lshBucket(col(vecCol), numPlanes, tableSeed(seed, t))): _*)))
+        .repartitionByRange(col("tb"))
+        .sortWithinPartitions("tb")
+        .write.mode("overwrite").parquet(path)
+    corpus.sparkSession.read.parquet(path)
+  }
+
+  /** ANN top-k against the multi-table index: per table, probe the
+    * query's bucket plus all single-bit flips (buckets computed
+    * DRIVER-side); candidates found by several tables dedupe by id
+    * before the exact re-rank. */
+  def annTopKMulti(indexed: DataFrame, idCol: String, vecCol: String,
+                   query: Seq[Float], k: Int, numPlanes: Int = 8,
+                   tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val probes = (0 until tables).flatMap { t =>
+      probeBuckets(query, numPlanes, tableSeed(seed, t))
+        .map(b => t.toLong * (1L << numPlanes) + b)
+    }
+    indexed
+      .filter(col("tb").isin(probes: _*))
+      .dropDuplicates(idCol)
+      .withColumn("cosine", cosine(col(vecCol), array(query.map(lit): _*)))
+      .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Build (or reuse) the IVF index at `path`: corpus partitioned by
     * `ivf_list` plus a `.centroids` sidecar so probes don't recompute
     * the quantizer. Returns (index frame, centroids). */
@@ -242,10 +297,7 @@ object Similarity {
                                 tables: Int = 16, seed: Long = 42L,
                                 maxBucket: Int = 4000): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
-    // distinct-valued table seeds; the multiplier is unrelated to the
-    // plane/dim mix constants so tables never alias, and splitmix64's
-    // finalizer decorrelates the planes across tables
-    val tableSeeds = Seq.tabulate(tables)(t => seed + t * 0x5851F42D4C957F2DL)
+    val tableSeeds = Seq.tabulate(tables)(t => tableSeed(seed, t))
     val base = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val homes = array(tableSeeds.map(s => lshBucket(col("__v"), numPlanes, s)): _*)
     val probes = base

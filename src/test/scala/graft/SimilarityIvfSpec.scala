@@ -116,6 +116,50 @@ class SimilarityIvfSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("multi-table LSH ANN: pushdown-pruned probes, recall@10 pinned (sf0.1)") {
+    // the single-table probe measures ~0 recall@10 on this corpus (no
+    // similarity gap — true neighbors sit at cosine ≈ 0.3 where sign
+    // patterns are near-random); 8 OR-amplified tables measure 0.61
+    // (AnnRecall tool). Deterministic, so the floor is a hard pin.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val emb = TestData.table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-multi").toString
+    val idx = Similarity.ensureLshIndexMulti(emb, "embedding",
+      s"$dir/lsh", tables = 8)
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // the probe predicate reaches the parquet scan (footer-stat file
+    // skipping over the tb-range-sorted layout)
+    val probe0 = Similarity.annTopKMulti(
+      idx.filter(col("vec_id") =!= 0L), "vec_id", "embedding",
+      queries.head._2, 10, tables = 8)
+    probe0.count() // the dedup exchange wraps the plan in AQE
+    val plan = probe0.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val pushed = plan.collectFirst {
+      case f: FileSourceScanExec => f.metadata("PushedFilters")
+    }.get
+    assert(pushed.contains("tb"), s"probe predicate not pushed: $pushed")
+
+    val recalls = queries.map { case (qid, q) =>
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.annTopKMulti(
+        idx.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10,
+        tables = 8).collect().map(_.getLong(0)).toSet
+      ann.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.55, s"multi-table ANN recall regressed: $mean")
+    emb.unpersist()
+  }
+
   test("one Lloyd pass improves IVF recall@10 on the bench corpus (pinned)") {
     // measured on sf0.1 (IvfRecall tool): stride seeds 0.52, one Lloyd
     // pass 0.56 mean recall@10 over the first 10 queries at nProbe=4 —
