@@ -56,6 +56,8 @@ object GraftFunctions {
       "lang_id" -> col1(langId),
       "doc_fingerprint" -> col1(fingerprint),
       "simhash" -> col1(graft.dedup.Dedup.simhashSignature),
+      "image_meta" -> (exprs => ImageMeta(exprs.head)),
+      "audio_meta" -> (exprs => AudioMetaExpr(exprs.head)),
       // fixed-parameter forms of the parameterized operators
       "lsh_bucket" ->
         (exprs => VectorLshBucket(exprs.head, 8, 42L)),

@@ -35,10 +35,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val row = spark.sql(
       """SELECT vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot,
                 token_count('a b  c') AS tc,
-                sorted_intersect_size(array(1, 2, 5), array(2, 5, 9)) AS si
+                sorted_intersect_size(array(1, 2, 5), array(2, 5, 9)) AS si,
+                image_meta(CAST('not an image' AS BINARY)) AS im,
+                audio_meta(CAST('not audio' AS BINARY)) AS am
       """).head()
     assert(row.getDouble(0) == 11.0)
     assert(row.getInt(1) == 3)
     assert(row.getInt(2) == 2)
+    assert(row.isNullAt(3) && row.isNullAt(4))
   }
 }
