@@ -64,6 +64,27 @@ class LshScaleGateSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact), s"non-subset pairs: ${(lsh -- exact).take(5)}")
   }
 
+  test("e03 plan shape: no quadratic join anywhere in the LSH pipeline") {
+    // the entire point of the scale form is replacing e02's
+    // BroadcastNestedLoopJoin with bucket-local candidates + equi-join
+    // verification — a quadratic operator reappearing in this plan is
+    // a regression even if results stay right
+    val emb = TestData.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val df = Similarity.cosineNearDuplicatesMulti(
+      emb, "vec_id", "embedding", 0.4, tables = 20)
+    df.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val quadratic = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }
+    assert(quadratic.isEmpty, s"LSH pipeline planned a quadratic join:\n$plan")
+  }
+
   test("e04: bucketed self-NN == exact argmax restricted to the 0.4 band") {
     val emb = TestData.table(spark, "/root/testdata/sf0.01", "embeddings").cache()
     val exact = Similarity.selfNearestNeighbor(emb, "vec_id", "embedding")
