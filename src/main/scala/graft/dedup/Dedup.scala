@@ -118,10 +118,15 @@ object Dedup {
     * sizes and intersections are collision-exact for practical
     * purposes (64-bit, corpus-vocab scale).
     */
-  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                     shingleLen: Int = 3, numHashes: Int = 64,
-                     numBands: Int = 16, threshold: Double = 0.7,
-                     maxBucket: Int = 1000): DataFrame = {
+  /** Per-doc (sorted shingle-hash set, band-key vector) — the shared
+    * signature stage of the batch near-dup join ([[nearDuplicates]])
+    * and the incremental index ([[graft.streaming.IncrementalNearDup]]):
+    * band keys are a pure function of the text, so a doc indexed today
+    * collides with a doc arriving next month exactly as it would have
+    * in one batch. Returns (idCol, __shh, __bk). */
+  private[graft] def bandSignatures(docs: DataFrame, idCol: String,
+                                    textCol: String, shingleLen: Int,
+                                    numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "bands must tile the signature")
     val r = numHashes / numBands
     val ex = docs.select(col(idCol),
@@ -133,12 +138,20 @@ object Dedup {
       .select(col(idCol),
         array(Seq.tabulate(numHashes)(i => col(s"__h$i")): _*).as("__sig"),
         col("__shh"))
+    sigs.select(col(idCol), col("__shh"),
+      array(Seq.tabulate(numBands)(b =>
+        xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*).as("__bk"))
+  }
+
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int = 3, numHashes: Int = 64,
+                     numBands: Int = 16, threshold: Double = 0.7,
+                     maxBucket: Int = 1000): DataFrame = {
     // members carry their full band-key vector (numBands longs — tiny
     // next to the shingle set) so the pair can apply the verify-ONCE
     // guard below
-    val withBk = sigs.select(col(idCol), col("__shh"),
-      array(Seq.tabulate(numBands)(b =>
-        xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*).as("__bk"))
+    val withBk = bandSignatures(docs, idCol, textCol,
+      shingleLen, numHashes, numBands)
     val bandKeys = withBk.select(col(idCol), col("__shh"), col("__bk"),
       posexplode(col("__bk")).as(Seq("band", "key")))
     // per-doc band-survival vector: __ok[b] ⇔ the doc's band-b bucket

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{ConnectedComponents, Dedup}
+import graft.sources.TestData
+import graft.streaming.IncrementalNearDup
+
+/** Streaming ≡ batch for NEAR-dup maintenance: feeding the real
+  * documents table through micro-batches must converge to exactly the
+  * clusters a one-shot batch recompute produces — same band keys, same
+  * exact verification, same min-label components — while labels fold
+  * in Δ-sized work per batch (the dynamic-table discipline applied to
+  * dedup). */
+class IncrementalNearDupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val P = IncrementalNearDup.Params(shingleLen = 1, numHashes = 32,
+    numBands = 4, threshold = 0.7, maxBucket = 10000)
+
+  private def referenceClusters() = {
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      P.shingleLen, P.numHashes, P.numBands, P.threshold, P.maxBucket)
+    ConnectedComponents.dupClusters(docs, "doc_id",
+      pairs.select("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("streaming micro-batches converge to the one-shot batch clusters") {
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val statePath = Files.createTempDirectory("graft-incdedup-s").toString
+    val ref = referenceClusters()
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalNearDup.attach(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", statePath, P,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    val all = docs.as[(Long, String)].collect().sortBy(_._1)
+    all.grouped(math.max(1, all.length / 3)).foreach { b =>
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = IncrementalNearDup.clusters(docs, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+  }
+
+  test("direct batch-incremental folds match, and a replayed batch is idempotent") {
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val statePath = Files.createTempDirectory("graft-incdedup-b").toString
+    val ref = referenceClusters()
+
+    val parts = docs.as[(Long, String)].collect().sortBy(_._1)
+      .grouped(200).map(_.toSeq.toDF("doc_id", "text")).toSeq
+    IncrementalNearDup.processBatch(parts(0), "doc_id", "text", statePath, P)
+    // simulate a foreachBatch retry: the same batch replays in full
+    IncrementalNearDup.processBatch(parts(0), "doc_id", "text", statePath, P)
+    parts.drop(1).foreach(b =>
+      IncrementalNearDup.processBatch(b, "doc_id", "text", statePath, P))
+
+    val got = IncrementalNearDup.clusters(docs, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+
+    // only the latest couple of label versions are retained
+    val labelDirs = new java.io.File(s"$statePath/labels").list()
+    assert(labelDirs.count(_.startsWith("v")) <= 2, labelDirs.mkString(","))
+  }
+
+  test("cross-batch pairs are found: a near-dup arriving months later still clusters") {
+    val statePath = Files.createTempDirectory("graft-incdedup-x").toString
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "zig zag")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    IncrementalNearDup.processBatch(b1, "doc_id", "text", statePath, P)
+    IncrementalNearDup.processBatch(b2, "doc_id", "text", statePath, P)
+    val got = IncrementalNearDup.clusters(
+      Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // jaccard(doc1, doc3) = 4/5 >= 0.7 → same cluster (min id 1)
+    assert(got(1L) == 1L && got(3L) == 1L && got(2L) == 2L)
+  }
+}
