@@ -129,18 +129,31 @@ object Dedup {
                                     numHashes: Int, numBands: Int): DataFrame = {
     require(numHashes % numBands == 0, "bands must tile the signature")
     val r = numHashes / numBands
-    val ex = docs.select(col(idCol),
-      explode(TextFunctions.shingles(col(textCol), shingleLen)).as("__s"))
-    val minAggs = Seq.tabulate(numHashes)(i =>
-      min(xxhash64(col("__s"), lit(i + 1))).as(s"__h$i"))
-    val aggs = minAggs :+ sort_array(collect_set(xxhash64(col("__s")))).as("__shh")
-    val sigs = ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        array(Seq.tabulate(numHashes)(i => col(s"__h$i")): _*).as("__sig"),
-        col("__shh"))
-    sigs.select(col(idCol), col("__shh"),
-      array(Seq.tabulate(numBands)(b =>
-        xxhash64(slice(col("__sig"), b * r + 1, r), lit(b))): _*).as("__bk"))
+    def bk(sig: Column): Column = array(Seq.tabulate(numBands)(b =>
+      xxhash64(slice(sig, b * r + 1, r), lit(b))): _*)
+    if (shingleLen == 1) {
+      // 1-gram shingles are distinct tokens: the whole signature stage
+      // collapses into ONE row-local codegen kernel (minhash_signature)
+      // — no explode, no hash-agg shuffle, bit-identical output
+      // (SignatureParitySpec). The null-text filter mirrors the agg
+      // path, where explode(null) drops the row.
+      docs.filter(col(textCol).isNotNull)
+        .select(col(idCol), graft.functions.signatures
+          .minhash_signature(col(textCol), numHashes).as("__m"))
+        .select(col(idCol), col("__m.shh").as("__shh"),
+          bk(col("__m.sig")).as("__bk"))
+    } else {
+      val ex = docs.select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), shingleLen)).as("__s"))
+      val minAggs = Seq.tabulate(numHashes)(i =>
+        min(xxhash64(col("__s"), lit(i + 1))).as(s"__h$i"))
+      val aggs = minAggs :+ sort_array(collect_set(xxhash64(col("__s")))).as("__shh")
+      val sigs = ex.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+        .select(col(idCol),
+          array(Seq.tabulate(numHashes)(i => col(s"__h$i")): _*).as("__sig"),
+          col("__shh"))
+      sigs.select(col(idCol), col("__shh"), bk(col("__sig")).as("__bk"))
+    }
   }
 
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
@@ -417,7 +430,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
-    val sigs = simhashSignaturesPacked(docs, idCol, textCol)
+    // row-local packed signature (one codegen kernel in the scan) —
+    // bit-identical to the explode+agg form [[simhashSignaturesPacked]]
+    // (SignatureParitySpec), without its shuffle; the null filter
+    // mirrors the agg path, where explode(null) drops the row
+    val sigs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.signatures.simhash_packed(col(textCol)).as("__sig"))
     // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤1 bit
     val chunkCols = Seq.tabulate(nChunks) { i =>
       val startBit = i * 64 / nChunks
