@@ -935,6 +935,27 @@ object Queries {
         .agg(count(lit(1)).as("n_members"))
         .orderBy("cluster_id")),
 
+    // END-TO-END curation pipeline — the composition the individual
+    // operators exist for: score every doc (token count, quality,
+    // language), keep only its cluster's canonical representative
+    // (min doc_id — the d05/d06 clustering, shared via the cached
+    // pair set), and apply the training-data admission filters. One
+    // broadcast-able keep-list join + scan-local scoring on top of
+    // the already-materialized clusters: the marginal cost of the
+    // whole pipeline beyond dedup is one projection.
+    "c01_curation_pipeline" -> ((s, d) => {
+      val scored = documents(s, d).select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val keepers = dupClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      scored.join(keepers, "doc_id")
+        .filter(col("quality_score") >= 0.72 &&
+          col("lang_pred") =!= "und" && col("n_tokens") >= 3)
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     "t08_repetition" -> ((s, d) => {
