@@ -458,7 +458,12 @@ ORDER BY doc_id"""),
 
     // e03 shares e02's brute-force SQL: the LSH form's verification is
     // exact and its recall is measured 100% on the shipped corpora
-    // (LshScaleGateSpec), so the emitted set IS the exact set.
+    // (LshScaleGateSpec), so the emitted set IS the exact set. The 0.4
+    // threshold here MUST equal Similarity.PairThreshold — gate,
+    // catalog query, and this SQL all key off that one constant
+    // (tables = Similarity.PairTables), so a parameter drift fails the
+    // recall gate before it can turn probabilistic misses into a
+    // confusing driver hash mismatch.
     "e03_cosine_lsh_pairs" -> ("""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b,

@@ -100,7 +100,8 @@ object Queries {
     lshPairsCache.getOrElseUpdate((spark, dir),
       Similarity.cosineNearDuplicatesMulti(
         TestData.table(spark, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, tables = 20).cache())
+        threshold = Similarity.PairThreshold,
+        tables = Similarity.PairTables).cache())
 
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */

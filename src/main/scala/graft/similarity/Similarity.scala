@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The catalog's e03/e04 LSH pair-set parameters — ONE definition
+    * shared by the queries (`Queries.lshCosinePairs`), the recall gate
+    * (LshScaleGateSpec), and the oracle comment: the e03/e04 oracle
+    * rows reuse the exact brute-force SQL, which is sound only while
+    * multi-table recall at THESE parameters is 100% on the shipped
+    * corpora. Any tweak changes gate and catalog together, so a drift
+    * fails the recall gate first — not the driver hash check. */
+  val PairThreshold = 0.4
+  val PairTables = 20
+
   /** Dot product — the native codegen expression
     * ([[graft.functions.VectorDot]]): widen-to-double, left-to-right
     * accumulation, bit-identical to the HOF fold it replaced but
@@ -344,14 +354,17 @@ object Similarity {
 
   /** Per-id argmax over an undirected (a, b, cosine) pair set — the
     * reduce step shared by the bucketed self-NN and any precomputed
-    * pair table. Map-side partial maxes, no window. */
+    * pair table. Map-side partial maxes, no window. The (cosine desc,
+    * nn asc) tie-break is one `min` over `struct(-cosine, nn)`: only
+    * the always-numeric cosine is negated, so string/UUID neighbor ids
+    * order correctly too (struct comparison is lexicographic). */
   def nearestFromPairs(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("a").as("id"), col("b").as("nn"), col("cosine"))
       .unionAll(pairs.select(col("b").as("id"), col("a").as("nn"), col("cosine")))
     sym.groupBy("id")
-      .agg(max(struct(col("cosine"), (-col("nn")).as("__negnn"))).as("__m"))
-      .select(col("id"), (-col("__m.__negnn")).as("nn"),
-              col("__m.cosine").as("cosine"))
+      .agg(min(struct((-col("cosine")).as("__negc"), col("nn"))).as("__m"))
+      .select(col("id"), col("__m.nn").as("nn"),
+              (-col("__m.__negc")).as("cosine"))
   }
 
   /** The query's bucket and its single-bit-flip neighbors. The bucket
@@ -397,11 +410,17 @@ object Similarity {
     for (_ <- 0 until refineSteps) {
       val avgs = Seq.tabulate(dim)(j =>
         avg(col(vecCol)(j).cast("decimal(30,12)")).as(s"__c$j"))
+      // decimal(30,12) holds |x| < 1e18 — any component that overflows
+      // the cast averages to NULL, and that list keeps its previous
+      // centroid rather than NPE-ing or recentring on a silent subset
+      // (embeddings are unit-scale in practice; this is a guard, not a
+      // supported range).
       val means = withIvfLists(corpus, vecCol, cents)
         .groupBy("ivf_list").agg(avgs.head, avgs.tail: _*)
-        .collect().map { r =>
-          r.getInt(0) -> Seq.tabulate(dim)(j =>
-            r.getDecimal(j + 1).floatValue())
+        .collect().flatMap { r =>
+          if ((1 to dim).exists(r.isNullAt)) None
+          else Some(r.getInt(0) -> Seq.tabulate(dim)(j =>
+            r.getDecimal(j + 1).floatValue()))
         }.toMap
       // a list that captured no vectors keeps its seed centroid
       cents = cents.map { case (i, c) => (i, means.getOrElse(i, c)) }

@@ -20,47 +20,71 @@ import graft.dedup.{ConnectedComponents, Dedup}
   *  1. signature the new docs (shared [[Dedup.bandSignatures]] stage —
   *     band keys are a pure function of the text, so cross-batch
   *     collisions are identical to single-batch ones);
-  *  2. probe the accumulated index: candidates are (band, key)
-  *     equi-join matches of the delta against index ∪ delta, with a
-  *     Δ-scoped `maxBucket` skew cap (bucket sizes are counted only
-  *     for keys the delta actually touches);
+  *  2. probe the accumulated index with a PARTITION-PRUNED read: the
+  *     index is stored hive-partitioned on `pb = hash(band, key) mod
+  *     indexBuckets`, the delta's touched `pb` set is collected
+  *     driver-side (Δ-sized, ≤ indexBuckets values), and the probe
+  *     scans ONLY those directories — candidates are (band, key)
+  *     equi-join matches of the delta against prunedIndex ∪ delta,
+  *     with a Δ-scoped `maxBucket` skew cap (bucket sizes are counted
+  *     only for keys the delta actually touches);
   *  3. verify candidates by exact jaccard on the stored shingle-hash
   *     sets (native merge walk — same verifier as the batch join);
   *  4. fold the verified edges into the labeling with
   *     [[ConnectedComponents.addEdges]] — the previous labeling is a
   *     star forest, so convergence takes 1–2 rounds REGARDLESS of how
   *     big the accumulated corpus is: label maintenance is Δ-sized;
-  *  5. append the delta to the index; commit the labeling as a new
-  *     version (reads always see a complete labeling — the version
-  *     dir is swapped only after a successful write).
+  *  5. append the delta's band rows to the index, anti-joined against
+  *     the pruned read first so a foreachBatch REPLAY (crash between
+  *     append and checkpoint commit, or a partially committed append)
+  *     re-appends nothing it already wrote — the index stays
+  *     duplicate-free; then commit the labeling as a new version
+  *     (readers only see versions whose `_SUCCESS` marker exists, so
+  *     an in-flight or crashed write is invisible).
   *
-  * Scale notes. The label fold and the verification are Δ-sized; the
-  * candidate probe is an equi-join whose INDEX side is a scan here —
-  * at corpus scale the index wants storage bucketing on the band key
-  * (bucketed table / Z-order) so the probe reads only colliding
-  * buckets. Streaming ≡ batch equivalence (same pair set, same
-  * clusters as one-shot [[Dedup.nearDuplicates]] + connected
-  * components) is spec-checked on the real documents table.
+  * Scale notes. The label fold and the verification are Δ-sized, and
+  * the probe reads `touchedBuckets / indexBuckets` of the index, not
+  * all of it. `indexBuckets` is the standard bucket-count knob: size
+  * it so one bucket holds a target volume (say a few hundred MB), and
+  * grow it with the corpus — then a probe key costs ONE bucket of
+  * constant size regardless of corpus growth, the same layout/probe
+  * discipline as the e03 ANN index (`Similarity.ensureLshIndexMulti`).
+  * At a fixed bucket count the probe still degrades gracefully:
+  * touched-fraction × corpus instead of 1 × corpus. Each batch writes
+  * one file per touched bucket; a compaction pass (rewrite a bucket
+  * dir in place) bounds file counts under long streams, exactly like
+  * any LSM-ish layout. Streaming ≡ batch equivalence (same pair set,
+  * same clusters as one-shot [[Dedup.nearDuplicates]] + connected
+  * components) is spec-checked on the real documents table
+  * (IncrementalNearDupSpec); pruning and probe-volume growth are
+  * spec-checked in StreamingDedupScaleSpec.
   */
 object IncrementalNearDup {
 
   /** Tuning knobs, fixed for the lifetime of one state directory (band
-    * keys baked into the index depend on them). */
+    * keys and the `pb` bucketing baked into the index depend on them).
+    * `indexBuckets` sizes the hive partitioning of the band index —
+    * scale it with the corpus so per-bucket volume stays constant. */
   case class Params(shingleLen: Int = 1, numHashes: Int = 32,
                     numBands: Int = 4, threshold: Double = 0.7,
-                    maxBucket: Int = 10000)
+                    maxBucket: Int = 10000, indexBuckets: Int = 64)
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
+  /** Complete (SUCCESS-marked) label versions only: a concurrent
+    * reader never lists the version a writer is still materializing
+    * (its dir exists with `_temporary` contents but no `_SUCCESS`). */
   private def labelVersions(spark: SparkSession, statePath: String): Seq[Long] = {
     val dir = new Path(s"$statePath/labels")
     val f = fs(spark, statePath)
     if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+    else f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("v") &&
+        f.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong).sorted
   }
 
   /** The current labeling (node, component) — empty frame before the
@@ -85,27 +109,73 @@ object IncrementalNearDup {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("cluster_id"))
 
+  /** Exploded band rows of a document batch with their index bucket:
+    * (__id, __shh, band, key, pb) — the unit the index stores and the
+    * probe joins on. `pb` is a pure function of (band, key), so every
+    * index row colliding with a delta key lives in a bucket the delta
+    * itself touches. */
+  private[graft] def bandRows(docs: DataFrame, idCol: String,
+                              textCol: String, params: Params): DataFrame =
+    Dedup.bandSignatures(docs, idCol, textCol,
+        params.shingleLen, params.numHashes, params.numBands)
+      .withColumnRenamed(idCol, "__id")
+      .select(col("__id"), col("__shh"),
+        posexplode(col("__bk")).as(Seq("band", "key")))
+      .withColumn("pb",
+        pmod(xxhash64(col("band"), col("key")), lit(params.indexBuckets))
+          .cast("int"))
+
+  /** The accumulated band index (all buckets) — empty before the first
+    * batch. */
+  private[graft] def bandIndex(spark: SparkSession,
+                               statePath: String): Option[DataFrame] = {
+    val idxP = indexPath(statePath)
+    if (fs(spark, statePath).exists(new Path(idxP)))
+      Some(spark.read.parquet(idxP))
+    else None
+  }
+
+  /** Partition-pruned view of the index: only the `pb` buckets in
+    * `touched` are read (hive partition pruning — the scan's
+    * PartitionFilters carry the IN, and non-matching directories are
+    * never listed into the scan). */
+  private[graft] def prunedIndex(index: DataFrame,
+                                 touched: Seq[Int]): DataFrame =
+    index.filter(col("pb").isin(touched: _*))
+
   /** Fold one batch of new documents (idCol, textCol) into the state.
     * Callable directly (batch-incremental) or via [[attach]]. */
   def processBatch(newDocs: DataFrame, idCol: String, textCol: String,
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
-    val delta = Dedup.bandSignatures(newDocs, idCol, textCol,
-      params.shingleLen, params.numHashes, params.numBands)
-      .withColumnRenamed(idCol, "__id")
-      .cache()
+    val deltaBands = bandRows(newDocs, idCol, textCol, params).cache()
 
-    val idxP = indexPath(statePath)
-    val old: DataFrame =
-      if (fs(spark, statePath).exists(new Path(idxP))) spark.read.parquet(idxP)
-      else delta.limit(0)
+    // Δ-sized driver hop: the touched bucket ids (≤ indexBuckets ints)
+    // drive the partition-pruned probe read below
+    val touchedPb = deltaBands.select("pb").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
 
-    def bands(df: DataFrame) = df.select(col("__id"), col("__shh"),
-      posexplode(col("__bk")).as(Seq("band", "key")))
+    val oldPruned: DataFrame = bandIndex(spark, statePath) match {
+      case Some(idx) => prunedIndex(idx, touchedPb)
+        .select("__id", "__shh", "band", "key", "pb")
+      case None => deltaBands.limit(0)
+    }
 
-    val deltaBands = bands(delta)
-    val allBands = bands(old).unionByName(deltaBands)
+    // replay / partial-append idempotency: any delta row the index
+    // already holds (same doc, same band key — signatures are pure
+    // functions of the text) is dropped before the append. The check
+    // runs against the PRUNED read only: a replayed row necessarily
+    // lives in a bucket the delta touches.
+    val newRows = deltaBands.join(
+      oldPruned.select("band", "key", "__id"),
+      Seq("band", "key", "__id"), "left_anti")
+
+    // probe universe: every index row colliding with the delta plus
+    // the genuinely-new delta rows — each physical row exactly once
+    // even under replay
+    val allBands = oldPruned.unionByName(
+      newRows.select("__id", "__shh", "band", "key", "pb"))
     // Δ-scoped skew cap: bucket sizes only for (band, key) the delta
     // touches; an over-cap bucket is dropped whole (same contract as
     // the batch join's maxBucket)
@@ -114,9 +184,9 @@ object IncrementalNearDup {
       .groupBy("band", "key").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= params.maxBucket)
       .select("band", "key")
-    // candidates: delta × (index ∪ delta) colliding on a surviving
-    // (band, key); ids ordered, duplicates (several common bands)
-    // collapsed BEFORE the verify so each pair is verified once
+    // candidates: delta × (prunedIndex ∪ delta) colliding on a
+    // surviving (band, key); ids ordered, duplicates (several common
+    // bands) collapsed BEFORE the verify so each pair is verified once
     val cand = deltaBands.join(sizes, Seq("band", "key"))
       .select(col("band"), col("key"),
         col("__id").as("__da"), col("__shh").as("__sa"))
@@ -144,17 +214,23 @@ object IncrementalNearDup {
     val updated = ConnectedComponents.addEdges(
       labels(spark, statePath), edges, "a", "b")
 
-    // commit: labels first (new version dir — readers swap atomically
-    // on the listing), then the index append; a crash between the two
-    // re-processes the batch idempotently (pair set and labels are
-    // functions of content, addEdges is idempotent on repeated edges)
+    // commit: labels first (new version dir, visible only once its
+    // _SUCCESS lands — labelVersions skips incomplete dirs), then the
+    // index append. A crash anywhere re-processes the batch
+    // idempotently: the pair set and labels are functions of content,
+    // addEdges is idempotent on repeated edges, and the anti-join
+    // above keeps a replayed append from duplicating index rows.
     val versions = labelVersions(spark, statePath)
     val next = versions.lastOption.getOrElse(-1L) + 1
     updated.write.mode("overwrite").parquet(s"$statePath/labels/v$next")
     versions.dropRight(1).foreach(v =>
       fs(spark, statePath).delete(new Path(s"$statePath/labels/v$v"), true))
-    delta.write.mode("append").parquet(idxP)
-    delta.unpersist()
+    if (!newRows.isEmpty)
+      // one file per touched bucket per batch (repartition on the
+      // partition column), appended under its pb= directory
+      newRows.repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(indexPath(statePath))
+    deltaBands.unpersist()
     ()
   }
 

@@ -23,11 +23,12 @@ class LshScaleGateSpec extends AnyFunSuite {
   test("e03: multi-table LSH pairs == exact brute-force pairs (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val emb = TestData.table(spark, dir, "embeddings").cache()
-      val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
+      val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", Similarity.PairThreshold)
         .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
         .collect().map(pairKey).toSet
       val lsh = Similarity.cosineNearDuplicatesMulti(
-          emb, "vec_id", "embedding", 0.4, tables = 20)
+          emb, "vec_id", "embedding", Similarity.PairThreshold,
+        tables = Similarity.PairTables)
         .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
         .collect().map(pairKey).toSet
       assert(exact.nonEmpty, s"$dir: degenerate gate — no exact pairs")
@@ -39,11 +40,12 @@ class LshScaleGateSpec extends AnyFunSuite {
 
   test("e03: recall stays 100% on the bench corpus (sf0.1)") {
     val emb = TestData.table(spark, "/root/testdata/sf0.1", "embeddings").cache()
-    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
+    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", Similarity.PairThreshold)
       .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     val lsh = Similarity.cosineNearDuplicatesMulti(
-        emb, "vec_id", "embedding", 0.4, tables = 20)
+        emb, "vec_id", "embedding", Similarity.PairThreshold,
+        tables = Similarity.PairTables)
       .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     assert(exact.size >= 900, s"corpus drifted: ${exact.size} exact pairs")
@@ -54,11 +56,11 @@ class LshScaleGateSpec extends AnyFunSuite {
 
   test("e03 subset property: few tables may miss pairs but never invent them") {
     val emb = TestData.table(spark, "/root/testdata/sf0.01", "embeddings")
-    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
+    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", Similarity.PairThreshold)
       .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     val lsh = Similarity.cosineNearDuplicatesMulti(
-        emb, "vec_id", "embedding", 0.4, tables = 2)
+        emb, "vec_id", "embedding", Similarity.PairThreshold, tables = 2)
       .select(col("a").cast("long"), col("b").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     assert(lsh.subsetOf(exact), s"non-subset pairs: ${(lsh -- exact).take(5)}")
@@ -71,7 +73,8 @@ class LshScaleGateSpec extends AnyFunSuite {
     // a regression even if results stay right
     val emb = TestData.table(spark, "/root/testdata/sf0.01", "embeddings")
     val df = Similarity.cosineNearDuplicatesMulti(
-      emb, "vec_id", "embedding", 0.4, tables = 20)
+      emb, "vec_id", "embedding", Similarity.PairThreshold,
+        tables = Similarity.PairTables)
     df.count()
     val plan = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -88,11 +91,12 @@ class LshScaleGateSpec extends AnyFunSuite {
   test("e04: bucketed self-NN == exact argmax restricted to the 0.4 band") {
     val emb = TestData.table(spark, "/root/testdata/sf0.01", "embeddings").cache()
     val exact = Similarity.selfNearestNeighbor(emb, "vec_id", "embedding")
-      .filter(col("cosine") >= 0.4)
+      .filter(col("cosine") >= Similarity.PairThreshold)
       .select(col("id").cast("long"), col("nn").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     val bucketed = Similarity.selfNearestNeighborBucketed(
-        emb, "vec_id", "embedding", 0.4, tables = 20)
+        emb, "vec_id", "embedding", Similarity.PairThreshold,
+        tables = Similarity.PairTables)
       .select(col("id").cast("long"), col("nn").cast("long"), col("cosine"))
       .collect().map(pairKey).toSet
     assert(exact.nonEmpty, "degenerate gate — no vectors in the band")
