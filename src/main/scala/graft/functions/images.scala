@@ -15,4 +15,10 @@ object images {
     * bytes are not well-formed WAV. */
   def audio_meta(content: Column): Column =
     org.apache.spark.sql.graft.AudioMetaExpr.audioMeta(content)
+
+  /** REAL thumbnail (javax.imageio full decode + bilinear rescale,
+    * longer edge ≤ maxDim, PNG re-encode), NULL when the bytes are
+    * not a well-formed PNG/JPEG. */
+  def image_thumbnail(content: Column, maxDim: Int): Column =
+    org.apache.spark.sql.graft.ImageThumbnail.imageThumbnail(content, maxDim)
 }

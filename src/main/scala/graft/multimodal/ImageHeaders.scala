@@ -56,6 +56,40 @@ object ImageHeaders {
     } catch { case _: Exception => null }
   }
 
+  /** REAL thumbnail: full PNG/JPEG decode (ImageIO), aspect-preserving
+    * bilinear rescale so the longer edge is ≤ `maxDim` (never
+    * upscales), re-encoded as PNG bytes. Null for non-image or
+    * corrupted content — callers coalesce to their stub. Deterministic
+    * for a given JDK: bilinear resampling and the PNG encoder are pure
+    * functions of the pixel grid.
+    *
+    * This is the one genuinely pixel-touching stage in the multimodal
+    * suite (header probes read no payload); video frame extraction
+    * stays a stub — no video codec ships with the JDK. */
+  def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    if (bytes == null || maxDim <= 0 || !(isPng(bytes) || isJpeg(bytes)))
+      return null
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val scale = math.min(1.0,
+        maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+      val tw = math.max(1, math.round(img.getWidth * scale).toInt)
+      val th = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(
+        tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!ImageIO.write(out, "png", bos)) return null
+      bos.toByteArray
+    } catch { case _: Exception => null }
+  }
+
   /** [[meta]] as a Catalyst struct row (mime, width, height) — the
     * call target of the codegen'd ImageMeta expression; null when not
     * an image. */

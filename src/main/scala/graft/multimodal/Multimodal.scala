@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * training-data pipeline needs.
   *
   * The Spark-side plumbing — schema, partitioning, per-partition batch
-  * shape — is real and tested. The codec itself is STUBBED with a
-  * deterministic fake (this environment has no image/audio libraries):
-  * every function marked "STUB DECODER" derives its output from the
-  * bytes via hashing, standing in for a real libjpeg/ffmpeg call with
-  * identical schema and batch shape. Swapping in a real decoder touches
-  * only those marked lines.
+  * shape — is real and tested. PNG/JPEG metadata AND thumbnails are
+  * REALLY decoded (javax.imageio ships with the JDK); WAV headers
+  * really decode too. Only the codecs this environment lacks remain
+  * STUBBED with a deterministic fake: every function marked "STUB
+  * DECODER" derives its output from the bytes via hashing, standing in
+  * for a real ffmpeg call with identical schema and batch shape.
+  * Swapping in a real decoder touches only those marked lines.
   */
 object Multimodal {
 
@@ -69,9 +70,17 @@ object Multimodal {
   def decodeAudioMeta(content: Column): Column =
     graft.functions.images.audio_meta(content)
 
-  /** Thumbnail = leading byte slice (STUB DECODER for a resize). */
-  def thumbnail(content: Column, nBytes: Int): Column =
-    substring(content, 1, nBytes)
+  /** Thumbnail. PNG/JPEG content is REALLY decoded and resampled
+    * (javax.imageio full decode + bilinear rescale via the codegen'd
+    * [[graft.functions.images.image_thumbnail]] — longer edge ≤ `n`
+    * pixels, PNG re-encoded); anything else keeps the deterministic
+    * `n`-byte leading-window stub (STUB DECODER for the codecs this
+    * environment lacks). The two paths can't collide: the image magic
+    * bytes are invalid leading UTF-8, so text-derived assets always
+    * take the stub — which is what keeps the m02 oracle exact. */
+  def thumbnail(content: Column, n: Int): Column =
+    coalesce(graft.functions.images.image_thumbnail(content, n),
+      substring(content, 1, n))
 
   /** Frame sampling: n fixed-stride byte windows (STUB DECODER for
     * video frame extraction) — array<binary>. */

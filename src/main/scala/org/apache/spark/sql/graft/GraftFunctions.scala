@@ -58,6 +58,7 @@ object GraftFunctions {
       "simhash" -> col1(graft.dedup.Dedup.simhashSignature),
       "image_meta" -> (exprs => ImageMeta(exprs.head)),
       "audio_meta" -> (exprs => AudioMetaExpr(exprs.head)),
+      "image_thumbnail" -> (exprs => ImageThumbnail(exprs.head, 128)),
       // fixed-parameter forms of the parameterized operators
       "lsh_bucket" ->
         (exprs => VectorLshBucket(exprs.head, 8, 42L)),

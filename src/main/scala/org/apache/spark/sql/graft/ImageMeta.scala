@@ -51,3 +51,41 @@ object ImageMeta {
   def imageMeta(content: Column): Column =
     ExpressionUtils.column(ImageMeta(ExpressionUtils.expression(content)))
 }
+
+/** Native expression for the REAL thumbnail: full PNG/JPEG decode +
+  * aspect-preserving bilinear rescale to `maxDim` on the longer edge,
+  * re-encoded as PNG bytes; NULL for non-image content. Same
+  * eval/codegen-parity-by-construction shape as [[ImageMeta]]: both
+  * paths call one static method ([[graft.multimodal.ImageHeaders
+  * .thumbnail]]). `maxDim` is a plan-time constant — a per-row column
+  * would defeat reader reuse in a real codec stage. */
+case class ImageThumbnail(child: Expression, maxDim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+
+  override def dataType: DataType = BinaryType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    graft.multimodal.ImageHeaders.thumbnail(v.asInstanceOf[Array[Byte]], maxDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.multimodal.ImageHeaders.thumbnail($b, $maxDim);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageThumbnail =
+    copy(child = newChild)
+}
+
+object ImageThumbnail {
+  /** Column API: real PNG thumbnail bytes, null for non-image. */
+  def imageThumbnail(content: Column, maxDim: Int): Column =
+    ExpressionUtils.column(
+      ImageThumbnail(ExpressionUtils.expression(content), maxDim))
+}

@@ -120,6 +120,37 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(2))
   }
 
+  test("thumbnail: real resample for images (known-good dimensions), byte-window stub otherwise") {
+    val rows = Seq(
+      (1L, imageBytes("png", 64, 48)),   // downscale 2x → 32x24
+      (2L, imageBytes("jpg", 30, 120)),  // portrait: longer edge caps → 8x32
+      (3L, imageBytes("png", 10, 7)),    // already small: never upscaled
+      (4L, "plain text that is definitely long enough".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows
+      .select(col("asset_id"), Multimodal.thumbnail(col("content"), 32).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    def dims(b: Array[Byte]) = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img != null, "thumbnail is not a decodable image")
+      (img.getWidth, img.getHeight)
+    }
+    assert(dims(got(1L)) == (32, 24))
+    assert(dims(got(2L)) == (8, 32))
+    assert(dims(got(3L)) == (10, 7))
+    // non-image content: the deterministic 32-byte leading window
+    assert(got(4L).toSeq ==
+      "plain text that is definitely lo".getBytes("UTF-8").toSeq)
+    // thumbnails are themselves valid PNG (re-encoded, not sliced)
+    assert(ImageHeaders.meta(got(1L)) == Multimodal.AssetMeta("image/png", 32, 24))
+    // deterministic: same input bytes → same thumbnail bytes
+    val again = rows.filter(col("asset_id") === 1L)
+      .select(Multimodal.thumbnail(col("content"), 32))
+      .head().getAs[Array[Byte]](0)
+    assert(again.toSeq == got(1L).toSeq)
+  }
+
   test("decodeBatched: typed per-partition path really decodes images") {
     val assets = Seq(
       Multimodal.Asset(1L, imageBytes("png", 31, 64), "application/x-unknown"),
