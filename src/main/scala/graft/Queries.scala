@@ -957,6 +957,35 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // The FULL curation story: c01's stages (scoring + near-dup keep +
+    // admission filters) extended with the remaining export gates —
+    // drop the benchmark slice itself, drop every doc sharing a 5-gram
+    // with it (the d04 decontamination join: linear in corpus,
+    // small-side distinct-gram build), and stamp the deterministic
+    // train/val/test hash split (t07 — a pure function of the key, no
+    // shuffle). The two extra stages cost one broadcast-able anti-join
+    // and one scan-local projection on top of c01.
+    "c02_curation_splits" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = col("source").isin("src0", "src1")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val keepers = dupClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val contaminated = Dedup.contaminationCounts(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
+        .select("doc_id")
+      scored.join(keepers, "doc_id")
+        .filter(!isBench)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("quality_score") >= 0.72 &&
+          col("lang_pred") =!= "und" && col("n_tokens") >= 3)
+        .withColumn("split", TextFunctions.hashSplit(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     "t08_repetition" -> ((s, d) => {
