@@ -201,7 +201,7 @@ object Dedup {
                         element_at(col("x.__ok"), b + 1), lit(b))
                      .otherwise(rest)
     }
-    buckets
+    val mainPairs = buckets
       .select(col("__ms"), col("band"), explode(col("__ms")).as("x"))
       .select(col("band"), col("x"), explode(col("__ms")).as("y"))
       .filter(col("x.__id") < col("y.__id"))
@@ -218,6 +218,39 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
               round(col("jaccard"), 4).as("jaccard"))
+
+    // OVER-cap buckets: emit a min-anchor STAR instead of dropping the
+    // bucket whole. Dropping kept candidate volume sub-quadratic but
+    // could DISCONNECT a duplicate cluster whose only witnesses sat in
+    // capped buckets (cluster gate, DedupRecallGateSpec). The star —
+    // (bucket-min, member) for every member — restores bucket-linear
+    // connectivity witnesses at bucket-linear cost, with no windows
+    // and no single-task sorts: the anchor table is one row per
+    // over-cap bucket (corpus/maxBucket at most, tiny in practice) so
+    // both joins broadcast, and candidates stream out of the band-row
+    // scan. Verification stays exact, so the pair gates (⊆ exact,
+    // identical jaccard) are unaffected; pairs found by both paths
+    // collapse in the output-sized dropDuplicates.
+    val overKeys = sizes.filter(col("__n") > maxBucket).select("band", "key")
+    val anchors = bandKeys.join(overKeys, Seq("band", "key"))
+      .groupBy("band", "key").agg(min(col(idCol)).as("__mid"))
+    val anchorSets = anchors.join(
+      withBk.select(col(idCol).as("__mid"), col("__shh").as("__msh")), "__mid")
+    val sx = col("__msh"); val sy = col("__shh")
+    val sxn = size(sx); val syn = size(sy)
+    val starPairs = bandKeys
+      .join(broadcast(anchorSets), Seq("band", "key"))
+      .filter(col(idCol) =!= col("__mid"))
+      .filter(syn >= lit(threshold) * sxn && sxn >= lit(threshold) * syn)
+      .withColumn("__si",
+        graft.functions.arrays.sorted_intersect_size(sx, sy))
+      .withColumn("jaccard",
+        col("__si").cast("double") / (sxn + syn - col("__si")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__mid").as("a"), col(idCol).as("b"),
+              round(col("jaccard"), 4).as("jaccard"))
+
+    mainPairs.unionByName(starPairs).dropDuplicates("a", "b")
   }
 
   /** EXACT all-pairs Jaccard-similarity self-join via prefix filtering

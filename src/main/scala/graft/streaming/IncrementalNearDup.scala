@@ -177,8 +177,13 @@ object IncrementalNearDup {
     val allBands = oldPruned.unionByName(
       newRows.select("__id", "__shh", "band", "key", "pb"))
     // Δ-scoped skew cap: bucket sizes only for (band, key) the delta
-    // touches; an over-cap bucket is dropped whole (same contract as
-    // the batch join's maxBucket)
+    // touches; an over-cap bucket is dropped whole. (The batch join
+    // additionally emits a min-anchor star from over-cap buckets for
+    // cluster connectivity; here the accumulated labeling already
+    // holds the history, so the Δ probe only needs the delta's own
+    // witnesses — the streaming ≡ batch spec runs under caps that
+    // never trip, and a tripping cap is a deliberate recall trade in
+    // both forms.)
     val touched = deltaBands.select("band", "key").distinct()
     val sizes = allBands.join(touched, Seq("band", "key"))
       .groupBy("band", "key").agg(count(lit(1)).as("__n"))

@@ -51,6 +51,57 @@ class DedupRecallGateSpec extends AnyFunSuite {
     docs.unpersist(); exact.unpersist(); d02.unpersist()
   }
 
+  test("cluster-level robustness of the capped pair set is pinned (sf0.01 + sf0.1)") {
+    // The level users consume is CLUSTERS (d05/d06), not pairs. Two
+    // distinct effects can split a cluster built from d02's pairs
+    // instead of the exact pair set, and this gate pins both:
+    //
+    //  1. The maxBucket CAP: over-cap buckets used to be dropped
+    //     whole, which could disconnect docs whose only witnesses sat
+    //     there. nearDuplicates now emits a min-anchor STAR from
+    //     over-cap buckets (bucket-linear, exactly verified), so the
+    //     cap no longer erases connectivity witnesses — sf0.01 has
+    //     ZERO over-cap buckets at these params (measured), so its
+    //     divergence below is entirely effect 2.
+    //  2. The LSH S-CURVE: at (numHashes=32, numBands=4) a true pair
+    //     at jaccard 0.7 collides in some band with p ≈ 0.21 — band
+    //     count, not the cap, is the recall knob. The second half of
+    //     the gate pins exactly that: numBands=8 (r=4) shrinks the
+    //     moved-doc count 4× on the same corpus.
+    //
+    // All quantities are deterministic (seeded hashes, min-label CC),
+    // so the pins are exact-corpus measurements with slack only for
+    // param-neutral refactors. Measured: b=4 → 24/500 (sf0.01),
+    // 236/5000 (sf0.1); b=8 → 6/500 (sf0.01).
+    import graft.dedup.ConnectedComponents
+    def cc(docs: org.apache.spark.sql.DataFrame,
+           pairs: org.apache.spark.sql.DataFrame) =
+      ConnectedComponents.dupClusters(docs, "doc_id",
+          pairs.select("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def movedUnder(dir: String, bands: Int): (Int, Int) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").cache()
+      val toks = docs.select(col("doc_id"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val ccExact = cc(docs,
+        Dedup.jaccardJoinExact(toks, "doc_id", "w", 0.7, Nil))
+      val ccCapped = cc(docs, Dedup.nearDuplicates(docs, "doc_id", "text",
+        shingleLen = 1, numHashes = 32, numBands = bands, threshold = 0.7,
+        maxBucket = 200))
+      docs.unpersist()
+      (ccExact.count { case (k, v) => ccCapped(k) != v }, ccExact.size)
+    }
+    val (m01, n01) = movedUnder("/root/testdata/sf0.01", bands = 4)
+    assert(m01 <= 30, s"sf0.01 b=4: $m01/$n01 docs changed cluster (pin 30)")
+    val (m01b8, _) = movedUnder("/root/testdata/sf0.01", bands = 8)
+    assert(m01b8 <= 10,
+      s"sf0.01 b=8: $m01b8 docs changed cluster (pin 10) — band knob regressed")
+    assert(m01b8 < m01, "more bands must not worsen cluster fidelity")
+    val (m1, n1) = movedUnder("/root/testdata/sf0.1", bands = 4)
+    assert(m1 <= 300, s"sf0.1 b=4: $m1/$n1 docs changed cluster (pin 300)")
+  }
+
   test("d03 == brute-force Hamming-≤3 pairs exactly (sf0.01 + sf0.1)") {
     for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
