@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TestData
+import graft.streaming.{IncrementalCuration, IncrementalNearDup}
+
+/** Streaming ≡ batch for the WHOLE curation pipeline: documents
+  * arriving in micro-batches fold into the incremental near-dup state,
+  * and the curated view (scoring + cluster-representative keep-set +
+  * admission filters) over the docs seen so far must equal the
+  * one-shot batch pipeline at EVERY prefix — not just after the last
+  * batch. That is the dynamic-table contract applied to curation. */
+class StreamingCurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val P = IncrementalNearDup.Params(shingleLen = 1, numHashes = 32,
+    numBands = 4, threshold = 0.7, maxBucket = 10000)
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSeq
+
+  test("streaming curated view == batch curation at every batch boundary") {
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val statePath = Files.createTempDirectory("graft-curation-s").toString
+    val all = docs.as[(Long, String)].collect().sortBy(_._1)
+    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = IncrementalNearDup.attach(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", statePath, P,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+
+    var seen = Seq.empty[(Long, String)]
+    for (b <- batches) {
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      seen = seen ++ b
+      val seenDf = seen.toDF("doc_id", "text")
+      val streaming = rowsOf(IncrementalCuration.curated(
+        seenDf, "doc_id", "text", statePath))
+      val batch = rowsOf(IncrementalCuration.curatedBatch(
+        seenDf, "doc_id", "text", P))
+      assert(streaming == batch,
+        s"curated view diverged after ${seen.length} docs: " +
+          s"streaming ${streaming.length} rows, batch ${batch.length} rows")
+      assert(streaming.nonEmpty, "degenerate check: empty curated view")
+    }
+    q.stop()
+
+    // the final curated view keeps exactly one representative per
+    // surviving cluster and only admitted docs
+    val finalView = IncrementalCuration.curated(
+      seen.toDF("doc_id", "text"), "doc_id", "text", statePath)
+    assert(finalView.filter(col("quality_score") < 0.72).count() == 0)
+    assert(finalView.select("doc_id").distinct().count() == finalView.count())
+  }
+}
