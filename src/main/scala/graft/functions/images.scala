@@ -21,4 +21,10 @@ object images {
     * not a well-formed PNG/JPEG. */
   def image_thumbnail(content: Column, maxDim: Int): Column =
     org.apache.spark.sql.graft.ImageThumbnail.imageThumbnail(content, maxDim)
+
+  /** REAL GIF frame sampling (javax.imageio sequence decode, even
+    * stride, per-frame PNG re-encode): array<binary> of ≤ n frames,
+    * NULL when the bytes are not a well-formed GIF. */
+  def image_frames(content: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ImageFrames.imageFrames(content, n)
 }

@@ -6,6 +6,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** REAL image header decode (JDK javax.imageio — public and offline):
@@ -63,9 +64,9 @@ object ImageHeaders {
     * for a given JDK: bilinear resampling and the PNG encoder are pure
     * functions of the pixel grid.
     *
-    * This is the one genuinely pixel-touching stage in the multimodal
-    * suite (header probes read no payload); video frame extraction
-    * stays a stub — no video codec ships with the JDK. */
+    * Genuinely pixel-touching, like [[frames]] (header probes read no
+    * payload); true-video frame extraction stays a stub — no mp4/webm
+    * codec ships with the JDK, only GIF. */
   def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
     if (bytes == null || maxDim <= 0 || !(isPng(bytes) || isJpeg(bytes)))
       return null
@@ -88,6 +89,65 @@ object ImageHeaders {
       if (!ImageIO.write(out, "png", bos)) return null
       bos.toByteArray
     } catch { case _: Exception => null }
+  }
+
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 13 &&
+      b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+      (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  /** REAL frame sampling for multi-frame GIF content: ImageIO's GIF
+    * reader decodes the image sequence; `n` frames are sampled at even
+    * stride (first and last always included when n > 1), each
+    * re-encoded as PNG bytes. Null for non-GIF or corrupted content —
+    * callers coalesce to their byte-window stub, exactly like
+    * [[thumbnail]]. GIF is the one multi-frame container the JDK ships
+    * a codec for; a true video codec (libav) would slot into this same
+    * shape. Frames are the stored rasters as the reader returns them —
+    * disposal-method compositing of patch frames is out of scope (the
+    * sampling/stride/re-encode plumbing is what this stage proves).
+    *
+    * Unlike PNG/JPEG magic, "GIF87a"/"GIF89a" is printable ASCII, so a
+    * text document could pass the signature sniff — the full decode
+    * then fails on the structure and returns null, keeping the stub
+    * path (and the m02 oracle) intact for text-derived assets. */
+  def frames(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
+    if (bytes == null || n <= 0 || !isGif(bytes)) return null
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val r = readers.next()
+        try {
+          r.setInput(iis, false, true)
+          val total = r.getNumImages(true)
+          if (total <= 0) return null
+          val take = math.min(n, total)
+          val out = new Array[Array[Byte]](take)
+          var j = 0
+          while (j < take) {
+            val idx =
+              if (take == 1) 0
+              else ((j.toLong * (total - 1)) / (take - 1)).toInt
+            val img = r.read(idx)
+            if (img == null) return null
+            val bos = new java.io.ByteArrayOutputStream()
+            if (!ImageIO.write(img, "png", bos)) return null
+            out(j) = bos.toByteArray
+            j += 1
+          }
+          out
+        } finally r.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => null }
+  }
+
+  /** [[frames]] as Catalyst array data — the call target of the
+    * codegen'd ImageFrames expression; null when not a GIF. */
+  def framesData(bytes: Array[Byte], n: Int): ArrayData = {
+    val f = frames(bytes, n)
+    if (f == null) null else new GenericArrayData(f.asInstanceOf[Array[Any]])
   }
 
   /** [[meta]] as a Catalyst struct row (mime, width, height) — the

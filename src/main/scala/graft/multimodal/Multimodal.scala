@@ -82,11 +82,20 @@ object Multimodal {
     coalesce(graft.functions.images.image_thumbnail(content, n),
       substring(content, 1, n))
 
-  /** Frame sampling: n fixed-stride byte windows (STUB DECODER for
-    * video frame extraction) — array<binary>. */
+  /** Frame sampling — array<binary>. GIF content REALLY decodes
+    * (ImageIO sequence decode via the codegen'd
+    * [[graft.functions.images.image_frames]] — ≤ `frames` evenly
+    * strided frames, each re-encoded PNG); anything else keeps the
+    * n fixed-stride byte windows (STUB DECODER for the video codecs
+    * this environment lacks). The GIF magic is printable ASCII, but
+    * the full decode rejects non-GIF structure, so text-derived
+    * assets always take the stub — which keeps the m02 oracle
+    * exact. */
   def frameSample(content: Column, frames: Int, frameBytes: Int): Column =
-    transform(sequence(lit(0), lit(frames - 1)),
-      i => content.substr(i * frameBytes + 1, lit(frameBytes)))
+    coalesce(
+      graft.functions.images.image_frames(content, frames),
+      transform(sequence(lit(0), lit(frames - 1)),
+        i => content.substr(i * frameBytes + 1, lit(frameBytes))))
 
   /** STUB DECODER: fixed-width float feature vector from content —
     * stands in for a vision/audio embedding model. Deterministic:

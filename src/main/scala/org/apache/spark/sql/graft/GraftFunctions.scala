@@ -59,6 +59,7 @@ object GraftFunctions {
       "image_meta" -> (exprs => ImageMeta(exprs.head)),
       "audio_meta" -> (exprs => AudioMetaExpr(exprs.head)),
       "image_thumbnail" -> (exprs => ImageThumbnail(exprs.head, 128)),
+      "image_frames" -> (exprs => ImageFrames(exprs.head, 4)),
       // fixed-parameter forms of the parameterized operators
       "lsh_bucket" ->
         (exprs => VectorLshBucket(exprs.head, 8, 42L)),

@@ -89,3 +89,41 @@ object ImageThumbnail {
     ExpressionUtils.column(
       ImageThumbnail(ExpressionUtils.expression(content), maxDim))
 }
+
+/** Native expression for REAL multi-frame sampling: GIF content is
+  * fully decoded (ImageIO image sequence), `n` frames sampled at even
+  * stride and re-encoded as PNG bytes each; NULL for non-GIF content.
+  * Same eval/codegen-parity-by-construction shape as the siblings —
+  * one static call target ([[graft.multimodal.ImageHeaders.framesData]])
+  * serves both paths. `n` is a plan-time constant, like
+  * [[ImageThumbnail]]'s maxDim. */
+case class ImageFrames(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    graft.multimodal.ImageHeaders.framesData(v.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.multimodal.ImageHeaders.framesData($b, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ImageFrames =
+    copy(child = newChild)
+}
+
+object ImageFrames {
+  /** Column API: real GIF frame PNGs (≤ n, evenly strided), null for
+    * non-GIF content. */
+  def imageFrames(content: Column, n: Int): Column =
+    ExpressionUtils.column(ImageFrames(ExpressionUtils.expression(content), n))
+}

@@ -151,6 +151,87 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(again.toSeq == got(1L).toSeq)
   }
 
+  /** Animated GIF with `n` solid-color frames (primary colors survive
+    * GIF palettization exactly), via the JDK's GIF sequence writer. */
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until n) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(gifFrameRgb(i)))
+        g.fillRect(0, 0, w, h)
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  private def gifFrameRgb(i: Int): Int =
+    Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFF00, 0x00FFFF, 0xFF00FF)(i % 6)
+
+  test("ImageHeaders.frames: animated GIF really decodes; even stride; junk is null") {
+    val gif = gifBytes(24, 16, 6)
+    val got = ImageHeaders.frames(gif, 4)
+    assert(got != null && got.length == 4)
+    // each sampled frame is a valid PNG of the full logical size, and
+    // the even stride over 6 frames at n=4 hits indices 0,1,3,5
+    val expectIdx = Seq(0, 1, 3, 5)
+    got.zip(expectIdx).foreach { case (b, idx) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth == 24 && img.getHeight == 16)
+      assert((img.getRGB(3, 3) & 0xFFFFFF) == gifFrameRgb(idx),
+        s"frame sampled at $idx has the wrong pixel content")
+    }
+    // n beyond the sequence: every stored frame, no padding
+    assert(ImageHeaders.frames(gif, 99).length == 6)
+    // single-frame ask: the first frame
+    val one = ImageHeaders.frames(gif, 1)
+    assert(one.length == 1 &&
+      (ImageIO.read(new java.io.ByteArrayInputStream(one(0)))
+        .getRGB(0, 0) & 0xFFFFFF) == gifFrameRgb(0))
+    // GIF magic is printable ASCII — text with the magic must still be
+    // rejected by the structural decode, and plain text by the sniff
+    assert(ImageHeaders.frames("GIF89a but prose".getBytes("UTF-8"), 4) == null)
+    assert(ImageHeaders.frames("plain text".getBytes("UTF-8"), 4) == null)
+    assert(ImageHeaders.frames(gif.take(20).toArray, 4) == null)
+  }
+
+  test("frameSample: real GIF frames in the plan, byte-window stub otherwise") {
+    val rows = Seq(
+      (1L, gifBytes(20, 10, 5)),
+      (2L, "plain text that is long enough for two byte windows".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val got = rows
+      .select(col("asset_id"),
+        Multimodal.frameSample(col("content"), 3, 8).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Array[Byte]](1)).toMap
+    // GIF: 3 evenly-strided frames (indices 0,2,4), each a real PNG
+    assert(got(1L).length == 3)
+    got(1L).zip(Seq(0, 2, 4)).foreach { case (b, idx) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      assert(img != null && img.getWidth == 20 && img.getHeight == 10)
+      assert((img.getRGB(1, 1) & 0xFFFFFF) == gifFrameRgb(idx))
+    }
+    // text: the deterministic fixed-stride byte windows
+    assert(got(2L).length == 3)
+    assert(got(2L).head.toSeq == "plain te".getBytes("UTF-8").toSeq)
+    assert(got(2L)(1).toSeq == "xt that ".getBytes("UTF-8").toSeq)
+    // SQL surface sees the same expression
+    rows.createOrReplaceTempView("frame_assets")
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT size(image_frames(content)) FROM frame_assets WHERE asset_id = 1")
+      .head().getInt(0)
+    assert(viaSql == 4) // registry form samples 4; the 5-frame GIF has ≥ 4
+  }
+
   test("decodeBatched: typed per-partition path really decodes images") {
     val assets = Seq(
       Multimodal.Asset(1L, imageBytes("png", 31, 64), "application/x-unknown"),
