@@ -108,6 +108,15 @@ object IncrementalAnnIndex {
     } finally { delta.unpersist(); () }
   }
 
+  /** The driver-side probe key set (query bucket + single-bit flips,
+    * per table) — what [[annTopK]] prunes the read to. */
+  private[graft] def probeTbs(query: Seq[Float], params: Params): Seq[Long] =
+    (0 until params.tables).flatMap { t =>
+      Similarity.probeBuckets(query, params.numPlanes,
+          Similarity.tableSeed(params.seed, t))
+        .map(b => t.toLong * (1L << params.numPlanes) + b)
+    }
+
   /** Top-k against the maintained index: probe buckets computed
     * driver-side (query bucket + single-bit flips per table, zero
     * pre-probe jobs), directory prune on `pb`, footer-stat skip on
@@ -120,12 +129,8 @@ object IncrementalAnnIndex {
     import spark.implicits._
     index(spark, statePath) match {
       case Some(idx) =>
-        val probes = (0 until params.tables).flatMap { t =>
-          Similarity.probeBuckets(query, params.numPlanes,
-              Similarity.tableSeed(params.seed, t))
-            .map(b => t.toLong * (1L << params.numPlanes) + b)
-        }
-        val pbs = probes.map(_ / span(params)).distinct.map(_.toInt)
+        val pbs = probeTbs(query, params)
+          .map(_ / span(params)).distinct.map(_.toInt)
         Similarity.annTopKMulti(idx.filter(col("pb").isin(pbs: _*)),
           idCol, vecCol, query, k, params.numPlanes, params.tables,
           params.seed)

@@ -140,4 +140,47 @@ class StreamingAnnSpec extends AnyFunSuite {
       "vec_id", "embedding", q, 1, P).head()
     assert(top.getLong(0) == 999999L && top.getDouble(1) == 1.0)
   }
+
+  test("probe volume stays ~flat at 10x corpus when planes grow with log n") {
+    // The LSH scale discipline (EmbeddingScaleBench's planted mode,
+    // BENCH_NOTES): per-table bucket occupancy is n/2^planes, so
+    // planes must grow with log n. Two maintained indexes — 10x the
+    // vectors with +4 planes — must give a probe that reads about the
+    // same number of candidate rows, not 10x. Deterministic vectors;
+    // params are baked per state dir, as documented.
+    def vecs(seed: Int, from: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i =>
+          (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val q = {
+      val rnd = new scala.util.Random(99)
+      Seq.fill(16)(rnd.nextGaussian().toFloat)
+    }
+    val small = IncrementalAnnIndex.Params(numPlanes = 4, tables = 4,
+      indexBuckets = 8)
+    val big = IncrementalAnnIndex.Params(numPlanes = 8, tables = 4,
+      indexBuckets = 32)
+    val s1 = Files.createTempDirectory("graft-incann-g1").toString
+    val s2 = Files.createTempDirectory("graft-incann-g2").toString
+    IncrementalAnnIndex.processBatch(vecs(1, 0, 200), "vec_id", "embedding",
+      s1, small)
+    (0 until 4).foreach(b => IncrementalAnnIndex.processBatch(
+      vecs(100 + b, b * 500, 500), "vec_id", "embedding", s2, big))
+
+    def candRows(statePath: String, p: IncrementalAnnIndex.Params): Long = {
+      val probes = IncrementalAnnIndex.probeTbs(q, p)
+      IncrementalAnnIndex.index(spark, statePath).get
+        .filter(col("tb").isin(probes: _*)).count()
+    }
+    val r1 = candRows(s1, small)
+    val r2 = candRows(s2, big)
+    val i2 = IncrementalAnnIndex.index(spark, s2).get.count()
+    assert(i2 == 2000L * big.tables, s"big index wrong size: $i2")
+    // expected ≈ tables·(planes+1)·n/2^planes: 4·5·200/16 = 250 vs
+    // 4·9·2000/256 ≈ 281 — flat within hash noise; bound at 2x + slack
+    assert(r2 <= 2 * r1 + 100, s"probe volume grew with corpus: $r1 -> $r2")
+    assert(r2 <= i2 / 4, s"probe read $r2 of $i2 index rows — no pruning")
+  }
 }
