@@ -570,6 +570,40 @@ WHERE cosine >= 0.4
 QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY cosine DESC, nn) = 1
 ORDER BY id"""),
 
+    // e05/e06: exact pairs (e03's brute-force SQL — sound under the
+    // same LshScaleGateSpec 100%-recall pin) + d05's recursive-CTE
+    // min-label propagation. Singleton vectors are their own cluster.
+    "e05_embedding_dup_clusters" -> ("""
+WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM ev x JOIN ev y ON x.vec_id < y.vec_id
+  WHERE ROUND(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT vec_id AS node, vec_id AS label FROM embeddings
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a)
+SELECT node AS vec_id, MIN(label) AS cluster_id
+FROM r GROUP BY node ORDER BY vec_id"""),
+
+    "e06_embedding_keep" -> ("""
+WITH RECURSIVE ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM ev x JOIN ev y ON x.vec_id < y.vec_id
+  WHERE ROUND(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT vec_id AS node, vec_id AS label FROM embeddings
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a),
+c AS (SELECT node AS vec_id, MIN(label) AS cluster_id FROM r GROUP BY node)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM c GROUP BY cluster_id ORDER BY cluster_id"""),
+
     "q25_filtered_dashboard" -> (star + """
 , ag AS (
   SELECT *,

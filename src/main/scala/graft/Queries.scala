@@ -103,6 +103,20 @@ object Queries {
         threshold = Similarity.PairThreshold,
         tables = Similarity.PairTables).cache())
 
+  /** Embedding-level duplicate clusters (semantic dedup): connected
+    * components over the shared multi-table-LSH cosine pair set,
+    * computed once per (session, SF dir) and shared by e05/e06 — the
+    * same pipeline shape as the text-side d05/d06. */
+  private val embClustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embClusters(spark: SparkSession, dir: String): DataFrame =
+    embClustersCache.getOrElseUpdate((spark, dir),
+      ConnectedComponents.dupClusters(
+        TestData.table(spark, dir, "embeddings").select("vec_id"), "vec_id",
+        lshCosinePairs(spark, dir).select(col("a"), col("b")), "a", "b")
+        .cache())
+
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */
   private def annIndexPath(sfDir: String, kind: String): String =
@@ -879,6 +893,23 @@ object Queries {
     // only the dup-band one).
     "e04_self_knn_bucketed" -> ((s, d) =>
       Similarity.nearestFromPairs(lshCosinePairs(s, d)).orderBy("id")),
+
+    // Embedding-level duplicate clusters — semantic dedup's cluster
+    // assignment, the embedding analogue of d05: connected components
+    // over the shared LSH pair set. Oracle composes e03's brute-force
+    // pair SQL with d05's recursive-CTE min-label clustering; sound
+    // while the LshScaleGateSpec 100%-recall pin holds (the same
+    // pin/oracle coupling e03/e04 document).
+    "e05_embedding_dup_clusters" -> ((s, d) =>
+      embClusters(s, d).orderBy("vec_id")),
+
+    // The semantic-dedup keep-list: one representative (min vec_id)
+    // per embedding cluster with the member count it speaks for.
+    "e06_embedding_keep" -> ((s, d) =>
+      embClusters(s, d)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("cluster_id")),
 
     // Top bigrams by document frequency (shingles are per-doc
     // distinct) — corpus n-gram statistics for data curation.
