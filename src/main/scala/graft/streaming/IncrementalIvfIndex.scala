@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.similarity.Similarity
+
+/** Incremental IVF-index maintenance — [[IncrementalAnnIndex]]'s
+  * sibling for the inverted-file layout: new vectors fold into the
+  * persisted per-list partitioning that [[Similarity.ivfTopK]] probes.
+  *
+  * The quantizer (coarse centroids) is trained ONCE — on the first
+  * batch — and then FROZEN: list assignment is a pure scan-local
+  * function of the vector, so appends are deterministic, replays are
+  * idempotent, and a maintained index is row-identical to a one-shot
+  * [[Similarity.withIvfLists]] build over the same corpus with the
+  * same centroids (spec-pinned). That is standard IVF practice: the
+  * quantizer is a sample-trained artifact, lists absorb growth, and
+  * drift is handled by an explicit [[retrain]] — a rebuild from the
+  * accumulated rows with freshly trained centroids (deterministic:
+  * the decimal-mean Lloyd step), atomically swapped in. Probes prune
+  * to the probed `ivf_list` directories exactly like the one-shot
+  * index; per-batch work is Δ-sized (assign + anti-join + append).
+  */
+object IncrementalIvfIndex {
+
+  /** `k` lists, fixed per state directory at first training;
+    * `refineSteps` Lloyd passes for both the initial train and every
+    * [[retrain]]. */
+  case class Params(k: Int = 16, refineSteps: Int = 1)
+
+  private def indexPath(statePath: String) = s"$statePath/index"
+  private def centroidsPath(statePath: String) = s"$statePath/centroids"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The frozen quantizer — None before the first batch trains it. */
+  def centroids(spark: SparkSession,
+                statePath: String): Option[Array[(Int, Seq[Float])]] = {
+    import spark.implicits._
+    val p = centroidsPath(statePath)
+    if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
+    else Some(spark.read.parquet(p)
+      .as[(Int, Seq[Float])].collect().sortBy(_._1))
+  }
+
+  /** The accumulated index — None before the first batch. */
+  def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    val p = indexPath(statePath)
+    if (fs(spark, p).exists(new Path(p))) Some(spark.read.parquet(p))
+    else None
+  }
+
+  private def writeCentroids(spark: SparkSession, statePath: String,
+                             cents: Array[(Int, Seq[Float])]): Unit = {
+    import spark.implicits._
+    cents.toSeq.toDF("ivf_list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(statePath))
+  }
+
+  /** Fold one batch of new vectors into the index. The first batch
+    * trains the quantizer; later batches assign against it frozen. */
+  def processBatch(newVecs: DataFrame, idCol: String, vecCol: String,
+                   statePath: String, params: Params = Params()): Unit = {
+    val spark = newVecs.sparkSession
+    if (newVecs.isEmpty) return
+    val cents = centroids(spark, statePath).getOrElse {
+      val trained = Similarity.ivfCentroids(newVecs, idCol, vecCol,
+        params.k, params.refineSteps)
+      writeCentroids(spark, statePath, trained)
+      trained
+    }
+    val delta = Similarity.withIvfLists(newVecs, vecCol, cents).cache()
+    try {
+      // Δ-sized driver hop: the touched list ids bound the pruned
+      // replay-guard read (a vector has ONE list, and a replayed row's
+      // assignment is identical — frozen quantizer)
+      val touched = delta.select("ivf_list").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val existing = index(spark, statePath) match {
+        case Some(idx) => idx.filter(col("ivf_list").isin(touched: _*))
+          .select(col(idCol))
+        case None => delta.select(col(idCol)).limit(0)
+      }
+      val newRows = delta.join(existing, Seq(idCol), "left_anti")
+      if (!newRows.isEmpty)
+        newRows.repartition(col("ivf_list"))
+          .write.mode("append").partitionBy("ivf_list")
+          .parquet(indexPath(statePath))
+    } finally { delta.unpersist(); () }
+  }
+
+  /** Top-k against the maintained index: probed lists read
+    * partition-pruned, exact-cosine re-rank — the shared
+    * [[Similarity.ivfTopK]] over the maintained layout. */
+  def ivfTopK(spark: SparkSession, statePath: String, idCol: String,
+              vecCol: String, query: Seq[Float], k: Int,
+              nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    (index(spark, statePath), centroids(spark, statePath)) match {
+      case (Some(idx), Some(cents)) =>
+        Similarity.ivfTopK(idx, idCol, vecCol, query, k, cents, nProbe)
+      case _ => Seq.empty[(Long, Double)].toDF(idCol, "cosine")
+    }
+  }
+
+  /** Quantizer-drift maintenance: retrain centroids on the ACCUMULATED
+    * corpus (same deterministic decimal-mean Lloyd step as the initial
+    * train), reassign every stored vector, and atomically swap the
+    * rewritten index + sidecar in. The heavyweight counterpart of
+    * [[IncrementalAnnIndex.compact]] — run it when list skew says the
+    * first-batch sample stopped representing the distribution. */
+  def retrain(spark: SparkSession, statePath: String, idCol: String,
+              vecCol: String, params: Params = Params()): Unit = {
+    index(spark, statePath).foreach { idx =>
+      val corpus = idx.drop("ivf_list").cache()
+      try {
+        val cents = Similarity.ivfCentroids(corpus, idCol, vecCol,
+          params.k, params.refineSteps)
+        val p = indexPath(statePath)
+        val tmp = s"$p.retraining"
+        Similarity.withIvfLists(corpus, vecCol, cents)
+          .repartition(col("ivf_list"))
+          .write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)
+        val f = fs(spark, p)
+        val old = new Path(s"$p.old")
+        f.rename(new Path(p), old)
+        f.rename(new Path(tmp), new Path(p))
+        f.delete(old, true)
+        writeCentroids(spark, statePath, cents)
+      } finally { corpus.unpersist(); () }
+    }
+  }
+
+  /** Attach to a streaming vector source: one [[processBatch]] per
+    * micro-batch. */
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             statePath: String, params: Params = Params(),
+             trigger: Trigger = Trigger.ProcessingTime(1000)): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$statePath/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, idCol, vecCol, statePath, params)
+      }
+      .start()
+}
