@@ -1017,6 +1017,39 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Semantic-dedup extension of the export pipeline: the document
+    // embeddings (vec_id keyed like doc_id) add the second dedup axis
+    // real pipelines run — lexical near-dup clusters (d05) catch
+    // copies, embedding clusters (e05) catch paraphrases the token
+    // overlap misses. A doc survives only as the representative of
+    // BOTH its text cluster and its embedding cluster; the marginal
+    // cost over c02 is one more broadcast-able keep-list join (both
+    // cluster sets are already materialized and shared).
+    "c03_curation_semantic" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = col("source").isin("src0", "src1")
+      val scored = docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val keepers = dupClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      val semKeepers = embClusters(s, d)
+        .filter(col("vec_id") === col("cluster_id"))
+        .select(col("vec_id").as("doc_id"))
+      val contaminated = Dedup.contaminationCounts(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
+        .select("doc_id")
+      scored.join(keepers, "doc_id")
+        .join(semKeepers, "doc_id")
+        .filter(!isBench)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .filter(col("quality_score") >= 0.72 &&
+          col("lang_pred") =!= "und" && col("n_tokens") >= 3)
+        .withColumn("split", TextFunctions.hashSplit(col("doc_id")))
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     "t08_repetition" -> ((s, d) => {
