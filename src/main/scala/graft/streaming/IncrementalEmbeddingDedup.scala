@@ -1,0 +1,202 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.ConnectedComponents
+import graft.similarity.Similarity
+
+/** Incremental SEMANTIC (embedding) dedup — e05's dynamic table and
+  * [[IncrementalNearDup]]'s sibling on vectors: micro-batches of new
+  * (id, vector) rows maintain (a) a persisted multi-probe LSH key
+  * index, (b) a vectors side table, and (c) the embedding-cluster
+  * labeling, such that the labeling always equals what the one-shot
+  * batch pipeline ([[Similarity.cosineNearDuplicatesMulti]] →
+  * connected components, the e05 catalog query) computes over the
+  * accumulated corpus.
+  *
+  * Key semantics. The batch form collects candidates per (table,
+  * probe-key) bucket where every vector contributes its home bucket
+  * PLUS all single-bit flips — two vectors collide iff their key sets
+  * intersect, i.e. iff their home buckets differ by ≤ 2 bits in some
+  * table. The maintained index therefore stores ALL (planes+1) keys
+  * per table per vector (`tk = table·2^planes + key`, combined like
+  * [[IncrementalAnnIndex]]'s tb), so a delta-vs-index equi-join on
+  * `tk` reproduces exactly the batch candidate set across batch
+  * boundaries. Rows land hive-partitioned on `pk = tk div span`
+  * (directory prune + tb-sorted footer skip, one file per touched
+  * directory per batch); vectors land once per id, hash-partitioned
+  * on `vb` for a pruned replay guard. Verification is the same exact
+  * 4dp-rounded cosine; the label fold is Δ-sized
+  * ([[ConnectedComponents.addEdges]] through the star forest), and
+  * commits go through [[LabelStore]]'s `_SUCCESS`-gated versions.
+  * The Δ-scoped `maxBucket` cap mirrors [[IncrementalNearDup]]'s
+  * (sizes counted only for keys the delta touches; the equality spec
+  * runs under caps that never trip — a tripping cap is a deliberate
+  * recall trade in both forms). */
+object IncrementalEmbeddingDedup {
+
+  /** Fixed per state directory. Defaults match the e05 catalog entry
+    * (`Similarity.PairThreshold` / `PairTables`). */
+  case class Params(threshold: Double = Similarity.PairThreshold,
+                    numPlanes: Int = 8,
+                    tables: Int = Similarity.PairTables,
+                    seed: Long = 42L, maxBucket: Int = 4000,
+                    indexBuckets: Int = 64)
+
+  private def span(p: Params): Long = {
+    val total = p.tables.toLong << p.numPlanes
+    math.max(1L, (total + p.indexBuckets - 1) / p.indexBuckets)
+  }
+
+  private def bandsPath(statePath: String) = s"$statePath/bands"
+  private def vectorsPath(statePath: String) = s"$statePath/vectors"
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  /** All multi-probe keys of a vector batch: (__id, tk, pk) — one row
+    * per (table, home-or-flip key). Scan-local codegen'd bucket
+    * expression; the flips are plan-time XOR literals. */
+  private[graft] def keyRows(vecs: DataFrame, idCol: String,
+                             vecCol: String, p: Params): DataFrame = {
+    val homes = array(Seq.tabulate(p.tables)(t =>
+      Similarity.lshBucket(col(vecCol), p.numPlanes,
+        Similarity.tableSeed(p.seed, t))): _*)
+    vecs.select(col(idCol).as("__id"), posexplode(homes).as(Seq("__t", "__b")))
+      .select(col("__id"), col("__t"),
+        explode(array(col("__b") +: Seq.tabulate(p.numPlanes)(f =>
+          col("__b").bitwiseXOR(lit(1L << f))): _*)).as("__k"))
+      .select(col("__id"),
+        (col("__t").cast("long") * (1L << p.numPlanes) + col("__k")).as("tk"))
+      .withColumn("pk", floor(col("tk") / lit(span(p))).cast("int"))
+  }
+
+  /** The accumulated labeling joined onto `ids`: every id gets its
+    * cluster (singletons label themselves) — e05's output shape. */
+  def clusters(ids: DataFrame, idCol: String, statePath: String): DataFrame =
+    ids.select(col(idCol))
+      .join(LabelStore.labels(ids.sparkSession, statePath),
+        col(idCol) === col("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster_id"))
+
+  /** Fold one batch of new vectors into the state. Callable directly
+    * or via [[attach]]. */
+  def processBatch(newVecs: DataFrame, idCol: String, vecCol: String,
+                   statePath: String, params: Params = Params()): Unit = {
+    val spark = newVecs.sparkSession
+    if (newVecs.isEmpty) return
+    val deltaKeys = keyRows(newVecs, idCol, vecCol, params).cache()
+    val deltaVecs = newVecs.select(col(idCol).as("__id"),
+        col(vecCol).as("__v"))
+      .withColumn("vb",
+        pmod(xxhash64(col("__id")), lit(params.indexBuckets)).cast("int"))
+      .cache()
+    try {
+      // Δ-sized driver hops: touched key directories and vector buckets
+      val touchedPk = deltaKeys.select("pk").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val touchedVb = deltaVecs.select("vb").distinct()
+        .collect().map(_.getInt(0)).toIndexedSeq
+
+      val oldKeys =
+        if (exists(spark, bandsPath(statePath)))
+          spark.read.parquet(bandsPath(statePath))
+            .filter(col("pk").isin(touchedPk: _*))
+            .select("__id", "tk", "pk")
+        else deltaKeys.limit(0)
+      val oldVecsAll =
+        if (exists(spark, vectorsPath(statePath)))
+          spark.read.parquet(vectorsPath(statePath))
+        else deltaVecs.limit(0)
+
+      // replay idempotency: rows the index already holds are dropped
+      // (key assignment is a pure function of the vector, so a replay
+      // collides entirely inside the pruned read)
+      val newKeys = deltaKeys.join(oldKeys.select("__id", "tk"),
+        Seq("__id", "tk"), "left_anti")
+      val newVecRows = deltaVecs.join(
+        oldVecsAll.filter(col("vb").isin(touchedVb: _*)).select("__id"),
+        Seq("__id"), "left_anti")
+
+      // candidates: delta keys × (pruned index ∪ new delta keys) on tk
+      // — exactly the batch bucket collisions that involve a delta
+      // vector; cross-OLD pairs are already in the labeling. Δ-scoped
+      // skew cap first, duplicates collapsed before the verify.
+      val allKeys = oldKeys.unionByName(newKeys)
+      val touched = deltaKeys.select("tk").distinct()
+      val surviving = allKeys.join(touched, Seq("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= params.maxBucket)
+        .select("tk")
+      val cand = deltaKeys.join(surviving, Seq("tk"))
+        .select(col("tk"), col("__id").as("__da"))
+        .join(allKeys.join(surviving, Seq("tk"))
+          .select(col("tk"), col("__id").as("__db")), Seq("tk"))
+        .filter(col("__da") =!= col("__db"))
+        .select(least(col("__da"), col("__db")).as("a"),
+          greatest(col("__da"), col("__db")).as("b"))
+        .distinct()
+        .cache()
+
+      // exact verification on the stored vectors, same 4dp-rounded
+      // cosine as the batch join. The vectors read is PRUNED to the
+      // `vb` buckets the candidate ids hash into (≤ indexBuckets ints,
+      // collected Δ-sized) — without this, every batch would re-scan
+      // the whole accumulated vectors table just to verify a Δ-sized
+      // candidate set.
+      val candVb = cand
+        .select(explode(array(col("a"), col("b"))).as("__cid"))
+        .select(pmod(xxhash64(col("__cid")), lit(params.indexBuckets))
+          .cast("int").as("vb"))
+        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      val vecs = oldVecsAll.filter(col("vb").isin(candVb: _*))
+        .select("__id", "__v")
+        .unionByName(newVecRows.select("__id", "__v"))
+      val xa = vecs.select(col("__id").as("a"), col("__v").as("__vx"),
+        Similarity.norm(col("__v")).as("__nx"))
+      val xb = vecs.select(col("__id").as("b"), col("__v").as("__vy"),
+        Similarity.norm(col("__v")).as("__ny"))
+      val edges = cand.join(xa, "a").join(xb, "b")
+        .withColumn("cosine", round(
+          when(col("__nx") * col("__ny") === 0, 0.0)
+            .otherwise(Similarity.dot(col("__vx"), col("__vy"))
+              / (col("__nx") * col("__ny"))), 4))
+        .filter(col("cosine") >= params.threshold)
+        .select("a", "b")
+
+      val updated = ConnectedComponents.addEdges(
+        LabelStore.labels(spark, statePath), edges, "a", "b")
+      LabelStore.commit(spark, statePath, updated)
+      if (!newKeys.isEmpty)
+        newKeys.repartition(col("pk")).sortWithinPartitions("tk")
+          .write.mode("append").partitionBy("pk").parquet(bandsPath(statePath))
+      if (!newVecRows.isEmpty)
+        newVecRows.repartition(col("vb"))
+          .write.mode("append").partitionBy("vb").parquet(vectorsPath(statePath))
+      cand.unpersist()
+      ()
+    } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
+  }
+
+  /** Attach to a streaming vector source: one [[processBatch]] per
+    * micro-batch. */
+  def attach(vecs: DataFrame, idCol: String, vecCol: String,
+             statePath: String, params: Params = Params(),
+             trigger: Trigger = Trigger.ProcessingTime(1000)): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$statePath/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, idCol, vecCol, statePath, params)
+      }
+      .start()
+}

@@ -74,30 +74,13 @@ object IncrementalNearDup {
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
-  /** Complete (SUCCESS-marked) label versions only: a concurrent
-    * reader never lists the version a writer is still materializing
-    * (its dir exists with `_temporary` contents but no `_SUCCESS`). */
-  private def labelVersions(spark: SparkSession, statePath: String): Seq[Long] = {
-    val dir = new Path(s"$statePath/labels")
-    val f = fs(spark, statePath)
-    if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("v") &&
-        f.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong).sorted
-  }
-
   /** The current labeling (node, component) — empty frame before the
-    * first batch. Singleton docs carry no row (as in
+    * first batch ([[LabelStore]] versioning: readers only see
+    * `_SUCCESS`-complete versions). Singleton docs carry no row (as in
     * [[ConnectedComponents.connectedComponents]]); join with the doc
     * table and coalesce to the doc id for full-cluster output. */
-  def labels(spark: SparkSession, statePath: String): DataFrame = {
-    import spark.implicits._
-    labelVersions(spark, statePath).lastOption match {
-      case Some(v) => spark.read.parquet(s"$statePath/labels/v$v")
-      case None => Seq.empty[(Long, Long)].toDF("node", "component")
-    }
-  }
+  def labels(spark: SparkSession, statePath: String): DataFrame =
+    LabelStore.labels(spark, statePath)
 
   /** Cluster id per doc (docs absent from every pair are their own
     * singleton cluster) — the incremental counterpart of
@@ -220,16 +203,12 @@ object IncrementalNearDup {
       labels(spark, statePath), edges, "a", "b")
 
     // commit: labels first (new version dir, visible only once its
-    // _SUCCESS lands — labelVersions skips incomplete dirs), then the
-    // index append. A crash anywhere re-processes the batch
+    // _SUCCESS lands — LabelStore readers skip incomplete dirs), then
+    // the index append. A crash anywhere re-processes the batch
     // idempotently: the pair set and labels are functions of content,
     // addEdges is idempotent on repeated edges, and the anti-join
     // above keeps a replayed append from duplicating index rows.
-    val versions = labelVersions(spark, statePath)
-    val next = versions.lastOption.getOrElse(-1L) + 1
-    updated.write.mode("overwrite").parquet(s"$statePath/labels/v$next")
-    versions.dropRight(1).foreach(v =>
-      fs(spark, statePath).delete(new Path(s"$statePath/labels/v$v"), true))
+    LabelStore.commit(spark, statePath, updated)
     if (!newRows.isEmpty)
       // one file per touched bucket per batch (repartition on the
       // partition column), appended under its pb= directory

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.ConnectedComponents
+import graft.similarity.Similarity
+import graft.sources.TestData
+import graft.streaming.IncrementalEmbeddingDedup
+
+/** Streaming ≡ batch for SEMANTIC dedup maintenance: vectors arriving
+  * in micro-batches must converge to exactly the embedding clusters
+  * the one-shot e05 pipeline (multi-table LSH pairs → connected
+  * components) computes over the accumulated corpus — multi-probe key
+  * collisions, exact cosine verification, and min-label components
+  * all crossing batch boundaries intact. */
+class StreamingEmbeddingDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val P = IncrementalEmbeddingDedup.Params()
+
+  private def referenceClusters() = {
+    val emb = TestData.table(spark, sf, "embeddings")
+    val pairs = Similarity.cosineNearDuplicatesMulti(
+      emb, "vec_id", "embedding", P.threshold, P.numPlanes, P.tables,
+      P.seed, P.maxBucket)
+    ConnectedComponents.dupClusters(emb.select("vec_id"), "vec_id",
+      pairs.select(col("a"), col("b")), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+  }
+
+  test("streaming micro-batches converge to the one-shot e05 clusters") {
+    val emb = TestData.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val statePath = Files.createTempDirectory("graft-incsem-s").toString
+    val ref = referenceClusters()
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = IncrementalEmbeddingDedup.attach(
+      stream.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      statePath, P,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    val all = emb.as[(Long, Seq[Float])].collect().sortBy(_._1)
+    all.grouped(math.max(1, all.length / 4)).foreach { b =>
+      stream.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = IncrementalEmbeddingDedup.clusters(
+        emb.select("vec_id"), "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+  }
+
+  test("replay is idempotent; a paraphrase arriving later joins its twin's cluster") {
+    val emb = TestData.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+    val statePath = Files.createTempDirectory("graft-incsem-b").toString
+    val ref = referenceClusters()
+
+    val parts = emb.as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .grouped(150).map(_.toSeq.toDF("vec_id", "embedding")).toSeq
+    IncrementalEmbeddingDedup.processBatch(parts(0), "vec_id", "embedding",
+      statePath, P)
+    // foreachBatch retry: the same batch replays in full
+    IncrementalEmbeddingDedup.processBatch(parts(0), "vec_id", "embedding",
+      statePath, P)
+    parts.drop(1).foreach(b => IncrementalEmbeddingDedup.processBatch(
+      b, "vec_id", "embedding", statePath, P))
+
+    val got = IncrementalEmbeddingDedup.clusters(
+        emb.select("vec_id"), "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+
+    // replayed appends left no duplicate key or vector rows
+    val bands = spark.read.parquet(s"$statePath/bands")
+    assert(bands.count() == bands.dropDuplicates("__id", "tk").count())
+    val vecs = spark.read.parquet(s"$statePath/vectors")
+    assert(vecs.count() == vecs.dropDuplicates("__id").count())
+    assert(vecs.count() == emb.count())
+
+    // a vector identical to an existing one, arriving much later,
+    // must fold into that vector's cluster (cross-batch collision)
+    val twinOf = 7L
+    val twinVec = emb.filter(col("vec_id") === twinOf)
+      .head().getSeq[Float](1)
+    IncrementalEmbeddingDedup.processBatch(
+      Seq((1000000L, twinVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", statePath, P)
+    val after = IncrementalEmbeddingDedup.clusters(
+        emb.select("vec_id").unionByName(Seq(1000000L).toDF("vec_id")),
+        "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(1000000L) == after(twinOf),
+      "late twin did not join its cluster")
+    // pre-existing clusters are untouched by the twin's arrival
+    emb.select("vec_id").as[Long].collect().foreach { id =>
+      assert(after(id) == ref(id), s"cluster of $id drifted")
+    }
+  }
+}
