@@ -66,4 +66,43 @@ object IncrementalCuration {
     admitted(scored(docs, idCol, textCol).join(keepers, idCol))
       .orderBy(idCol)
   }
+
+  /** c03's streaming form: [[curated]] with the SECOND dedup axis —
+    * docs must also be the representative of their EMBEDDING cluster,
+    * maintained by [[IncrementalEmbeddingDedup]] at `semStatePath`
+    * (lexical clusters catch copies, embedding clusters catch
+    * paraphrases). Marginal cost over [[curated]]: one more
+    * broadcast-able keep-list join against the maintained labeling. */
+  def curatedSemantic(docs: DataFrame, idCol: String, textCol: String,
+                      statePath: String, semStatePath: String): DataFrame = {
+    val keepers = IncrementalNearDup.clusters(docs, idCol, statePath)
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val semKeepers = IncrementalEmbeddingDedup.clusters(
+        docs.select(col(idCol)), idCol, semStatePath)
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    admitted(scored(docs, idCol, textCol)
+        .join(keepers, idCol).join(semKeepers, idCol))
+      .orderBy(idCol)
+  }
+
+  /** One-shot batch reference for [[curatedSemantic]]: both cluster
+    * sets recomputed from scratch over the accumulated corpus (the
+    * c03 composition). `vecs` carries (idCol, vecCol) embeddings
+    * keyed like the docs. */
+  def curatedSemanticBatch(docs: DataFrame, idCol: String, textCol: String,
+                           vecs: DataFrame, vecCol: String,
+                           params: IncrementalNearDup.Params =
+                             IncrementalNearDup.Params(),
+                           semParams: IncrementalEmbeddingDedup.Params =
+                             IncrementalEmbeddingDedup.Params()): DataFrame = {
+    val lex = curatedBatch(docs, idCol, textCol, params)
+    val semPairs = graft.similarity.Similarity.cosineNearDuplicatesMulti(
+      vecs, idCol, vecCol, semParams.threshold, semParams.numPlanes,
+      semParams.tables, semParams.seed, semParams.maxBucket)
+    val semKeepers = ConnectedComponents.dupClusters(
+        vecs.select(col(idCol)), idCol,
+        semPairs.select(col("a"), col("b")), "a", "b")
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    lex.join(semKeepers, idCol).orderBy(idCol)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.TestData
-import graft.streaming.{IncrementalCuration, IncrementalNearDup}
+import graft.streaming.{IncrementalCuration, IncrementalEmbeddingDedup, IncrementalNearDup}
 
 /** Streaming ≡ batch for the WHOLE curation pipeline: documents
   * arriving in micro-batches fold into the incremental near-dup state,
@@ -61,5 +61,50 @@ class StreamingCurationSpec extends AnyFunSuite {
       seen.toDF("doc_id", "text"), "doc_id", "text", statePath)
     assert(finalView.filter(col("quality_score") < 0.72).count() == 0)
     assert(finalView.select("doc_id").distinct().count() == finalView.count())
+  }
+
+  test("streaming SEMANTIC curation (both dedup axes) == batch c03 composition at every boundary") {
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val emb = TestData.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding")
+      .withColumnRenamed("vec_id", "doc_id")
+    val statePath = Files.createTempDirectory("graft-curation-sl").toString
+    val semStatePath = Files.createTempDirectory("graft-curation-se").toString
+    val SemP = IncrementalEmbeddingDedup.Params()
+
+    val allDocs = docs.as[(Long, String)].collect().sortBy(_._1)
+    val embById = emb.as[(Long, Seq[Float])].collect().toMap
+    val batches = allDocs.grouped(math.max(1, allDocs.length / 3)).toSeq
+
+    var seen = Seq.empty[(Long, String)]
+    for (b <- batches) {
+      // both maintainers fold the same arrival slice (docs + their
+      // embeddings — the two axes of one corpus)
+      IncrementalNearDup.processBatch(
+        b.toSeq.toDF("doc_id", "text"), "doc_id", "text", statePath, P)
+      IncrementalEmbeddingDedup.processBatch(
+        b.map { case (id, _) => (id, embById(id)) }.toSeq
+          .toDF("doc_id", "embedding"),
+        "doc_id", "embedding", semStatePath, SemP)
+      seen = seen ++ b
+      val seenDocs = seen.toDF("doc_id", "text")
+      val seenVecs = seen.map { case (id, _) => (id, embById(id)) }
+        .toDF("doc_id", "embedding")
+      val streaming = rowsOf(IncrementalCuration.curatedSemantic(
+        seenDocs, "doc_id", "text", statePath, semStatePath))
+      val batch = rowsOf(IncrementalCuration.curatedSemanticBatch(
+        seenDocs, "doc_id", "text", seenVecs, "embedding", P, SemP))
+      assert(streaming == batch,
+        s"semantic curated view diverged after ${seen.length} docs: " +
+          s"streaming ${streaming.length} rows, batch ${batch.length} rows")
+    }
+    // the semantic axis must actually bite: strictly fewer survivors
+    // than the lexical-only view (the shipped embeddings carry dups)
+    val lexOnly = IncrementalCuration.curated(
+      seen.toDF("doc_id", "text"), "doc_id", "text", statePath).count()
+    val both = IncrementalCuration.curatedSemantic(
+      seen.toDF("doc_id", "text"), "doc_id", "text",
+      statePath, semStatePath).count()
+    assert(both < lexOnly, s"semantic stage filtered nothing: $both vs $lexOnly")
   }
 }
