@@ -60,10 +60,17 @@ object IncrementalAnnIndex {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** The accumulated index — None before the first batch. */
+  /** The accumulated index — None before the first batch. If a
+    * [[compact]] crashed between its two renames (old moved aside, new
+    * not yet in place) the previous index is recovered from the
+    * `.old` directory first — content is never lost, the compaction
+    * simply didn't happen. */
   def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
     val p = indexPath(statePath)
-    if (fs(spark, p).exists(new Path(p))) Some(spark.read.parquet(p))
+    val f = fs(spark, p)
+    if (!f.exists(new Path(p)) && f.exists(new Path(s"$p.old")))
+      f.rename(new Path(s"$p.old"), new Path(p))
+    if (f.exists(new Path(p))) Some(spark.read.parquet(p))
     else None
   }
 
@@ -153,6 +160,7 @@ object IncrementalAnnIndex {
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
       val f = fs(spark, p)
       val old = new Path(s"$p.old")
+      f.delete(old, true) // stale leftover from a crash after a swap
       f.rename(new Path(p), old)
       f.rename(new Path(tmp), new Path(p))
       f.delete(old, true)

@@ -33,33 +33,61 @@ object IncrementalIvfIndex {
   case class Params(k: Int = 16, refineSteps: Int = 1)
 
   private def indexPath(statePath: String) = s"$statePath/index"
-  private def centroidsPath(statePath: String) = s"$statePath/centroids"
+
+  /** The sidecar lives INSIDE the index directory (underscore-prefixed,
+    * so Spark's file listing never mistakes it for data): the
+    * [[retrain]] directory swap carries quantizer and list assignment
+    * in ONE rename — the two can never disagree, whatever the crash
+    * point. */
+  private def centroidsPath(indexDir: String) = s"$indexDir/_centroids"
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Recover a [[retrain]] that crashed between its two renames (old
+    * moved aside, new not yet in place): the previous index+sidecar
+    * pair comes back whole. */
+  private def recover(spark: SparkSession, statePath: String): Unit = {
+    val p = indexPath(statePath)
+    val f = fs(spark, p)
+    if (!f.exists(new Path(p)) && f.exists(new Path(s"$p.old"))) {
+      f.rename(new Path(s"$p.old"), new Path(p))
+      ()
+    }
+  }
 
   /** The frozen quantizer — None before the first batch trains it. */
   def centroids(spark: SparkSession,
                 statePath: String): Option[Array[(Int, Seq[Float])]] = {
     import spark.implicits._
-    val p = centroidsPath(statePath)
+    recover(spark, statePath)
+    val p = centroidsPath(indexPath(statePath))
     if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
     else Some(spark.read.parquet(p)
       .as[(Int, Seq[Float])].collect().sortBy(_._1))
   }
 
-  /** The accumulated index — None before the first batch. */
+  /** The accumulated index — None before the first batch appends data
+    * rows (the sidecar alone doesn't count: a crash between training
+    * and the first append replays into an identical re-train). */
   def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
+    recover(spark, statePath)
     val p = indexPath(statePath)
-    if (fs(spark, p).exists(new Path(p))) Some(spark.read.parquet(p))
+    val f = fs(spark, p)
+    val hasData = f.exists(new Path(p)) &&
+      f.listStatus(new Path(p)).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    if (hasData) Some(spark.read.parquet(p))
     else None
   }
 
-  private def writeCentroids(spark: SparkSession, statePath: String,
+  private def writeCentroids(spark: SparkSession, indexDir: String,
                              cents: Array[(Int, Seq[Float])]): Unit = {
     import spark.implicits._
     cents.toSeq.toDF("ivf_list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(statePath))
+      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(indexDir))
   }
 
   /** Fold one batch of new vectors into the index. The first batch
@@ -71,7 +99,7 @@ object IncrementalIvfIndex {
     val cents = centroids(spark, statePath).getOrElse {
       val trained = Similarity.ivfCentroids(newVecs, idCol, vecCol,
         params.k, params.refineSteps)
-      writeCentroids(spark, statePath, trained)
+      writeCentroids(spark, indexPath(statePath), trained)
       trained
     }
     val delta = Similarity.withIvfLists(newVecs, vecCol, cents).cache()
@@ -126,12 +154,16 @@ object IncrementalIvfIndex {
         Similarity.withIvfLists(corpus, vecCol, cents)
           .repartition(col("ivf_list"))
           .write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)
+        // sidecar INTO the staged directory BEFORE the swap: the one
+        // rename below moves assignment and quantizer together
+        writeCentroids(spark, tmp, cents)
         val f = fs(spark, p)
         val old = new Path(s"$p.old")
+        f.delete(old, true) // stale leftover from a crash after a swap
         f.rename(new Path(p), old)
         f.rename(new Path(tmp), new Path(p))
         f.delete(old, true)
-        writeCentroids(spark, statePath, cents)
+        ()
       } finally { corpus.unpersist(); () }
     }
   }
