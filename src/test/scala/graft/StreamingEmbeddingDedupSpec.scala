@@ -105,4 +105,53 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
       assert(after(id) == ref(id), s"cluster of $id drifted")
     }
   }
+
+  test("probe volume stays ~flat at 10x corpus when planes grow with log n") {
+    // Same discipline as the ANN index gate (StreamingAnnSpec): the
+    // per-key candidate load is n/2^planes, so planes grow with log n
+    // and a fixed-size delta's probe reads about the same number of
+    // colliding key rows, not 10x. Background vectors only (no true
+    // dups) — pure index-growth pressure.
+    def vecs(seed: Int, from: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i =>
+          (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val small = IncrementalEmbeddingDedup.Params(numPlanes = 4, tables = 4,
+      indexBuckets = 8)
+    val big = IncrementalEmbeddingDedup.Params(numPlanes = 8, tables = 4,
+      indexBuckets = 32)
+    val s1 = Files.createTempDirectory("graft-incsem-g1").toString
+    val s2 = Files.createTempDirectory("graft-incsem-g2").toString
+    IncrementalEmbeddingDedup.processBatch(vecs(1, 0, 200),
+      "vec_id", "embedding", s1, small)
+    (0 until 4).foreach(b => IncrementalEmbeddingDedup.processBatch(
+      vecs(100 + b, b * 500, 500), "vec_id", "embedding", s2, big))
+
+    // The quantity the bucket discipline controls is the PER-KEY load:
+    // index rows colliding with one probed key ≈ n·(planes+1)/2^planes,
+    // flat when planes track log n. (TOTAL probe volume additionally
+    // scales with the delta's own multiprobe width tables·(planes+1) —
+    // that is the probe budget, not index pressure.)
+    val delta = vecs(999, 1000000, 3)
+    def perKeyLoad(statePath: String,
+                   p: IncrementalEmbeddingDedup.Params): Double = {
+      val keys = IncrementalEmbeddingDedup
+        .keyRows(delta, "vec_id", "embedding", p)
+        .select("tk").distinct()
+      val rows = keys
+        .join(spark.read.parquet(s"$statePath/bands"), Seq("tk"))
+        .count()
+      rows.toDouble / keys.count()
+    }
+    val l1 = perKeyLoad(s1, small)
+    val l2 = perKeyLoad(s2, big)
+    val i2 = spark.read.parquet(s"$s2/bands").count()
+    assert(i2 == 2000L * big.tables * (big.numPlanes + 1),
+      s"big key index wrong size: $i2")
+    // expected ≈ 200·5/16 = 62.5 vs 2000·9/256 ≈ 70 — flat within
+    // hash noise; bound at 2x
+    assert(l2 <= 2 * l1 + 5, s"per-key load grew with corpus: $l1 -> $l2")
+  }
 }
