@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -57,22 +55,13 @@ object IncrementalAnnIndex {
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
   /** The accumulated index — None before the first batch. If a
     * [[compact]] crashed between its two renames (old moved aside, new
     * not yet in place) the previous index is recovered from the
-    * `.old` directory first — content is never lost, the compaction
-    * simply didn't happen. */
-  def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
-    val p = indexPath(statePath)
-    val f = fs(spark, p)
-    if (!f.exists(new Path(p)) && f.exists(new Path(s"$p.old")))
-      f.rename(new Path(s"$p.old"), new Path(p))
-    if (f.exists(new Path(p))) Some(spark.read.parquet(p))
-    else None
-  }
+    * `.old` directory first ([[IndexDirs.recover]]) — content is never
+    * lost, the compaction simply didn't happen. */
+  def index(spark: SparkSession, statePath: String): Option[DataFrame] =
+    IndexDirs.readIfExists(spark, indexPath(statePath))
 
   /** The delta exploded to its per-table rows: input columns plus
     * (tb, pb). Bucket assignment is the codegen'd plane-projection
@@ -158,13 +147,7 @@ object IncrementalAnnIndex {
       val tmp = s"$p.compacting"
       idx.repartition(col("pb")).sortWithinPartitions("tb")
         .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-      val f = fs(spark, p)
-      val old = new Path(s"$p.old")
-      f.delete(old, true) // stale leftover from a crash after a swap
-      f.rename(new Path(p), old)
-      f.rename(new Path(tmp), new Path(p))
-      f.delete(old, true)
-      ()
+      IndexDirs.swapIn(spark, p, tmp)
     }
   }
 

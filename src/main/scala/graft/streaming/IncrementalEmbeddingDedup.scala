@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -55,12 +53,6 @@ object IncrementalEmbeddingDedup {
   private def bandsPath(statePath: String) = s"$statePath/bands"
   private def vectorsPath(statePath: String) = s"$statePath/vectors"
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  private def exists(spark: SparkSession, path: String): Boolean =
-    fs(spark, path).exists(new Path(path))
-
   /** All multi-probe keys of a vector batch: (__id, tk, pk) — one row
     * per (table, home-or-flip key). Scan-local codegen'd bucket
     * expression; the flips are plan-time XOR literals. */
@@ -106,16 +98,13 @@ object IncrementalEmbeddingDedup {
       val touchedVb = deltaVecs.select("vb").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
 
-      val oldKeys =
-        if (exists(spark, bandsPath(statePath)))
-          spark.read.parquet(bandsPath(statePath))
-            .filter(col("pk").isin(touchedPk: _*))
-            .select("__id", "tk", "pk")
-        else deltaKeys.limit(0)
-      val oldVecsAll =
-        if (exists(spark, vectorsPath(statePath)))
-          spark.read.parquet(vectorsPath(statePath))
-        else deltaVecs.limit(0)
+      val oldKeys = IndexDirs.readIfExists(spark, bandsPath(statePath))
+        .map(_.filter(col("pk").isin(touchedPk: _*))
+          .select("__id", "tk", "pk"))
+        .getOrElse(deltaKeys.limit(0))
+      val oldVecsAll = IndexDirs
+        .readIfExists(spark, vectorsPath(statePath))
+        .getOrElse(deltaVecs.limit(0))
 
       // replay idempotency: rows the index already holds are dropped
       // (key assignment is a pure function of the vector, so a replay
@@ -184,6 +173,29 @@ object IncrementalEmbeddingDedup {
       cand.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
+  }
+
+  /** LSM-ish maintenance: rewrite each state directory's accumulated
+    * per-batch files into one run per partition (keys sorted on `tk`
+    * for footer-stat skipping, vectors bucketed on `vb`), preserving
+    * content exactly. Crash-safe per directory ([[IndexDirs.swapIn]] +
+    * reader-side recover); labels are untouched. The keys and vectors
+    * directories swap independently — both orders of (old keys, new
+    * vectors) are consistent states because compaction never changes
+    * content, only file layout. */
+  def compact(spark: SparkSession, statePath: String): Unit = {
+    IndexDirs.readIfExists(spark, bandsPath(statePath)).foreach { keys =>
+      val tmp = s"${bandsPath(statePath)}.compacting"
+      keys.repartition(col("pk")).sortWithinPartitions("tk")
+        .write.mode("overwrite").partitionBy("pk").parquet(tmp)
+      IndexDirs.swapIn(spark, bandsPath(statePath), tmp)
+    }
+    IndexDirs.readIfExists(spark, vectorsPath(statePath)).foreach { vecs =>
+      val tmp = s"${vectorsPath(statePath)}.compacting"
+      vecs.repartition(col("vb"))
+        .write.mode("overwrite").partitionBy("vb").parquet(tmp)
+      IndexDirs.swapIn(spark, vectorsPath(statePath), tmp)
+    }
   }
 
   /** Attach to a streaming vector source: one [[processBatch]] per

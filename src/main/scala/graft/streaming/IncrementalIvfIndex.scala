@@ -46,15 +46,10 @@ object IncrementalIvfIndex {
 
   /** Recover a [[retrain]] that crashed between its two renames (old
     * moved aside, new not yet in place): the previous index+sidecar
-    * pair comes back whole. */
-  private def recover(spark: SparkSession, statePath: String): Unit = {
-    val p = indexPath(statePath)
-    val f = fs(spark, p)
-    if (!f.exists(new Path(p)) && f.exists(new Path(s"$p.old"))) {
-      f.rename(new Path(s"$p.old"), new Path(p))
-      ()
-    }
-  }
+    * pair comes back whole ([[IndexDirs.recover]] — the sidecar lives
+    * INSIDE the index dir, so one recovery rename restores both). */
+  private def recover(spark: SparkSession, statePath: String): Unit =
+    IndexDirs.recover(spark, indexPath(statePath))
 
   /** The frozen quantizer — None before the first batch trains it. */
   def centroids(spark: SparkSession,
@@ -157,13 +152,7 @@ object IncrementalIvfIndex {
         // sidecar INTO the staged directory BEFORE the swap: the one
         // rename below moves assignment and quantizer together
         writeCentroids(spark, tmp, cents)
-        val f = fs(spark, p)
-        val old = new Path(s"$p.old")
-        f.delete(old, true) // stale leftover from a crash after a swap
-        f.rename(new Path(p), old)
-        f.rename(new Path(tmp), new Path(p))
-        f.delete(old, true)
-        ()
+        IndexDirs.swapIn(spark, p, tmp)
       } finally { corpus.unpersist(); () }
     }
   }

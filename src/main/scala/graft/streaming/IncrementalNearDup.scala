@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -51,9 +49,10 @@ import graft.dedup.{ConnectedComponents, Dedup}
   * discipline as the e03 ANN index (`Similarity.ensureLshIndexMulti`).
   * At a fixed bucket count the probe still degrades gracefully:
   * touched-fraction × corpus instead of 1 × corpus. Each batch writes
-  * one file per touched bucket; a compaction pass (rewrite a bucket
-  * dir in place) bounds file counts under long streams, exactly like
-  * any LSM-ish layout. Streaming ≡ batch equivalence (same pair set,
+  * one file per touched bucket; the [[compact]] pass (rewrite each
+  * bucket dir into one sorted run, crash-safe swap) bounds file counts
+  * under long streams, exactly like any LSM-ish layout. Streaming ≡
+  * batch equivalence (same pair set,
   * same clusters as one-shot [[Dedup.nearDuplicates]] + connected
   * components) is spec-checked on the real documents table
   * (IncrementalNearDupSpec); pruning and probe-volume growth are
@@ -68,9 +67,6 @@ object IncrementalNearDup {
   case class Params(shingleLen: Int = 1, numHashes: Int = 32,
                     numBands: Int = 4, threshold: Double = 0.7,
                     maxBucket: Int = 10000, indexBuckets: Int = 64)
-
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
@@ -109,14 +105,11 @@ object IncrementalNearDup {
           .cast("int"))
 
   /** The accumulated band index (all buckets) — empty before the first
-    * batch. */
+    * batch. A [[compact]] that crashed mid-swap is recovered first
+    * ([[IndexDirs.recover]]). */
   private[graft] def bandIndex(spark: SparkSession,
-                               statePath: String): Option[DataFrame] = {
-    val idxP = indexPath(statePath)
-    if (fs(spark, statePath).exists(new Path(idxP)))
-      Some(spark.read.parquet(idxP))
-    else None
-  }
+                               statePath: String): Option[DataFrame] =
+    IndexDirs.readIfExists(spark, indexPath(statePath))
 
   /** Partition-pruned view of the index: only the `pb` buckets in
     * `touched` are read (hive partition pruning — the scan's
@@ -217,6 +210,24 @@ object IncrementalNearDup {
     deltaBands.unpersist()
     ()
   }
+
+  /** LSM-ish maintenance for the band index: rewrite each `pb`
+    * directory's accumulated per-batch files into one sorted run,
+    * preserving content exactly — the compaction pass the layout notes
+    * above call for under long streams. Runs between batches (same
+    * single-writer discipline as the fold); the swap is two renames
+    * ([[IndexDirs.swapIn]]), so a crash leaves either the old or the
+    * new index, never a mix, and [[bandIndex]] recovers a stranded
+    * half-swap. Labels are untouched — only the physical file layout
+    * changes. */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    bandIndex(spark, statePath).foreach { idx =>
+      val p = indexPath(statePath)
+      val tmp = s"$p.compacting"
+      idx.repartition(col("pb")).sortWithinPartitions("band", "key")
+        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
+      IndexDirs.swapIn(spark, p, tmp)
+    }
 
   /** Attach to a streaming document source: one [[processBatch]] per
     * micro-batch (foreachBatch — the same orchestration the dynamic

@@ -76,6 +76,59 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(labelDirs.count(_.startsWith("v")) <= 2, labelDirs.mkString(","))
   }
 
+  test("compaction collapses per-batch files, preserves state, and survives a crashed swap") {
+    val statePath = Files.createTempDirectory("graft-incdedup-c").toString
+    val Pc = P.copy(indexBuckets = 8)
+    val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
+    val parts = docs.as[(Long, String)].collect().sortBy(_._1)
+      .grouped(200).map(_.toSeq.toDF("doc_id", "text")).toSeq
+    parts.foreach(b =>
+      IncrementalNearDup.processBatch(b, "doc_id", "text", statePath, Pc))
+
+    def fileCount(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$statePath/index"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def clusterMap() = IncrementalNearDup.clusters(docs, "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val before = clusterMap()
+    val rowsBefore = IncrementalNearDup.bandIndex(spark, statePath).get.count()
+    val filesBefore = fileCount()
+    IncrementalNearDup.compact(spark, statePath)
+    assert(fileCount() < filesBefore,
+      s"compaction did not reduce files ($filesBefore)")
+    assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()
+      == rowsBefore, "compaction changed index content")
+    assert(clusterMap() == before, "compaction changed clusters")
+
+    // maintenance continues on the compacted layout: a near-dup of an
+    // early doc still collides cross-batch
+    val seedDoc = docs.orderBy("doc_id").head()
+    val (seedId, seedText) = (seedDoc.getLong(0), seedDoc.getString(1))
+    IncrementalNearDup.processBatch(
+      Seq((2000000L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", statePath, Pc)
+    val after = IncrementalNearDup.clusters(
+        docs.select("doc_id").unionByName(Seq(2000000L).toDF("doc_id")),
+        "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(2000000L) == after(seedId),
+      "post-compaction arrival missed its cross-batch twin")
+
+    // crashed swap: index moved aside, replacement never landed —
+    // the next reader restores it whole
+    val idxDir = new java.io.File(s"$statePath/index")
+    assert(idxDir.renameTo(new java.io.File(s"$statePath/index.old")))
+    assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()
+      == IncrementalNearDup.bandRows(
+           docs.unionByName(Seq((2000000L, seedText)).toDF("doc_id", "text")),
+           "doc_id", "text", Pc).count(),
+      "crashed-swap recovery lost index rows")
+  }
+
   test("cross-batch pairs are found: a near-dup arriving months later still clusters") {
     val statePath = Files.createTempDirectory("graft-incdedup-x").toString
     val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "zig zag")).toDF("doc_id", "text")

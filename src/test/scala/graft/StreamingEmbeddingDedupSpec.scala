@@ -106,6 +106,68 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction collapses per-batch files; maintenance continues identically afterwards") {
+    val p = IncrementalEmbeddingDedup.Params(numPlanes = 4, tables = 4,
+      indexBuckets = 8)
+    val statePath = Files.createTempDirectory("graft-incsem-c").toString
+    def vecs(seed: Int, from: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i =>
+          (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    (0 until 3).foreach(b => IncrementalEmbeddingDedup.processBatch(
+      vecs(b + 1, b * 100, 100), "vec_id", "embedding", statePath, p))
+
+    def fileCount(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val ids = (0L until 300L).toSeq.toDF("vec_id")
+    def clusterMap() = IncrementalEmbeddingDedup
+      .clusters(ids, "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val before = clusterMap()
+    val bandsBefore = spark.read.parquet(s"$statePath/bands").count()
+    val vecsBefore = spark.read.parquet(s"$statePath/vectors").count()
+    val filesBefore =
+      fileCount(s"$statePath/bands") + fileCount(s"$statePath/vectors")
+    IncrementalEmbeddingDedup.compact(spark, statePath)
+    assert(fileCount(s"$statePath/bands") + fileCount(s"$statePath/vectors")
+      < filesBefore, s"compaction did not reduce files ($filesBefore)")
+    assert(spark.read.parquet(s"$statePath/bands").count() == bandsBefore)
+    assert(spark.read.parquet(s"$statePath/vectors").count() == vecsBefore)
+    assert(clusterMap() == before, "compaction changed clusters")
+
+    // probe + verify still work on the compacted layout: an exact twin
+    // of an old vector folds into its cluster
+    val twinVec = vecs(1, 0, 100).filter(col("vec_id") === 7L)
+      .head().getSeq[Float](1)
+    IncrementalEmbeddingDedup.processBatch(
+      Seq((1000000L, twinVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", statePath, p)
+    val after = IncrementalEmbeddingDedup.clusters(
+        ids.unionByName(Seq(1000000L).toDF("vec_id")), "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(1000000L) == after(7L),
+      "post-compaction arrival missed its twin")
+
+    // crashed swap on the bands dir: next reader restores it whole
+    val bandsDir = new java.io.File(s"$statePath/bands")
+    assert(bandsDir.renameTo(new java.io.File(s"$statePath/bands.old")))
+    IncrementalEmbeddingDedup.processBatch(
+      Seq((1000001L, twinVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", statePath, p)
+    val after2 = IncrementalEmbeddingDedup.clusters(
+        ids.unionByName(Seq(1000000L, 1000001L).toDF("vec_id")),
+        "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after2(1000001L) == after2(7L),
+      "crashed-swap recovery lost the key index")
+  }
+
   test("probe volume stays ~flat at 10x corpus when planes grow with log n") {
     // Same discipline as the ANN index gate (StreamingAnnSpec): the
     // per-key candidate load is n/2^planes, so planes grow with log n
