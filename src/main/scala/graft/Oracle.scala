@@ -754,6 +754,35 @@ WHERE 1.0 * len(list_intersect(x.w, y.w))
       / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7
 ORDER BY a, b"""),
 
+    // Data mixing: budgets VALUES are generated from the SAME constant
+    // the Spark query uses (Mixture.DemoBudgets) — a budget drift
+    // cannot desynchronize the two sides. The md5 arithmetic is the
+    // t07 bucket at 10000 resolution; division/floor are single IEEE
+    // double ops, identical across engines.
+    "c04_token_mixture" -> (s"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents),
+totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok GROUP BY source),
+budgets(source, token_budget) AS (VALUES
+  ${graft.text.Mixture.DemoBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
+rates AS (
+  SELECT t.source,
+         CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                          CAST(token_budget AS DOUBLE) / total) * 10000)
+              AS BIGINT) AS keep
+  FROM totals t JOIN budgets b ON t.source = b.source)
+SELECT doc_id, tok.source, n_tokens
+FROM tok JOIN rates ON tok.source = rates.source
+WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 10000 < keep
+ORDER BY doc_id"""),
+
     "t01_token_stats" -> ("""
 WITH t AS (
   SELECT doc_id, text,

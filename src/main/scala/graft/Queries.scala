@@ -10,7 +10,7 @@ import graft.functions.money._
 import graft.dedup.{ConnectedComponents, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.TextFunctions
+import graft.text.{Mixture, TextFunctions}
 
 /** The engine's query catalog — one named query per operator of
   * `SURVEY.md` §2, each runnable over a testdata scale-factor directory
@@ -1052,6 +1052,19 @@ object Queries {
 
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
+    // Data mixing — the stage after curation: compose the training
+    // corpus by deterministically sampling each source to a token
+    // budget (hash-keyed keep decision, mirrorable in SQL; see
+    // graft.text.Mixture). Even sources are budget-bound, odd ones
+    // kept whole (Mixture.DemoBudgets, shared with the oracle).
+    "c04_token_mixture" -> ((s, d) => {
+      import s.implicits._
+      val budgets = Mixture.DemoBudgets.toDF("source", "token_budget")
+      Mixture.tokenBudgetMixture(documents(s, d),
+        "doc_id", "source", "text", budgets)
+        .orderBy("doc_id")
+    }),
+
     "t08_repetition" -> ((s, d) => {
       val nt = TextFunctions.tokenCount(col("text"))
       val nGrams = when(nt < 3, 0).otherwise(nt - 2)

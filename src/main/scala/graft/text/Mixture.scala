@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data mixing — the stage after curation in a training-data pipeline:
+  * compose the final corpus by sampling each source down to a token
+  * budget (upweight wiki-ish sources, downweight crawl-ish ones).
+  *
+  * The keep decision is `md5Bucket(key, 10000) < floor(min(1,
+  * budget/total)·10000)` — a pure function of the key and the
+  * per-source totals, so the sample is reproducible across runs,
+  * engines, and repartitionings (the [[TextFunctions.hashSplit]]
+  * discipline), monotone in the budget (a bigger budget keeps a
+  * superset), and exactly mirrorable in the DuckDB oracle. Expected
+  * kept token volume per source is its budget (quantized to 1e-4 of
+  * the keep rate; sampling noise is doc-level, not token-level).
+  *
+  * Cost at corpus scale: one map-side-combined aggregate for the
+  * per-source totals (|sources| rows), then one filtered scan with the
+  * rates dim broadcast — no corpus shuffle, no collect.
+  */
+object Mixture {
+
+  /** Per-source token-budget sample of `docs`: the rows of (idCol,
+    * sourceCol, n_tokens) whose source survives its budget. `budgets`
+    * is a (sourceCol, token_budget) dim; sources without a budget row
+    * are dropped (an explicit mixture lists every source it wants). */
+  def tokenBudgetMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                         textCol: String, budgets: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val totals = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens").cast("long")).as("__total"))
+    val rates = totals.join(budgets, sourceCol)
+      .select(col(sourceCol),
+        floor(least(lit(1.0),
+          col("token_budget").cast("double") / col("__total")) * 10000)
+          .as("__keep"))
+    toks.join(broadcast(rates), sourceCol)
+      .filter(TextFunctions.md5Bucket(col(idCol), 10000) < col("__keep"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+  }
+
+  /** The c04 catalog pin, shared verbatim with the DuckDB oracle
+    * (drift would fail the hash check, not confuse it): even-numbered
+    * sources get a tight budget (keep rate well under 1 on the shipped
+    * corpora), odd-numbered ones an effectively unlimited budget (rate
+    * clamps to 1 — kept whole). */
+  val DemoBudgets: Seq[(String, Long)] =
+    Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 600L else 1000000L))
+}

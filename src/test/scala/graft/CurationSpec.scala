@@ -86,6 +86,45 @@ class CurationSpec extends AnyFunSuite {
     assert(docs.count() > 0)
   }
 
+  test("c04: mixture is deterministic, monotone in budget, and keeps unbounded sources whole") {
+    import spark.implicits._
+    import graft.text.Mixture
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    def sample(budgets: Seq[(String, Long)], d: org.apache.spark.sql.DataFrame) =
+      Mixture.tokenBudgetMixture(d, "doc_id", "source", "text",
+          budgets.toDF("source", "token_budget"))
+        .select("doc_id").as[Long].collect().toSet
+
+    val base = sample(Mixture.DemoBudgets, docs)
+    // deterministic under repartitioning: the keep decision is a pure
+    // function of (key, budgets, totals)
+    assert(sample(Mixture.DemoBudgets, docs.repartition(7)) == base)
+
+    // monotone: doubling every budget keeps a superset
+    val doubled = sample(Mixture.DemoBudgets.map { case (s2, b) => (s2, b * 2) }, docs)
+    assert(base.subsetOf(doubled), "bigger budget dropped kept docs")
+
+    // unbounded (odd) sources keep every doc; bounded (even) sources
+    // keep a strict, non-empty subset on the shipped corpus
+    val perSource = Mixture.tokenBudgetMixture(docs, "doc_id", "source",
+        "text", Mixture.DemoBudgets.toDF("source", "token_budget"))
+      .groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    Mixture.DemoBudgets.foreach { case (src, b) =>
+      if (b >= 1000000L)
+        assert(perSource.getOrElse(src, 0L) == totals(src),
+          s"unbounded $src not kept whole")
+      else {
+        assert(perSource.getOrElse(src, 0L) < totals(src),
+          s"bounded $src not downsampled")
+        assert(perSource.getOrElse(src, 0L) > 0L, s"bounded $src emptied")
+      }
+    }
+  }
+
   test("t13: oov rate is 0 for docs made only of vocab tokens") {
     // every token with df >= 5 is in-vocab; a doc whose tokens all have
     // df >= 5 must report n_oov = 0
