@@ -783,6 +783,39 @@ WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
        + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 10000 < keep
 ORDER BY doc_id"""),
 
+    // Upsampling mixture: floor(w) full epochs + a hash-sampled
+    // fractional epoch; range(1, n+1) mirrors Spark's
+    // explode(sequence(1, n)). Budgets from Mixture.EpochBudgets.
+    "c05_mixture_epochs" -> (s"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens
+  FROM documents),
+totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total FROM tok GROUP BY source),
+budgets(source, token_budget) AS (VALUES
+  ${graft.text.Mixture.EpochBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
+rates AS (
+  SELECT source,
+         CAST(floor(w) AS BIGINT) AS n_full,
+         CAST(floor((w - floor(w)) * 10000) AS BIGINT) AS frac10k
+  FROM (SELECT t.source, CAST(token_budget AS DOUBLE) / total AS w
+        FROM totals t JOIN budgets b ON t.source = b.source)),
+n AS (
+  SELECT doc_id, tok.source, n_tokens,
+         n_full + CASE WHEN
+           (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
+            + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 10000
+           < frac10k THEN 1 ELSE 0 END AS n_copies
+  FROM tok JOIN rates ON tok.source = rates.source)
+SELECT doc_id, source, n_tokens,
+       unnest(range(1, n_copies + 1)) AS epoch
+FROM n WHERE n_copies > 0
+ORDER BY doc_id, epoch"""),
+
     "t01_token_stats" -> ("""
 WITH t AS (
   SELECT doc_id, text,

@@ -1065,6 +1065,17 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // Mixture with upsampling: sources whose budget exceeds their
+    // token volume are repeated (epoch index), the weight>1 regime of
+    // data mixing; under-budget sources degenerate to the c04 sample.
+    "c05_mixture_epochs" -> ((s, d) => {
+      import s.implicits._
+      val budgets = Mixture.EpochBudgets.toDF("source", "token_budget")
+      Mixture.tokenBudgetMixtureEpochs(documents(s, d),
+        "doc_id", "source", "text", budgets)
+        .orderBy("doc_id", "epoch")
+    }),
+
     "t08_repetition" -> ((s, d) => {
       val nt = TextFunctions.tokenCount(col("text"))
       val nGrams = when(nt < 3, 0).otherwise(nt - 2)

@@ -42,6 +42,37 @@ object Mixture {
       .select(col(idCol), col(sourceCol), col("n_tokens"))
   }
 
+  /** Token-budget mixture WITH upsampling — the clamp-free
+    * generalization of [[tokenBudgetMixture]]: a source whose budget
+    * exceeds its token volume is REPEATED (the per-source epoch count
+    * training mixtures express as weight > 1). With `w =
+    * budget/total`, every doc gets `floor(w)` full copies plus one
+    * more iff its hash lands under the fractional rate — so expected
+    * token volume is again exactly the budget, the output carries an
+    * `epoch` index (1-based), and `w < 1` degenerates to the sampled
+    * subset at epoch 1. The repeat is a row-local
+    * `explode(sequence(...))` — no shuffle beyond the totals
+    * aggregate. */
+  def tokenBudgetMixtureEpochs(docs: DataFrame, idCol: String,
+                               sourceCol: String, textCol: String,
+                               budgets: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val totals = toks.groupBy(col(sourceCol))
+      .agg(sum(col("n_tokens").cast("long")).as("__total"))
+    val w = col("token_budget").cast("double") / col("__total")
+    val rates = totals.join(budgets, sourceCol)
+      .select(col(sourceCol), floor(w).as("__full"),
+        floor((w - floor(w)) * 10000).as("__frac10k"))
+    toks.join(broadcast(rates), sourceCol)
+      .withColumn("n_copies", col("__full") +
+        when(TextFunctions.md5Bucket(col(idCol), 10000) < col("__frac10k"),
+          lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle
     * (drift would fail the hash check, not confuse it): even-numbered
     * sources get a tight budget (keep rate well under 1 on the shipped
@@ -49,4 +80,10 @@ object Mixture {
     * clamps to 1 — kept whole). */
   val DemoBudgets: Seq[(String, Long)] =
     Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 600L else 1000000L))
+
+  /** The c05 catalog pin: even sources are upsampled (budget ≈ 2-3×
+    * their shipped token volume at the verify SFs), odd ones
+    * downsampled (w < 1 — the fractional-epoch-only regime). */
+  val EpochBudgets: Seq[(String, Long)] =
+    Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 3500L else 600L))
 }

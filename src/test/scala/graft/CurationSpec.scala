@@ -125,6 +125,53 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c05: upsampled sources repeat floor(w) times; w<1 sources reduce to the c04 sample") {
+    import spark.implicits._
+    import graft.text.Mixture
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val budgets = Mixture.EpochBudgets.toDF("source", "token_budget")
+    val out = Mixture.tokenBudgetMixtureEpochs(docs, "doc_id", "source",
+        "text", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+
+    val totals = docs
+      .select(col("source"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val wBySource = Mixture.EpochBudgets.toMap.map { case (s2, b) =>
+      (s2, b.toDouble / totals(s2)) }
+
+    val copies = out.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      // epochs are dense 1..n per doc
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"epochs not dense for $k")
+      (k, rows.length.toLong)
+    }
+    copies.foreach { case ((_, src), n) =>
+      val full = math.floor(wBySource(src)).toLong
+      assert(n == full || n == full + 1,
+        s"$src copies $n outside {${full}, ${full + 1}}")
+    }
+    // the upsampled regime is actually exercised: some even source has
+    // docs at both floor(w) and floor(w)+1 with floor(w) >= 2
+    assert(wBySource.exists { case (s2, w) =>
+      w >= 2 && copies.exists { case ((_, src), n) => src == s2 && n >= 2 } })
+
+    // w<1 sources: c05's kept set == the clamp-free c04 sample on the
+    // same budgets (epoch-1-only regime)
+    val subBudget = Mixture.EpochBudgets.filter { case (s2, _) => wBySource(s2) < 1 }
+    if (subBudget.nonEmpty) {
+      val c04kept = Mixture.tokenBudgetMixture(docs, "doc_id", "source",
+          "text", subBudget.toDF("source", "token_budget"))
+        .select("doc_id").as[Long].collect().toSet
+      val c05kept = out.filter(t => subBudget.exists(_._1 == t._2))
+        .map(_._1).toSet
+      assert(c05kept == c04kept, "w<1 regime diverged from the c04 sample")
+    }
+  }
+
   test("t13: oov rate is 0 for docs made only of vocab tokens") {
     // every token with df >= 5 is in-vocab; a doc whose tokens all have
     // df >= 5 must report n_oov = 0
