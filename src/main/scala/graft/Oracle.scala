@@ -12,6 +12,100 @@ package graft
   */
 object Oracle {
 
+  /** Shared CTE chain of the semantic curation pipeline: scoring,
+    * lexical + embedding dup clusters, decontamination, split buckets,
+    * and the survivor set `surv`. The c03 catalog entry selects the
+    * survivors directly; c06 composes mixture sampling + sequence
+    * packing on top of the same chain. */
+  private val semanticCurationCtes: String = """WITH RECURSIVE t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+  WHERE 1.0 * len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ep AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM ev x JOIN ev y ON x.vec_id < y.vec_id
+  WHERE ROUND(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4),
+ee AS (SELECT a, b FROM ep UNION ALL SELECT b AS a, a AS b FROM ep),
+er AS (
+  SELECT vec_id AS node, vec_id AS label FROM embeddings
+  UNION
+  SELECT ee.b AS node, er.label FROM er JOIN ee ON er.node = ee.a),
+ecc AS (SELECT node, MIN(label) AS cluster_id FROM er GROUP BY node),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+  FROM t WHERE len(toks) >= 5),
+bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+contam AS (
+  SELECT DISTINCT c.doc_id FROM grams c JOIN bench b ON c.g = b.g
+  WHERE c.source NOT IN ('src0', 'src1')),
+sc AS (
+  SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
+         length(text) AS nchars,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+         END AS pr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+                   / len(toks)
+         END AS sr,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS c_en,
+         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
+         len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une'], x))) AS c_fr,
+         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de
+  FROM t),
+q AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND((least(nchars / 500.0, 1.0)
+                + CASE WHEN pr > 0.2 THEN 0.0 ELSE 1.0 - pr / 0.2 END
+                + least(sr * 4.0, 1.0)
+                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
+           AS quality_score,
+         CASE WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
+              WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
+              WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
+              WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+              ELSE 'und' END AS lang_pred
+  FROM sc),
+sp AS (
+  SELECT doc_id,
+         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
+          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 AS bucket
+  FROM documents),
+surv AS (
+  SELECT q.doc_id, q.source, q.n_tokens, q.quality_score, q.lang_pred,
+         CASE WHEN sp.bucket < 80 THEN 'train'
+              WHEN sp.bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM q
+  JOIN cc ON q.doc_id = cc.node AND q.doc_id = cc.cluster_id
+  JOIN ecc ON q.doc_id = ecc.node AND q.doc_id = ecc.cluster_id
+  JOIN sp ON sp.doc_id = q.doc_id
+  WHERE q.source NOT IN ('src0', 'src1')
+    AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND q.quality_score >= 0.72 AND q.lang_pred <> 'und' AND q.n_tokens >= 3)"""
+
   /** Shared prelude: reference-shaped frames over the TPC-H testdata,
     * the flagship view, and per-customer spending. Mirrors
     * `TestData.star` + `PurchaseSummary.customerPurchaseSummary` +
@@ -538,95 +632,49 @@ ORDER BY q.doc_id"""),
     // c03 = c02 + the semantic (embedding-cluster) keep stage: the
     // e05 recursive-CTE clustering joined on representative, same
     // recall-pin soundness note as e03/e05.
-    "c03_curation_semantic" -> ("""
-WITH RECURSIVE t AS (
-  SELECT doc_id, source, text,
-         string_split_regex(lower(trim(text)), '\s+') AS toks,
-         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
-  FROM documents),
-p AS (
-  SELECT x.doc_id AS a, y.doc_id AS b
-  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
-  WHERE 1.0 * len(list_intersect(x.w, y.w))
-        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7),
-e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
-r AS (
-  SELECT doc_id AS node, doc_id AS label FROM documents
-  UNION
-  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a),
-cc AS (SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node),
-ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ep AS (
-  SELECT x.vec_id AS a, y.vec_id AS b
-  FROM ev x JOIN ev y ON x.vec_id < y.vec_id
-  WHERE ROUND(list_dot_product(x.v, y.v)
-              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 4) >= 0.4),
-ee AS (SELECT a, b FROM ep UNION ALL SELECT b AS a, a AS b FROM ep),
-er AS (
-  SELECT vec_id AS node, vec_id AS label FROM embeddings
-  UNION
-  SELECT ee.b AS node, er.label FROM er JOIN ee ON er.node = ee.a),
-ecc AS (SELECT node, MIN(label) AS cluster_id FROM er GROUP BY node),
-grams AS (
-  SELECT doc_id, source,
-         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
-                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
-  FROM t WHERE len(toks) >= 5),
-bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
-contam AS (
-  SELECT DISTINCT c.doc_id FROM grams c JOIN bench b ON c.g = b.g
-  WHERE c.source NOT IN ('src0', 'src1')),
-sc AS (
-  SELECT doc_id, source, CAST(len(toks) AS INTEGER) AS n_tokens,
-         length(text) AS nchars,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
-         END AS pr,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(toks, x -> list_contains(
-                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
-                   / len(toks)
-         END AS sr,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-         END AS mwl,
-         len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to'], x))) AS c_en,
-         len(list_filter(toks, x -> list_contains(['el','la','de','que','y','los'], x))) AS c_es,
-         len(list_filter(toks, x -> list_contains(['le','la','les','des','est','une'], x))) AS c_fr,
-         len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS c_de
-  FROM t),
-q AS (
-  SELECT doc_id, source, n_tokens,
-         ROUND((least(nchars / 500.0, 1.0)
-                + CASE WHEN pr > 0.2 THEN 0.0 ELSE 1.0 - pr / 0.2 END
-                + least(sr * 4.0, 1.0)
-                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
-           AS quality_score,
-         CASE WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
-              WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
-              WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
-              WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
-              ELSE 'und' END AS lang_pred
-  FROM sc),
-sp AS (
-  SELECT doc_id,
-         (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
-          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
-          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
-          + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 100 AS bucket
-  FROM documents)
-SELECT q.doc_id, q.source, q.n_tokens, q.quality_score, q.lang_pred,
-       CASE WHEN sp.bucket < 80 THEN 'train'
-            WHEN sp.bucket < 90 THEN 'val'
-            ELSE 'test' END AS split
-FROM q
-JOIN cc ON q.doc_id = cc.node AND q.doc_id = cc.cluster_id
-JOIN ecc ON q.doc_id = ecc.node AND q.doc_id = ecc.cluster_id
-JOIN sp ON sp.doc_id = q.doc_id
-WHERE q.source NOT IN ('src0', 'src1')
-  AND q.doc_id NOT IN (SELECT doc_id FROM contam)
-  AND q.quality_score >= 0.72 AND q.lang_pred <> 'und' AND q.n_tokens >= 3
-ORDER BY q.doc_id"""),
+    "c03_curation_semantic" -> (semanticCurationCtes + """
+SELECT doc_id, source, n_tokens, quality_score, lang_pred, split
+FROM surv ORDER BY doc_id"""),
+
+    // c06 = the complete export: train-split survivors -> token-budget
+    // mixture on survivor volumes -> fixed-length sequence packing.
+    // Budget VALUES and the sequence length come from the SAME
+    // constants the Spark side uses (Mixture.ExportBudgets /
+    // ExportSeqTokens).
+    "c06_export_packed" -> (semanticCurationCtes + s""",
+tr AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS tok
+  FROM surv WHERE split = 'train'),
+totals AS (
+  SELECT source, CAST(SUM(tok) AS BIGINT) AS total FROM tr GROUP BY source),
+budgets(source, token_budget) AS (VALUES
+  ${graft.text.Mixture.ExportBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
+rates AS (
+  SELECT t2.source,
+         CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                          CAST(token_budget AS DOUBLE) / total) * 10000)
+              AS BIGINT) AS keep
+  FROM totals t2 JOIN budgets b ON t2.source = b.source),
+mixed AS (
+  SELECT tr.doc_id, tr.source, tr.tok
+  FROM tr JOIN rates ON tr.source = rates.source
+  WHERE (ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 1)) * 1000
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 2, 1)) * 100
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 3, 1)) * 10
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 4, 1))) % 10000 < keep),
+cm AS (
+  SELECT source, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM mixed)
+SELECT source,
+       CAST(FLOOR((cum - tok) / ${graft.text.Mixture.ExportSeqTokens}.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM cm GROUP BY source, seq_id
+ORDER BY source, seq_id"""),
 
     // e03 shares e02's brute-force SQL: the LSH form's verification is
     // exact and its recall is measured 100% on the shipped corpora

@@ -117,6 +117,36 @@ object Queries {
         lshCosinePairs(spark, dir).select(col("a"), col("b")), "a", "b")
         .cache())
 
+  /** The c03 semantic-curation survivor frame (doc_id, source,
+    * n_tokens, quality_score, lang_pred, split), unordered — shared by
+    * the c03 catalog entry and the c06 export composition. Scan-local
+    * scoring, representative keep-lists from BOTH dedup axes
+    * (broadcast-able, cached cluster maps), linear decontamination,
+    * hash split. */
+  private def curatedSemantic(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val isBench = col("source").isin("src0", "src1")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.qualityScore(col("text")).as("quality_score"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+    val keepers = dupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val semKeepers = embClusters(s, d)
+      .filter(col("vec_id") === col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+    val contaminated = Dedup.contaminationCounts(
+      docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
+      .select("doc_id")
+    scored.join(keepers, "doc_id")
+      .join(semKeepers, "doc_id")
+      .filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= 0.72 &&
+        col("lang_pred") =!= "und" && col("n_tokens") >= 3)
+      .withColumn("split", TextFunctions.hashSplit(col("doc_id")))
+  }
+
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */
   private def annIndexPath(sfDir: String, kind: String): String =
@@ -1025,29 +1055,32 @@ object Queries {
     // BOTH its text cluster and its embedding cluster; the marginal
     // cost over c02 is one more broadcast-able keep-list join (both
     // cluster sets are already materialized and shared).
-    "c03_curation_semantic" -> ((s, d) => {
-      val docs = documents(s, d)
-      val isBench = col("source").isin("src0", "src1")
-      val scored = docs.select(col("doc_id"), col("source"),
-        TextFunctions.tokenCount(col("text")).as("n_tokens"),
-        TextFunctions.qualityScore(col("text")).as("quality_score"),
-        TextFunctions.langId(col("text")).as("lang_pred"))
-      val keepers = dupClusters(s, d)
-        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-      val semKeepers = embClusters(s, d)
-        .filter(col("vec_id") === col("cluster_id"))
-        .select(col("vec_id").as("doc_id"))
-      val contaminated = Dedup.contaminationCounts(
-        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
-        .select("doc_id")
-      scored.join(keepers, "doc_id")
-        .join(semKeepers, "doc_id")
-        .filter(!isBench)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .filter(col("quality_score") >= 0.72 &&
-          col("lang_pred") =!= "und" && col("n_tokens") >= 3)
-        .withColumn("split", TextFunctions.hashSplit(col("doc_id")))
-        .orderBy("doc_id")
+    "c03_curation_semantic" -> ((s, d) => curatedSemantic(s, d).orderBy("doc_id")),
+
+    // The COMPLETE export: c03's curated survivors (train split) →
+    // token-budget mixture on the survivor volumes → fixed-length
+    // sequence packing. score → dedup (both axes) → decontaminate →
+    // split → mix → pack, one lazily-composed plan; pins shared with
+    // the oracle via Mixture.ExportBudgets / ExportSeqTokens.
+    "c06_export_packed" -> ((s, d) => {
+      import s.implicits._
+      val train = curatedSemantic(s, d)
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("tok"))
+      val mixed = Mixture.tokenBudgetMixtureCounts(train, "doc_id",
+        "source", "tok", Mixture.ExportBudgets.toDF("source", "token_budget"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      mixed
+        .withColumn("__cum", sum(col("tok")).over(w))
+        .withColumn("seq_id",
+          floor((col("__cum") - col("tok")) / lit(Mixture.ExportSeqTokens)))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("tok")).as("seq_tokens"),
+             min(col("doc_id")).as("first_doc"),
+             max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
     }),
 
     // Intra-document repetition: duplicate-trigram ratio, the standard

@@ -27,11 +27,22 @@ object Mixture {
     * is a (sourceCol, token_budget) dim; sources without a budget row
     * are dropped (an explicit mixture lists every source it wants). */
   def tokenBudgetMixture(docs: DataFrame, idCol: String, sourceCol: String,
-                         textCol: String, budgets: DataFrame): DataFrame = {
-    val toks = docs.select(col(idCol), col(sourceCol),
-      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+                         textCol: String, budgets: DataFrame): DataFrame =
+    tokenBudgetMixtureCounts(
+      docs.select(col(idCol), col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens")),
+      idCol, sourceCol, "n_tokens", budgets)
+      .select(col(idCol), col(sourceCol), col("n_tokens"))
+
+  /** Core of [[tokenBudgetMixture]] over precomputed per-doc token
+    * counts (`tokCol`) — for callers whose docs are already scored
+    * (e.g. the c06 export pipeline mixing curated survivors). All
+    * input columns pass through. */
+  def tokenBudgetMixtureCounts(toks: DataFrame, idCol: String,
+                               sourceCol: String, tokCol: String,
+                               budgets: DataFrame): DataFrame = {
     val totals = toks.groupBy(col(sourceCol))
-      .agg(sum(col("n_tokens").cast("long")).as("__total"))
+      .agg(sum(col(tokCol).cast("long")).as("__total"))
     val rates = totals.join(budgets, sourceCol)
       .select(col(sourceCol),
         floor(least(lit(1.0),
@@ -39,7 +50,7 @@ object Mixture {
           .as("__keep"))
     toks.join(broadcast(rates), sourceCol)
       .filter(TextFunctions.md5Bucket(col(idCol), 10000) < col("__keep"))
-      .select(col(idCol), col(sourceCol), col("n_tokens"))
+      .drop("__keep")
   }
 
   /** Token-budget mixture WITH upsampling — the clamp-free
@@ -86,4 +97,11 @@ object Mixture {
     * downsampled (w < 1 — the fractional-epoch-only regime). */
   val EpochBudgets: Seq[(String, Long)] =
     Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 3500L else 600L))
+
+  /** The c06 catalog pins: mixture budgets over the TRAIN-split
+    * curated survivors (even sources bounded, odd kept whole) and the
+    * packed training-sequence length. */
+  val ExportBudgets: Seq[(String, Long)] =
+    Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 150L else 1000000L))
+  val ExportSeqTokens: Long = 256L
 }
