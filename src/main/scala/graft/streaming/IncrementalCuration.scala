@@ -1,10 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{ConnectedComponents, Dedup}
-import graft.text.TextFunctions
+import graft.text.{Mixture, TextFunctions}
 
 /** The WHOLE curation pipeline under the dynamic-table discipline:
   * c01's stages — scan-local scoring (token count, quality, language),
@@ -83,6 +84,90 @@ object IncrementalCuration {
     admitted(scored(docs, idCol, textCol)
         .join(keepers, idCol).join(semKeepers, idCol))
       .orderBy(idCol)
+  }
+
+  /** Scoring with the source column carried through (the mixture
+    * stage groups by source). */
+  private def scoredWithSource(docs: DataFrame, idCol: String,
+                               sourceCol: String,
+                               textCol: String): DataFrame =
+    docs.select(col(idCol), col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      TextFunctions.qualityScore(col(textCol)).as("quality_score"),
+      TextFunctions.langId(col(textCol)).as("lang_pred"))
+
+  /** The mix-and-pack tail shared by the maintained and batch export
+    * forms: train-split filter → token-budget mixture on survivor
+    * volumes → fixed-length sequence packing (the c06 formula). */
+  private def mixAndPack(surv: DataFrame, idCol: String, sourceCol: String,
+                         budgets: DataFrame, seqTokens: Long): DataFrame = {
+    val train = surv
+      .withColumn("split", TextFunctions.hashSplit(col(idCol)))
+      .filter(col("split") === "train")
+      .select(col(idCol), col(sourceCol), col("n_tokens").cast("long").as("tok"))
+    val mixed = Mixture.tokenBudgetMixtureCounts(
+      train, idCol, sourceCol, "tok", budgets)
+    val w = Window.partitionBy(sourceCol).orderBy(idCol)
+    mixed
+      .withColumn("__cum", sum(col("tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("tok")) / lit(seqTokens)))
+      .groupBy(col(sourceCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tok")).as("seq_tokens"),
+           min(col(idCol)).as("first_doc"),
+           max(col(idCol)).as("last_doc"))
+      .orderBy(sourceCol, "seq_id")
+  }
+
+  /** The FULL export pipeline (c06's shape) over MAINTAINED state:
+    * curated-semantic survivors (both dedup labelings read from their
+    * state directories, Δ-folded by the streams) → train split →
+    * per-source token-budget mixture → sequence packing. The whole
+    * view costs one scan-local projection, two broadcast-able
+    * keep-list joins, one |sources|-row totals aggregate, and one
+    * per-source window — per refresh, regardless of how the clusters
+    * were accumulated. */
+  def exportPacked(docs: DataFrame, idCol: String, sourceCol: String,
+                   textCol: String, statePath: String, semStatePath: String,
+                   budgets: DataFrame, seqTokens: Long): DataFrame = {
+    val keepers = IncrementalNearDup.clusters(docs, idCol, statePath)
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val semKeepers = IncrementalEmbeddingDedup.clusters(
+        docs.select(col(idCol)), idCol, semStatePath)
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val surv = admitted(
+      scoredWithSource(docs, idCol, sourceCol, textCol)
+        .join(keepers, idCol).join(semKeepers, idCol))
+    mixAndPack(surv, idCol, sourceCol, budgets, seqTokens)
+  }
+
+  /** One-shot batch reference for [[exportPacked]]: both cluster sets
+    * recomputed from scratch, then the same mix-and-pack tail. */
+  def exportPackedBatch(docs: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, vecs: DataFrame, vecCol: String,
+                        budgets: DataFrame, seqTokens: Long,
+                        params: IncrementalNearDup.Params =
+                          IncrementalNearDup.Params(),
+                        semParams: IncrementalEmbeddingDedup.Params =
+                          IncrementalEmbeddingDedup.Params()): DataFrame = {
+    val pairs = Dedup.nearDuplicates(docs, idCol, textCol,
+      params.shingleLen, params.numHashes, params.numBands,
+      params.threshold, params.maxBucket)
+    val keepers = ConnectedComponents.dupClusters(
+        docs, idCol, pairs.select("a", "b"), "a", "b")
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val semPairs = graft.similarity.Similarity.cosineNearDuplicatesMulti(
+      vecs, idCol, vecCol, semParams.threshold, semParams.numPlanes,
+      semParams.tables, semParams.seed, semParams.maxBucket)
+    val semKeepers = ConnectedComponents.dupClusters(
+        vecs.select(col(idCol)), idCol,
+        semPairs.select(col("a"), col("b")), "a", "b")
+      .filter(col(idCol) === col("cluster_id")).select(col(idCol))
+    val surv = admitted(
+      scoredWithSource(docs, idCol, sourceCol, textCol)
+        .join(keepers, idCol).join(semKeepers, idCol))
+    mixAndPack(surv, idCol, sourceCol, budgets, seqTokens)
   }
 
   /** One-shot batch reference for [[curatedSemantic]]: both cluster

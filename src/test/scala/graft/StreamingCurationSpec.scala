@@ -107,4 +107,53 @@ class StreamingCurationSpec extends AnyFunSuite {
       statePath, semStatePath).count()
     assert(both < lexOnly, s"semantic stage filtered nothing: $both vs $lexOnly")
   }
+
+  test("streaming EXPORT view (curate -> mix -> pack) == batch composition at every boundary") {
+    import graft.text.Mixture
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val emb = TestData.table(spark, sf, "embeddings")
+      .select("vec_id", "embedding").withColumnRenamed("vec_id", "doc_id")
+    val statePath = Files.createTempDirectory("graft-export-sl").toString
+    val semStatePath = Files.createTempDirectory("graft-export-se").toString
+    val SemP = IncrementalEmbeddingDedup.Params()
+    val budgets = Mixture.ExportBudgets.toDF("source", "token_budget")
+    val seqTokens = Mixture.ExportSeqTokens
+
+    val allDocs = docs.as[(Long, String, String)].collect().sortBy(_._1)
+    val embById = emb.as[(Long, Seq[Float])].collect().toMap
+    val batches = allDocs.grouped(math.max(1, allDocs.length / 3)).toSeq
+
+    def rowsOf6(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+
+    var seen = Seq.empty[(Long, String, String)]
+    for (b <- batches) {
+      IncrementalNearDup.processBatch(
+        b.toSeq.toDF("doc_id", "source", "text"), "doc_id", "text",
+        statePath, P)
+      IncrementalEmbeddingDedup.processBatch(
+        b.map { case (id, _, _) => (id, embById(id)) }.toSeq
+          .toDF("doc_id", "embedding"),
+        "doc_id", "embedding", semStatePath, SemP)
+      seen = seen ++ b
+      val seenDocs = seen.toDF("doc_id", "source", "text")
+      val seenVecs = seen.map { case (id, _, _) => (id, embById(id)) }
+        .toDF("doc_id", "embedding")
+      val streaming = rowsOf6(IncrementalCuration.exportPacked(
+        seenDocs, "doc_id", "source", "text", statePath, semStatePath,
+        budgets, seqTokens))
+      val batch = rowsOf6(IncrementalCuration.exportPackedBatch(
+        seenDocs, "doc_id", "source", "text", seenVecs, "embedding",
+        budgets, seqTokens, P, SemP))
+      assert(streaming == batch,
+        s"export view diverged after ${seen.length} docs: " +
+          s"streaming ${streaming.length} seqs, batch ${batch.length} seqs")
+    }
+    val finalView = IncrementalCuration.exportPacked(
+      seen.toDF("doc_id", "source", "text"), "doc_id", "source", "text",
+      statePath, semStatePath, budgets, seqTokens)
+    assert(finalView.count() > 0, "degenerate check: empty export")
+  }
 }
