@@ -1388,6 +1388,48 @@ SELECT merchant_category, CAST(rank AS BIGINT) AS rank, merchant_name,
 FROM rk WHERE rank <= 3
 ORDER BY merchant_category, rank"""),
 
+    // Mirrors graft.functions.DigestBuckets exactly: decimal
+    // log-buckets by (digit count, leading two digits) — pure
+    // integer/string math, no float log, so the bucket index and the
+    // midpoint representative match the Scala sketch bit-for-bit
+    // (cents here are all positive; the Scala side also mirrors
+    // negatives, unused by this query).
+    "q63_quantile_sketch" -> (star + """
+, cts AS (
+  SELECT transaction_category,
+         CAST(ROUND(total_price * 100) AS BIGINT) AS v
+  FROM summary),
+b AS (
+  SELECT transaction_category,
+         CASE WHEN v < 10 THEN v
+              ELSE 10 + (LENGTH(CAST(v AS VARCHAR)) - 2) * 90
+                   + CAST(SUBSTR(CAST(v AS VARCHAR), 1, 2) AS BIGINT) - 10
+         END AS idx,
+         COUNT(*) AS c
+  FROM cts GROUP BY 1, 2),
+cum AS (
+  SELECT transaction_category, idx,
+         SUM(c) OVER (PARTITION BY transaction_category ORDER BY idx) AS cum,
+         SUM(c) OVER (PARTITION BY transaction_category) AS n
+  FROM b),
+r AS (
+  SELECT transaction_category, cum, n,
+         CASE WHEN idx < 10 THEN idx
+              ELSE ((10 + (idx - 10) % 90)
+                      * CAST(POWER(10, (idx - 10) // 90) AS BIGINT) * 2
+                    + CAST(POWER(10, (idx - 10) // 90) AS BIGINT) - 1) // 2
+         END AS rep
+  FROM cum)
+SELECT transaction_category,
+       MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.50 * n) AS BIGINT), 1)
+                THEN rep END) / 100.0 AS p50,
+       MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.90 * n) AS BIGINT), 1)
+                THEN rep END) / 100.0 AS p90,
+       MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.99 * n) AS BIGINT), 1)
+                THEN rep END) / 100.0 AS p99
+FROM r GROUP BY transaction_category
+ORDER BY transaction_category"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

@@ -1425,6 +1425,28 @@ object Queries {
         .orderBy("merchant_category", "rank")
     }),
 
+    // Per-group quantiles through the mergeable log-bucket sketch
+    // (functions.QuantileSketchAgg): ≤ ~3.3k-bucket state per group,
+    // bucket-wise-sum merge — only sketches cross the shuffle, never
+    // rows, and the result is identical under any partitioning. The
+    // 100 TB form of q51's exact `percentile` (which sorts each
+    // group's full row set). Integer bucketing means the DuckDB
+    // oracle reproduces the estimate bit-for-bit.
+    "q63_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val rows = summary(s, d)
+        .select(col("transaction_category"), cents(col("total_price")).as("v"))
+        .as[(String, Long)]
+      rows.groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.QuantileSketchAgg.of(0.5, 0.9, 0.99)
+          .toColumn.name("qv"))
+        .map { case (cat, qv) =>
+          (cat, qv(0) / 100.0, qv(1) / 100.0, qv(2) / 100.0) }
+        .toDF("transaction_category", "p50", "p90", "p99")
+        .orderBy("transaction_category")
+    }),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token
