@@ -1430,6 +1430,35 @@ SELECT transaction_category,
 FROM r GROUP BY transaction_category
 ORDER BY transaction_category"""),
 
+    // Exact form of q64's under-capacity KMV answers: distinct count
+    // per category + Jaccard overlap with the union of the rest.
+    "q64_kmv_overlap" -> (star + """
+, kmvc AS (
+  SELECT DISTINCT transaction_category, customer_id FROM summary),
+kmvn AS (
+  SELECT transaction_category, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM kmvc GROUP BY 1),
+kmvr AS (
+  SELECT a.transaction_category,
+         CAST(COUNT(DISTINCT b.customer_id) AS BIGINT) AS rest_n
+  FROM kmvn a JOIN kmvc b
+    ON b.transaction_category <> a.transaction_category
+  GROUP BY 1),
+kmvi AS (
+  SELECT a.transaction_category, CAST(COUNT(*) AS BIGINT) AS inter_n
+  FROM kmvc a
+  WHERE EXISTS (SELECT 1 FROM kmvc b
+                WHERE b.customer_id = a.customer_id
+                  AND b.transaction_category <> a.transaction_category)
+  GROUP BY 1)
+SELECT kmvn.transaction_category, kmvn.n_customers,
+       CAST(COALESCE(inter_n, 0) AS DOUBLE)
+         / CAST(kmvn.n_customers + rest_n - COALESCE(inter_n, 0) AS DOUBLE)
+         AS jaccard_vs_rest
+FROM kmvn JOIN kmvr USING (transaction_category)
+LEFT JOIN kmvi USING (transaction_category)
+ORDER BY transaction_category"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

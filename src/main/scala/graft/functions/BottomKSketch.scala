@@ -86,6 +86,16 @@ object BottomKSketch {
   def ofLong(k: Int): BottomKSketch[Long] =
     new BottomKSketch[Long](k, l => hash32(BigInt(l).toByteArray))
 
+  /** Sketch over long keys with a 64-bit hash (xxhash64): collision
+    * probability ~n²/2⁶⁵, so in the under-capacity regime (distinct
+    * < k) the sketch length IS the exact distinct count and two
+    * sketches intersect exactly like the underlying key sets — the
+    * mode q64 runs in, where the DuckDB oracle checks it against
+    * COUNT(DISTINCT) and exact set overlap. */
+  def ofLongX64(k: Int): BottomKSketch[Long] =
+    new BottomKSketch[Long](k,
+      l => org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, 42L))
+
   /** Distinct-count estimate from a sketch (standard KMV estimator).
     * Exact when the group had fewer than k distinct values. */
   def estimateDistinct(sketch: Array[Long], k: Int): Double =

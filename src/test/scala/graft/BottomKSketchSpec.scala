@@ -42,6 +42,25 @@ class BottomKSketchSpec extends AnyFunSuite {
     assert(j > 0.1 && j < 0.65, s"jaccard estimate $j for true 1/3")
   }
 
+  test("ofLongX64 under capacity: sketch IS the exact key set (q64 regime)") {
+    val k = 1 << 10
+    val agg = BottomKSketch.ofLongX64(k).toColumn
+    // two groups sharing 150 of 400/350 keys, well under k
+    val data = ((0L until 400L).map(i => ("a", i)) ++
+                (250L until 600L).map(i => ("b", i)))
+    val sketches = data.toDS().repartition(8).groupByKey(_._1).mapValues(_._2)
+      .agg(agg.name("sk")).collect().toMap
+    // under capacity the sketch holds every distinct hash → length exact
+    assert(sketches("a").length == 400)
+    assert(sketches("b").length == 350)
+    // intersection of sketches == hash of intersection of key sets:
+    // 64-bit xxhash64 is injective here w.h.p., so overlap is exact
+    val inter = sketches("a").toSet.intersect(sketches("b").toSet).size
+    assert(inter == 150, s"expected exact overlap 150, got $inter")
+    // sketches arrive sorted (merge invariant) for sorted_intersect_size
+    assert(sketches("a").toSeq == sketches("a").sorted.toSeq)
+  }
+
   test("registered as an untyped SQL aggregate") {
     BottomKSketch.register(spark, "bottom_k_sketch", 16)
     graft.sources.TestData.table(spark, sf, "documents")
