@@ -34,10 +34,23 @@ object TestData {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events stream table. Its `ts` column is a nanosecond parquet
-    * timestamp, which Spark's reader rejects by default; we read it as
-    * `LongType` nanos-since-epoch (`spark.sql.legacy.parquet.nanosAsLong`)
-    * — exact, totally ordered, and identical to DuckDB's ns semantics.
+  /** The events stream table, normalized so `ts` is ALWAYS
+    * nanos-since-epoch `LongType` — the engine-wide contract every
+    * event-time operator ([[graft.streaming.EventAnalytics]]) and
+    * catalog query is written against (exact, totally ordered,
+    * overflow-free until 2262).
+    *
+    * The driver has shipped the column as both parquet `timestamp[ns]`
+    * and `timestamp[us]` across testdata generations, so we dispatch on
+    * the decoded type: ns timestamps arrive as LongType nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` (Spark's reader rejects ns
+    * precision otherwise); us timestamps arrive as TimestampType — or
+    * TimestampNTZType when the parquet logical type is not
+    * UTC-adjusted, as pandas-written files are — and are converted with
+    * `unix_micros * 1000`, exact integer math with no double rounding.
+    * The NTZ→TZ cast is a no-op re-labeling under this engine's pinned
+    * UTC sessions (Engine/Bench/Verify all set session.timeZone=UTC),
+    * matching DuckDB's UTC-epoch reading of naive timestamps.
     *
     * NOTE: the conf flip is deliberately SESSION-GLOBAL and permanent.
     * There is no per-read option for it, and set-and-restore would be
@@ -50,7 +63,14 @@ object TestData {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case _ => raw // LongType nanos (ns parquet under nanosAsLong)
+    }
   }
 
   /** customer_id, customer_name, age, segment, nation_id */
