@@ -1459,6 +1459,48 @@ FROM kmvn JOIN kmvr USING (transaction_category)
 LEFT JOIN kmvi USING (transaction_category)
 ORDER BY transaction_category"""),
 
+    "q65_uncontacted_customers" -> ("""
+WITH pos AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_acctbal > 0.0),
+tot AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pos)
+SELECT c_nationkey AS nation_id,
+       COUNT(*) AS n_customers,
+       SUM(bal_c) / 100.0 AS total_acctbal
+FROM pos, tot
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = pos.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY nation_id"""),
+
+    "q66_small_quantity_revenue" -> ("""
+SELECT l.l_partkey AS partkey,
+       COUNT(*) AS n_small,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS small_revenue
+FROM lineitem l
+WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 *
+        (SELECT COUNT(*) FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(ROUND(x.l_quantity * 100) AS BIGINT))
+         FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+GROUP BY l.l_partkey ORDER BY partkey"""),
+
+    "q67_sole_returned_supplier" -> ("""
+SELECT s.s_name AS supplier, COUNT(*) AS n_items
+FROM lineitem l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name ORDER BY supplier"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

@@ -1484,6 +1484,86 @@ object Queries {
         .orderBy("transaction_category")
     }),
 
+    // Global-threshold anti-join (TPC-H Q22 shape): positive-balance
+    // customers above the global average balance with no URGENT order
+    // (every testdata customer has SOME order, so the anti-join filter
+    // keeps the result non-degenerate), rolled up by nation. The
+    // scalar aggregate computes ONCE (a broadcast scalar, not a
+    // per-row subquery) and the NOT EXISTS decorrelates to a left-anti
+    // hash join on custkey — at 100 TB that is one small broadcast
+    // plus one key-partitioned anti join, with the priority filter
+    // pushed into the orders scan. The threshold compares as
+    // `bal·n > total` in integer cents: multiply-through instead of
+    // dividing keeps both engines exact.
+    "q65_uncontacted_customers" -> ((s, d) => {
+      TestData.table(s, d, "customer").createOrReplaceTempView("graft_cust_q65")
+      TestData.table(s, d, "orders").createOrReplaceTempView("graft_ord_q65")
+      s.sql("""
+        WITH pos AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM graft_cust_q65 WHERE c_acctbal > 0.0),
+        tot AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pos)
+        SELECT c_nationkey AS nation_id,
+               COUNT(*) AS n_customers,
+               SUM(bal_c) / 100.0 AS total_acctbal
+        FROM pos, tot
+        WHERE bal_c * n > s
+          AND NOT EXISTS (SELECT 1 FROM graft_ord_q65 o
+                          WHERE o.o_custkey = pos.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY nation_id""")
+    }),
+
+    // Correlated per-group-average filter (TPC-H Q17 shape): lineitems
+    // whose quantity is under 20% of their part's average quantity.
+    // Catalyst decorrelates the correlated scalar aggregates into ONE
+    // per-part aggregate joined back on partkey (MergeScalarSubqueries
+    // collapses the two subqueries into a single aggregate) — the
+    // per-row-subquery reading would be quadratic; the decorrelated
+    // plan is two key-partitioned passes over lineitem. The predicate
+    // multiplies through (`5·q·n < sum`) in integer hundredths so the
+    // average never materializes as an inexact double.
+    "q66_small_quantity_revenue" -> ((s, d) => {
+      TestData.table(s, d, "lineitem").createOrReplaceTempView("graft_li_q66")
+      s.sql("""
+        SELECT l.l_partkey AS partkey,
+               COUNT(*) AS n_small,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+                 AS small_revenue
+        FROM graft_li_q66 l
+        WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 *
+                (SELECT COUNT(*) FROM graft_li_q66 x
+                 WHERE x.l_partkey = l.l_partkey)
+              < (SELECT SUM(CAST(ROUND(x.l_quantity * 100) AS BIGINT))
+                 FROM graft_li_q66 x WHERE x.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey ORDER BY partkey""")
+    }),
+
+    // EXISTS + NOT EXISTS pair (TPC-H Q21 shape): per supplier, count
+    // returned items in multi-supplier orders where NO other supplier
+    // had a return — the "sole blame" pattern. Both subqueries
+    // decorrelate: EXISTS → left-semi, NOT EXISTS → left-anti, each a
+    // key-partitioned hash join on orderkey (self-joins share the
+    // lineitem scan), then one broadcast join to supplier for names.
+    "q67_sole_returned_supplier" -> ((s, d) => {
+      TestData.table(s, d, "lineitem").createOrReplaceTempView("graft_li_q67")
+      TestData.table(s, d, "supplier").createOrReplaceTempView("graft_sup_q67")
+      s.sql("""
+        SELECT s.s_name AS supplier, COUNT(*) AS n_items
+        FROM graft_li_q67 l1
+        JOIN graft_sup_q67 s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM graft_li_q67 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM graft_li_q67 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name ORDER BY supplier""")
+    }),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The correlated-subquery family (q65-q67) is only scale-correct if
+  * Catalyst decorrelates: a per-row subquery re-executes once per outer
+  * row (quadratic at 100 TB), while the decorrelated form is a fixed
+  * number of key-partitioned hash joins. These tests pin the physical
+  * plan shape, not just the answers (the oracle checks those).
+  */
+class CorrelatedSubquerySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q65: NOT EXISTS decorrelates to an anti join, threshold is one scalar") {
+    val p = plan("q65_uncontacted_customers")
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+    // the global threshold must not appear as a correlated (per-row)
+    // subquery — only uncorrelated scalar subqueries may remain
+    assert(!p.contains("InSubquery"), s"unexpected per-row subquery in:\n$p")
+  }
+
+  test("q66: correlated scalar aggregates decorrelate to a per-part aggregate join") {
+    val p = plan("q66_small_quantity_revenue")
+    // decorrelation yields an aggregate on the correlation key joined
+    // back to the fact — visible as a HashAggregate + an equi hash join
+    assert(p.contains("HashAggregate"), s"expected aggregate in:\n$p")
+    assert(p.contains("Join") || p.contains("join"), s"expected join in:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"),
+      s"decorrelated plan must not be a cartesian product:\n$p")
+  }
+
+  test("q67: EXISTS/NOT EXISTS become semi and anti joins on the order key") {
+    val p = plan("q67_sole_returned_supplier")
+    assert(p.contains("LeftSemi"), s"expected semi join in:\n$p")
+    assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
+  }
+
+  test("q65-q67 agree with direct two-pass formulations") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.TestData.table(spark, sf, "lineitem")
+
+    // q66 cross-check: explicit aggregate + join formulation
+    val qc = round(col("l_quantity") * 100).cast("long")
+    val stats = li.groupBy(col("l_partkey").as("k"))
+      .agg(count(lit(1)).as("n"), sum(qc).as("qsum"))
+    val direct = li.join(stats, col("l_partkey") === col("k"))
+      .filter(qc * 5 * col("n") < col("qsum"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_small"))
+    val viaSql = Queries.all("q66_small_quantity_revenue")(spark, sf)
+      .select(col("partkey"), col("n_small"))
+    assert(direct.select(col("l_partkey").as("partkey"), col("n_small"))
+      .except(viaSql).isEmpty && viaSql.except(
+        direct.select(col("l_partkey").as("partkey"), col("n_small"))).isEmpty)
+  }
+}
