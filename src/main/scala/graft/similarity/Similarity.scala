@@ -66,17 +66,19 @@ object Similarity {
       norm(col(vecCol)).as("__ny"))
     // argmax as a max-of-struct aggregation, NOT a window: the n² pair
     // stream folds through map-side partial maxes instead of being
-    // shuffled and sorted whole. struct compare = (cosine desc, nn
-    // asc) via negated id — same winner as the rn=1 window form.
+    // shuffled and sorted whole. (cosine desc, nn asc) as one `min`
+    // over struct(-cosine, nn) — only the always-numeric cosine is
+    // negated, so string/UUID id columns order correctly too (same
+    // pattern as nearestFromPairs); same winner as the rn=1 window.
     x.join(y, col("id") =!= col("nn"))
       .withColumn("cosine", round(
         when(col("__nx") * col("__ny") === 0, 0.0)
           .otherwise(dot(col("__vx"), col("__vy")) / (col("__nx") * col("__ny"))),
         4))
       .groupBy("id")
-      .agg(max(struct(col("cosine"), (-col("nn")).as("__negnn"))).as("__m"))
-      .select(col("id"), (-col("__m.__negnn")).as("nn"),
-              col("__m.cosine").as("cosine"))
+      .agg(min(struct((-col("cosine")).as("__negc"), col("nn"))).as("__m"))
+      .select(col("id"), col("__m.nn").as("nn"),
+              (-col("__m.__negc")).as("cosine"))
   }
 
   /** Exact top-k by cosine against one query vector. */
