@@ -885,6 +885,24 @@ object Queries {
       Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
     }),
 
+    // PQ (product-quantization) ANN top-k: vectors compress to 8
+    // 4-bit-ish codes; the per-query candidate scan reads ONLY the
+    // code column (parquet column pruning — the vector bytes never
+    // move), exact cosine re-ranks the candidate set. LSH/IVF prune
+    // ROWS, PQ prunes BYTES — the index family for when even scanning
+    // the vectors is the bottleneck. Deterministic codebooks (stride-
+    // seeded decimal-mean Lloyd, bit-reproducible; no SQL oracle —
+    // recall floors pinned in PqAnnSpec).
+    "s04_pq_topk" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val (idx, books) = Similarity.ensurePqIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        annIndexPath(d, "pq8x16-l1"), m = 8, ksub = 16)
+      Similarity.pqTopK(idx, "vec_id", "embedding", q, 10, books)
+    }),
+
     // Exact self-kNN (nearest neighbor per vector) — the embedding-
     // dedup primitive; brute-force baseline of the LSH-bucketed form.
     "e01_self_knn" -> ((s, d) =>

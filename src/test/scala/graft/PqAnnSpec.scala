@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.similarity.Similarity
+
+/** Gates for the PQ ANN path (s04): the catalog entry has no SQL
+  * oracle (codes are quantizer-dependent), so recall, determinism, and
+  * the plan shape that makes PQ an index are pinned here instead —
+  * the same discipline as the s02/s03 gates.
+  */
+class PqAnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("codebooks are deterministic and the sidecar round-trips bit-for-bit") {
+    val emb = graft.sources.TestData.table(spark, sf, "embeddings")
+    val b1 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val b2 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val (_, fromDisk) = Similarity.ensurePqIndex(
+      emb, "vec_id", "embedding", s"$dir/pq", m = 8, ksub = 16)
+    assert(fromDisk.map(_.toSeq).toSeq == b1.map(_.toSeq).toSeq,
+      "persisted codebooks differ from a fresh rebuild")
+  }
+
+  test("ADC candidate scan reads only (id, code) columns and takes ordered top-n") {
+    val emb = graft.sources.TestData.table(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val (idx, books) = Similarity.ensurePqIndex(
+      emb, "vec_id", "embedding", s"$dir/pq", m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val plan = Similarity.pqCandidates(idx, "vec_id", q, books, 80)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-n in:\n$plan")
+    val readSchema = "ReadSchema: [^\\n]+".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("embedding"),
+      s"ADC scan must not read the vector column: $readSchema")
+  }
+
+  test("ADC column score matches the driver-side computation row-for-row") {
+    val emb = graft.sources.TestData.table(spark, sf, "embeddings")
+      .filter(col("vec_id") < 50)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val coded = Similarity.withPqCodes(emb, "embedding", books)
+    val got = Similarity.pqCandidates(coded, "vec_id", q, books, 1000)
+      .as[(Long, Double)].collect().toMap
+
+    // driver-side recomputation: normalize q, per-subspace d² table,
+    // sum table entries at each row's codes
+    val qn = { val n = math.sqrt(q.map(x => x.toDouble * x).sum)
+               q.map(_ / n) }
+    val sub = q.length / 8
+    val codes = coded.select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect()
+    codes.foreach { case (id, cs) =>
+      val want = cs.zipWithIndex.map { case (c, i) =>
+        books(i).find(_._1 == c).get._2.zipWithIndex.map { case (x, j) =>
+          val d = x - qn(i * sub + j); d * d }.sum }.sum
+      assert(math.abs(got(id) - want) < 1e-6,
+        s"ADC mismatch for $id: got ${got(id)}, want $want")
+    }
+  }
+
+  test("shipped-corpus recall@10 pinned (gapless corpus — honest floor)") {
+    val emb = graft.sources.TestData.table(spark, sf001, "embeddings").cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    val (idx, books) = Similarity.ensurePqIndex(
+      emb, "vec_id", "embedding", s"$dir/pq", m = 8, ksub = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val recall = queries.map { case (qid, q) =>
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.pqTopK(
+        idx.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10,
+        books).collect().map(_.getLong(0)).toSet
+      ann.intersect(exact).size / 10.0
+    }.sum / queries.length
+    info(f"shipped-corpus PQ recall@10: $recall%.3f")
+    // this corpus has NO similarity gap (background p99.9 ~ 0.377 at
+    // tau 0.4); measured 0.675 — above both the LSH (0.61) and IVF
+    // (0.56) entries' pins here. Pin with margin; the planted-corpus
+    // test below is the separated-corpus quality gate.
+    assert(recall >= 0.55, s"PQ recall@10 on shipped corpus: $recall")
+    emb.unpersist()
+  }
+
+  test("planted separated corpus: PQ recall@10 >= 0.9") {
+    // same fixture family as SimilarityIvfSpec's planted test: 20
+    // clusters of 12 (within-cluster cosine ~ 0.98) over 300 random
+    // background vectors; deterministic generator, hard pin
+    val dim = 64; val nClusters = 20; val m = 12; val nBackground = 300
+    val rnd = new scala.util.Random(0xC0FFEE)
+    def gauss(n: Int) = Array.fill(n)(rnd.nextGaussian().toFloat)
+    def normalize(v: Array[Float]) = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Seq[Float])]()
+    for (c <- 0 until nClusters) {
+      val center = gauss(dim)
+      for (j <- 0 until m) {
+        val v = center.zip(gauss(dim)).map { case (x, e) => x + 0.15f * e }
+        rows += ((c.toLong * m + j, normalize(v)))
+      }
+    }
+    for (b <- 0 until nBackground)
+      rows += ((nClusters.toLong * m + b, normalize(gauss(dim))))
+    val emb = rows.toSeq.toDF("vec_id", "embedding").cache()
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16)
+    val coded = Similarity.withPqCodes(emb, "embedding", books).cache()
+    val recall = (0 until nClusters).map { c =>
+      val (qid, q) = (rows(c * m)._1, rows(c * m)._2)
+      val exact = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ann = Similarity.pqTopK(
+        coded.filter(col("vec_id") =!= qid), "vec_id", "embedding", q, 10,
+        books).collect().map(_.getLong(0)).toSet
+      ann.intersect(exact).size / 10.0
+    }.sum / nClusters
+    info(f"planted-corpus PQ recall@10: $recall%.3f")
+    assert(recall >= 0.9, s"PQ recall on a SEPARATED corpus: $recall (pin 0.9)")
+    coded.unpersist(); emb.unpersist()
+  }
+}
