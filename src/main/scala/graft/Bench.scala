@@ -47,7 +47,7 @@ object Bench {
     // one-time build costs stay visible in BENCH_LAST.tsv (the min
     // column of the first query to touch each cache) and BENCH_NOTES.
     for (q <- Seq("q01_purchase_summary", "s02_ann_topk", "s03_ivf_topk",
-                  "s04_pq_topk", "c01_curation_pipeline",
+                  "s04_pq_topk", "s05_ivfpq_topk", "c01_curation_pipeline",
                   "e03_cosine_lsh_pairs", "e05_embedding_dup_clusters"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }

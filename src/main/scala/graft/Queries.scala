@@ -903,6 +903,23 @@ object Queries {
       Similarity.pqTopK(idx, "vec_id", "embedding", q, 10, books)
     }),
 
+    // IVF-PQ ANN top-k: the composed index — probes partition-prune to
+    // nProbe/k of the ROWS (ivf_list), the ADC candidate scan inside
+    // the probed lists reads only the code column (BYTES), exact
+    // cosine re-ranks. Both probe selections driver-side. The layout
+    // for when neither pruning axis alone keeps per-query IO sane
+    // (no SQL oracle — recall floors pinned in PqAnnSpec).
+    "s05_ivfpq_topk" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val (idx, cents, books) = Similarity.ensureIvfPqIndex(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        annIndexPath(d, "ivfpq16-8x16"), kLists = 16, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(idx, "vec_id", "embedding", q, 10, cents, books,
+        nProbe = 4)
+    }),
+
     // Exact self-kNN (nearest neighbor per vector) — the embedding-
     // dedup primitive; brute-force baseline of the LSH-bucketed form.
     "e01_self_knn" -> ((s, d) =>

@@ -636,4 +636,71 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** The `nProbe` inverted lists nearest to `query` — the shared
+    * driver-side probe selection of [[ivfTopK]] and [[ivfPqTopK]]. */
+  def ivfProbes(query: Seq[Float], centroids: Array[(Int, Seq[Float])],
+                nProbe: Int): Seq[Int] = {
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    centroids.sortBy { case (i, c) => (d2(query, c), i) }
+      .take(nProbe).map(_._1).toIndexedSeq
+  }
+
+  /** Build (or reuse) the composed IVF-PQ index at `path`: rows carry
+    * BOTH an `ivf_list` (hive-partitioned — probes prune partitions)
+    * and a `pq_code` (the candidate scan within probed lists reads
+    * only the code column). Centroid and codebook sidecars as in the
+    * component indexes. Rows × bytes: a probe touches ≈ nProbe/k of
+    * the rows and ~1/30th of the bytes per row — the only layout of
+    * the three families whose per-query IO stays sane when neither
+    * pruning axis alone suffices. */
+  def ensureIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       path: String, kLists: Int = 16, m: Int = 8,
+                       ksub: Int = 16)
+      : (DataFrame, Array[(Int, Seq[Float])], Array[Array[(Int, Seq[Float])]]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    if (!indexExists(corpus, path)) {
+      val cents = ivfCentroids(corpus, idCol, vecCol, kLists)
+      cents.toSeq.toDF("ivf_list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+      val books = pqCodebooks(corpus, idCol, vecCol, m, ksub)
+      books.zipWithIndex.flatMap { case (b, i) =>
+        b.map { case (code, c) => (i, code, c) }
+      }.toSeq.toDF("sub", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path + ".codebooks")
+      withIvfLists(withPqCodes(corpus, vecCol, books), vecCol, cents)
+        .repartition(col("ivf_list"))
+        .write.mode("overwrite").partitionBy("ivf_list").parquet(path)
+    }
+    val cents = spark.read.parquet(path + ".centroids")
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    val books = spark.read.parquet(path + ".codebooks")
+      .as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) }
+      .map(_.toArray).toArray
+    (spark.read.parquet(path), cents, books)
+  }
+
+  /** IVF-PQ ANN top-k: partition-prune to the probed lists, ADC-score
+    * the survivors from codes alone, exact-rerank the candidate set.
+    * Both probe selections (lists AND distance tables) compute
+    * driver-side — zero pre-probe Spark jobs. */
+  def ivfPqTopK(indexed: DataFrame, idCol: String, vecCol: String,
+                query: Seq[Float], k: Int,
+                centroids: Array[(Int, Seq[Float])],
+                books: Array[Array[(Int, Seq[Float])]],
+                nProbe: Int = 4, candFactor: Int = 8): DataFrame = {
+    val probes = ivfProbes(query, centroids, nProbe)
+    val pruned = indexed.filter(col("ivf_list").isin(probes: _*))
+    val cand = pqCandidates(pruned, idCol, query, books, k * candFactor)
+    pruned.select(col(idCol), col(vecCol))
+      .join(broadcast(cand.select(col(idCol))), idCol)
+      .withColumn("cosine", cosine(col(vecCol), array(query.map(lit): _*)))
+      .select(col(idCol), round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
 }
