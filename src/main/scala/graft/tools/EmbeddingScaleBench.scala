@@ -100,8 +100,21 @@ object EmbeddingScaleBench {
       val topk = time(s"$tag pass$pass s02 probe")(
         Similarity.annTopKMulti(idx, "vec_id", "embedding", q, 10,
           tables = 8).collect().length)
+      // the bytes-pruning family: flat PQ scans every row's CODES
+      // (linear rows, ~1/30 bytes); IVF-PQ adds the rows prune
+      val (pqIdx, books) = Similarity.ensurePqIndex(df, "vec_id",
+        "embedding", s"$idxPath-pq")
+      val pqK = time(s"$tag pass$pass s04 PQ probe")(
+        Similarity.pqTopK(pqIdx, "vec_id", "embedding", q, 10, books)
+          .collect().length)
+      val (ipqIdx, cents, ipqBooks) = Similarity.ensureIvfPqIndex(df,
+        "vec_id", "embedding", s"$idxPath-ivfpq")
+      val ipqK = time(s"$tag pass$pass s05 IVF-PQ probe")(
+        Similarity.ivfPqTopK(ipqIdx, "vec_id", "embedding", q, 10,
+          cents, ipqBooks).collect().length)
       println(s"[embscale] $tag pass$pass rows=$n planes=$planes " +
-        s"candidates=$cands pairs=$pairs nn_rows=$nn topk=$topk")
+        s"candidates=$cands pairs=$pairs nn_rows=$nn topk=$topk " +
+        s"pq_topk=$pqK ivfpq_topk=$ipqK")
     }
   }
 
