@@ -1501,6 +1501,24 @@ WHERE l1.l_returnflag = 'R'
                     AND l3.l_returnflag = 'R')
 GROUP BY s.s_name ORDER BY supplier"""),
 
+    "q68_large_orders" -> ("""
+SELECT c.c_name AS customer_name, o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0 AS totalprice,
+       CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN
+      (SELECT l_orderkey FROM lineitem
+       GROUP BY l_orderkey
+       HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000)
+GROUP BY c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+ORDER BY totalprice DESC, orderkey
+LIMIT 100"""),
+
     "t12_sequence_packing" -> ("""
 WITH t AS (
   SELECT source, doc_id,

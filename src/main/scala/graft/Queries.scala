@@ -1599,6 +1599,38 @@ object Queries {
         GROUP BY s.s_name ORDER BY supplier""")
     }),
 
+    // IN + GROUP BY/HAVING subquery (TPC-H Q18 shape): customers'
+    // large orders — the order-key IN-list comes from an aggregate
+    // with a HAVING threshold. Catalyst plans the IN as a left-semi
+    // hash join against the (map-side-combined) aggregate — the
+    // subquery materializes once, keyed on orderkey like the fact
+    // join itself, so at 100 TB it is one co-partitioned pass over
+    // lineitem feeding a semi join, never a per-row lookup. Quantity
+    // sums compare in integer hundredths on both engines.
+    "q68_large_orders" -> ((s, d) => {
+      TestData.table(s, d, "lineitem").createOrReplaceTempView("graft_li_q68")
+      TestData.table(s, d, "orders").createOrReplaceTempView("graft_ord_q68")
+      TestData.table(s, d, "customer").createOrReplaceTempView("graft_cust_q68")
+      s.sql("""
+        SELECT c.c_name AS customer_name, o.o_orderkey AS orderkey,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0
+                 AS totalprice,
+               SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) / 100.0
+                 AS total_qty
+        FROM graft_ord_q68 o
+        JOIN graft_cust_q68 c ON c.c_custkey = o.o_custkey
+        JOIN graft_li_q68 l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IN
+              (SELECT l_orderkey FROM graft_li_q68
+               GROUP BY l_orderkey
+               HAVING SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) > 25000)
+        GROUP BY c.c_name, o.o_orderkey, CAST(o.o_orderdate AS DATE),
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+        ORDER BY totalprice DESC, orderkey
+        LIMIT 100""")
+    }),
+
     // ----- Training-data curation additions -------------------------
 
     // Sequence packing: concat-and-chunk documents into 2048-token

@@ -38,6 +38,12 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"expected anti join in:\n$p")
   }
 
+  test("q68: IN + HAVING subquery plans as a semi join, no per-row lookup") {
+    val p = plan("q68_large_orders")
+    assert(p.contains("LeftSemi"), s"expected semi join in:\n$p")
+    assert(!p.contains("InSubquery"), s"unexpected per-row subquery in:\n$p")
+  }
+
   test("q65-q67 agree with direct two-pass formulations") {
     import org.apache.spark.sql.functions._
     val li = graft.sources.TestData.table(spark, sf, "lineitem")
