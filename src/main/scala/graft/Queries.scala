@@ -1552,13 +1552,15 @@ object Queries {
 
     // Correlated per-group-average filter (TPC-H Q17 shape): lineitems
     // whose quantity is under 20% of their part's average quantity.
-    // Catalyst decorrelates the correlated scalar aggregates into ONE
-    // per-part aggregate joined back on partkey (MergeScalarSubqueries
-    // collapses the two subqueries into a single aggregate) — the
-    // per-row-subquery reading would be quadratic; the decorrelated
-    // plan is two key-partitioned passes over lineitem. The predicate
-    // multiplies through (`5·q·n < sum`) in integer hundredths so the
-    // average never materializes as an inexact double.
+    // The per-part count AND sum come from ONE correlated LATERAL
+    // aggregate (two separate scalar subqueries plan as two aggregate
+    // joins — plan-audited), which Catalyst decorrelates to a single
+    // per-partkey aggregate joined back to the fact — one agg shuffle
+    // instead of two; the residual third scan reads only the
+    // single-column key domain. Never a per-row subquery. The
+    // predicate multiplies through (`5·q·n < sum`) in integer
+    // hundredths so the average never materializes as an inexact
+    // double.
     "q66_small_quantity_revenue" -> ((s, d) => {
       TestData.table(s, d, "lineitem").createOrReplaceTempView("graft_li_q66")
       s.sql("""
@@ -1566,12 +1568,13 @@ object Queries {
                COUNT(*) AS n_small,
                SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
                  AS small_revenue
-        FROM graft_li_q66 l
-        WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 *
-                (SELECT COUNT(*) FROM graft_li_q66 x
-                 WHERE x.l_partkey = l.l_partkey)
-              < (SELECT SUM(CAST(ROUND(x.l_quantity * 100) AS BIGINT))
-                 FROM graft_li_q66 x WHERE x.l_partkey = l.l_partkey)
+        FROM graft_li_q66 l,
+             LATERAL (SELECT COUNT(*) AS n,
+                             SUM(CAST(ROUND(x.l_quantity * 100) AS BIGINT))
+                               AS s
+                      FROM graft_li_q66 x
+                      WHERE x.l_partkey = l.l_partkey) t
+        WHERE CAST(ROUND(l.l_quantity * 100) AS BIGINT) * 5 * t.n < t.s
         GROUP BY l.l_partkey ORDER BY partkey""")
     }),
 
