@@ -802,6 +802,13 @@ WHERE 1.0 * len(list_intersect(x.w, y.w))
       / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7
 ORDER BY a, b"""),
 
+    "j02_fuzzy_name_pairs" -> ("""
+SELECT a.c_custkey AS a, b.c_custkey AS b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a, b"""),
+
     // Data mixing: budgets VALUES are generated from the SAME constant
     // the Spark query uses (Mixture.DemoBudgets) — a budget drift
     // cannot desynchronize the two sides. The md5 arithmetic is the

@@ -812,6 +812,17 @@ object Queries {
     "j01_word_jaccard_pairs" -> ((s, d) =>
       dupPairs(s, d).orderBy("a", "b")),
 
+    // Fuzzy string self-join at edit distance ≤ 1 (entity-resolution
+    // primitive): candidates from the deletion neighborhood
+    // (symmetric-delete keys — provably complete for one edit, keys
+    // stay selective even on near-identical name spaces), exact
+    // levenshtein verify. One equi-join shuffle; ids-only pair dedupe
+    // before the strings ship back once.
+    "j02_fuzzy_name_pairs" -> ((s, d) =>
+      Dedup.editDistance1Join(
+        TestData.table(s, d, "customer"), "c_custkey", "c_name")
+        .orderBy("a", "b")),
+
     // Token statistics (whitespace + BPE-ish subword counting).
     "t01_token_stats" -> ((s, d) =>
       documents(s, d).select(

@@ -500,4 +500,43 @@ object Dedup {
       .select(col("x.__id").as("a"), col("y.__id").as("b"), col("hamming"))
       .distinct()
   }
+
+  /** Fuzzy string self-join at edit distance ≤ 1 via the deletion
+    * neighborhood (symmetric-delete scheme): every string emits itself
+    * plus each single-character deletion as candidate keys, and two
+    * strings within one edit ALWAYS share a key — a substitution
+    * deletes to the same string from both sides, an insert/delete pair
+    * meets at the shorter string — so the equi-join candidate set is
+    * provably complete and the exact `levenshtein` verify makes it
+    * precise. Unlike q-gram count filtering, the keys stay selective
+    * even on near-identical key spaces (shared prefixes shift every
+    * deletion variant), so buckets don't degenerate.
+    *
+    * Scale shape: |s|+1 keys per row explode scan-locally, ONE
+    * equi-join shuffle on the key, pairs dedupe by id BEFORE the
+    * strings join back once for the verify — the e03/j01 discipline.
+    * Output: (a, b, dist), a < b by id. */
+  def editDistance1Join(df: DataFrame, idCol: String,
+                        strCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(strCol).as("__s"))
+    // the string itself + each single-deletion variant, tagged so the
+    // self-key never pairs two identical full strings twice
+    val keyed = base.select(col("__id"), explode(array_union(
+        array(col("__s")),
+        transform(sequence(lit(1), length(col("__s"))), i =>
+          concat(col("__s").substr(lit(1), i - 1),
+                 col("__s").substr(i + 1, length(col("__s"))))))
+      ).as("__key"))
+    val cand = keyed.as("x").join(keyed.as("y"), col("x.__key") === col("y.__key"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(base.select(col("__id").as("a"), col("__s").as("__sa")), "a")
+      .join(base.select(col("__id").as("b"), col("__s").as("__sb")), "b")
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= 1)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+  }
 }
