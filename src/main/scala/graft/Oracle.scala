@@ -12,6 +12,22 @@ package graft
   */
 object Oracle {
 
+  /** Exact cosine top-10 over the planted corpus (embeddings minus the
+    * query row, plus ten exact query copies at ids 1000001–1000010) —
+    * the shared oracle for the four planted ANN catalog entries. */
+  private val PlantedTopKSql: String = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0
+  UNION ALL
+  SELECT 1000000 + i AS vec_id, qe AS e FROM q, range(1, 11) r(i))
+SELECT c.vec_id,
+       ROUND(list_dot_product(c.e, q.qe)
+             / (sqrt(list_dot_product(c.e, c.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+FROM corpus c, q
+ORDER BY cosine DESC, c.vec_id LIMIT 10"""
+
   /** Shared CTE chain of the semantic curation pipeline: scoring,
     * lexical + embedding dup clusters, decontamination, split buckets,
     * and the survivor set `surv`. The c03 catalog entry selects the
@@ -809,6 +825,41 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY a, b"""),
 
+    // Brute-force SimHash oracle: recompute the md5-nibble packed
+    // signature (token-hash bit j = bit (j%4) of hex nibble j/4 of
+    // md5(token) — Dedup.simhashPackedPortable's exact convention,
+    // packed as two 32-bit halves because DuckDB's << overflows at bit
+    // 63), then the all-pairs Hamming ≤ 3 join. The banded operator is
+    // pigeonhole-complete at its radius, so the exact join IS its
+    // result set.
+    "d03_simhash_neardups" -> ("""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents WHERE text IS NOT NULL),
+sums AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((position(substr(md5(t), CAST(j // 4 AS INT) + 1, 1)
+                          IN '0123456789abcdef') - 1)
+                        >> CAST(j % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS c
+  FROM toks, range(0, 64) r(j)
+  GROUP BY doc_id, j),
+sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN c > 0 AND j < 32
+                       THEN 1::BIGINT << CAST(j AS INT) ELSE 0 END)
+              AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN c > 0 AND j >= 32
+                       THEN 1::BIGINT << CAST(j - 32 AS INT) ELSE 0 END)
+              AS BIGINT) AS hi
+  FROM sums GROUP BY doc_id)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi))
+            AS INTEGER) AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 3
+ORDER BY a, b"""),
+
     // Data mixing: budgets VALUES are generated from the SAME constant
     // the Spark query uses (Mixture.DemoBudgets) — a budget drift
     // cannot desynchronize the two sides. The md5 arithmetic is the
@@ -1244,6 +1295,17 @@ SELECT e.vec_id,
 FROM embeddings e, q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
+
+    // Planted-corpus ANN oracles: the exact brute-force top-10 over the
+    // corpus-plus-ten-planted-query-copies frame (mirrors
+    // Queries.plantedEmbeddings). The ten planted rows are the unique
+    // exact answer (cosine 1.0 each), which every index family provably
+    // returns — so one exact SQL oracles all four approximate
+    // operators.
+    "s06_ann_planted" -> PlantedTopKSql,
+    "s07_ivf_planted" -> PlantedTopKSql,
+    "s08_pq_planted" -> PlantedTopKSql,
+    "s09_ivfpq_planted" -> PlantedTopKSql,
 
     "m02_multimodal_frames" -> ("""
 SELECT doc_id AS asset_id,

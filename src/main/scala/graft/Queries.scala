@@ -153,6 +153,32 @@ object Queries {
     s"${sys.props("java.io.tmpdir")}/graft-ann-index/" +
       s"${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$kind"
 
+  /** Planted ANN corpus: the real embeddings (minus the query vector,
+    * vec_id 0) plus ten exact copies of the query at ids
+    * 1000001–1000010. Every index family provably returns exactly the
+    * planted ten as top-10: identical vectors share the query's LSH
+    * bucket in every table, land in the query's nearest IVF list, and
+    * quantize to the globally minimal-ADC PQ code — so the ANN result
+    * EQUALS the exact top-k and the brute-force cosine SQL is a full
+    * oracle for the approximate operators (the e03 trick, applied to
+    * top-k search). Cached per (session, SF dir): four catalog entries
+    * share the construction. */
+  private val plantedCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (DataFrame, Seq[Float])]
+  private def plantedEmbeddings(s: SparkSession,
+                                d: String): (DataFrame, Seq[Float]) =
+    plantedCache.getOrElseUpdate((s, d), {
+      val emb = TestData.table(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val base = emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+      val planted = s.range(1, 11)
+        .select((col("id") + lit(1000000L)).as("vec_id"),
+          typedLit(q.toSeq).as("embedding"))
+      (base.unionByName(planted).cache(), q)
+    })
+
   /** Deterministic total order for summary rows. `transaction_id`
     * ("orderkey-linenumber") is NOT unique in the synthetic testdata, so
     * we order by a key set that functionally determines all 15 output
@@ -793,15 +819,18 @@ object Queries {
         maxBucket = 200)
         .orderBy("a", "b")),
 
-    // SimHash near-dup via chunk-collision candidates (no SQL oracle).
-    // maxHamming=3 keeps the pigeonhole recall guarantee: 4 chunks of
-    // 16 bits, any pair within radius 3 must collide on one chunk —
-    // and DedupRecallGateSpec pins EXACT equality with the brute-force
-    // Hamming join on the shipped sf0.01/sf0.1 corpora (the cap never
-    // trips there).
+    // SimHash near-dup via chunk-collision candidates. maxHamming=3
+    // keeps the pigeonhole recall guarantee: 4 chunks of 16 bits, any
+    // pair within radius 3 must collide on one chunk — the banding is
+    // EXACT at its radius, so the brute-force all-pairs Hamming join is
+    // a full SQL oracle. The catalog entry uses the engine-portable
+    // md5-nibble token hash (reproducible in DuckDB); the xxhash64
+    // codegen kernel remains the corpus-scale default and is pinned
+    // brute-force-equal in DedupRecallGateSpec.
     "d03_simhash_neardups" -> ((s, d) =>
       Dedup.simhashNearDuplicates(documents(s, d),
-        "doc_id", "text", maxHamming = 3).orderBy("a", "b")),
+        "doc_id", "text", maxHamming = 3, portableHash = true)
+        .orderBy("a", "b")),
 
     // Exact n-gram (unigram) Jaccard pairs within a source, via the
     // prefix-filtered set-similarity join — identical output to the
@@ -927,6 +956,57 @@ object Queries {
       val (idx, cents, books) = Similarity.ensureIvfPqIndex(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         annIndexPath(d, "ivfpq16-8x16"), kLists = 16, m = 8, ksub = 16)
+      Similarity.ivfPqTopK(idx, "vec_id", "embedding", q, 10, cents, books,
+        nProbe = 4)
+    }),
+
+    // ---- planted-corpus ANN variants: approximate operators under a
+    // full SQL oracle. The corpus plants ten exact copies of the query
+    // (see plantedEmbeddings) so each index family's top-10 provably
+    // equals the exact brute-force top-10 — recall 1.0 by construction,
+    // hash-checkable end to end. s02–s05 stay as the honest-recall
+    // forms on the raw corpus (recall floors pinned in specs). -------
+
+    // LSH multi-table on the planted corpus: the ten planted vectors
+    // share the query's bucket in all 8 tables, so the probe set
+    // contains them and exact re-rank returns exactly them.
+    "s06_ann_planted" -> ((s, d) => {
+      val (corpus, q) = plantedEmbeddings(s, d)
+      val idx = Similarity.ensureLshIndexMulti(
+        corpus, "embedding", annIndexPath(d, "lsh8x8-42-plant10"), tables = 8)
+      Similarity.annTopKMulti(idx, "vec_id", "embedding", q, 10, tables = 8)
+    }),
+
+    // IVF on the planted corpus: identical vectors assign to the
+    // query's nearest centroid, which is probe rank 1 of nProbe=4.
+    "s07_ivf_planted" -> ((s, d) => {
+      val (corpus, q) = plantedEmbeddings(s, d)
+      val (idx, cents) = Similarity.ensureIvfIndex(
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "ivf16-l1-plant10"), 16)
+      Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
+    }),
+
+    // PQ on the planted corpus: the planted code IS the minimal-ADC
+    // code (each subvector quantizes to the codeword nearest the
+    // query), so all ten sit atop the ADC candidate ranking and the
+    // exact re-rank keeps them.
+    "s08_pq_planted" -> ((s, d) => {
+      val (corpus, q) = plantedEmbeddings(s, d)
+      val (idx, books) = Similarity.ensurePqIndex(
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "pq8x16-l1-plant10"), m = 8, ksub = 16)
+      Similarity.pqTopK(idx, "vec_id", "embedding", q, 10, books)
+    }),
+
+    // IVF-PQ on the planted corpus: both pruning axes at once — the
+    // planted land in the probed list AND atop the ADC ranking.
+    "s09_ivfpq_planted" -> ((s, d) => {
+      val (corpus, q) = plantedEmbeddings(s, d)
+      val (idx, cents, books) = Similarity.ensureIvfPqIndex(
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "ivfpq16-8x16-plant10"), kLists = 16, m = 8,
+        ksub = 16)
       Similarity.ivfPqTopK(idx, "vec_id", "embedding", q, 10, cents, books,
         nProbe = 4)
     }),
@@ -1552,7 +1632,7 @@ object Queries {
         tot AS (SELECT SUM(bal_c) AS s, COUNT(*) AS n FROM pos)
         SELECT c_nationkey AS nation_id,
                COUNT(*) AS n_customers,
-               SUM(bal_c) / 100.0 AS total_acctbal
+               CAST(SUM(bal_c) / 100.0 AS DOUBLE) AS total_acctbal
         FROM pos, tot
         WHERE bal_c * n > s
           AND NOT EXISTS (SELECT 1 FROM graft_ord_q65 o
@@ -1577,8 +1657,8 @@ object Queries {
       s.sql("""
         SELECT l.l_partkey AS partkey,
                COUNT(*) AS n_small,
-               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
-                 AS small_revenue
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    / 100.0 AS DOUBLE) AS small_revenue
         FROM graft_li_q66 l,
              LATERAL (SELECT COUNT(*) AS n,
                              SUM(CAST(ROUND(x.l_quantity * 100) AS BIGINT))
@@ -1628,10 +1708,10 @@ object Queries {
       s.sql("""
         SELECT c.c_name AS customer_name, o.o_orderkey AS orderkey,
                CAST(o.o_orderdate AS DATE) AS orderdate,
-               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0
-                 AS totalprice,
-               SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) / 100.0
-                 AS total_qty
+               CAST(CAST(ROUND(o.o_totalprice * 100) AS BIGINT) / 100.0
+                    AS DOUBLE) AS totalprice,
+               CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_qty
         FROM graft_ord_q68 o
         JOIN graft_cust_q68 c ON c.c_custkey = o.o_custkey
         JOIN graft_li_q68 l ON l.l_orderkey = o.o_orderkey

@@ -447,6 +447,37 @@ object Dedup {
       .select(col(idCol), packed.as("__sig"))
   }
 
+  /** ±1 contribution of one token to each of the 64 SimHash slots using
+    * a PORTABLE token hash: bit j = bit (j%4) of the (j/4+1)-th hex
+    * nibble of md5(token). Every engine with md5 + substring can
+    * reproduce it bit-for-bit (the DuckDB oracle does), unlike
+    * xxhash64, whose seed-42 XXH64 only Spark implements. The
+    * single-element transform binds md5 once per token; the 64 nibble
+    * probes are substring+conv over that one hex string. */
+  private def md5SignedBits(t: Column): Column =
+    element_at(transform(array(md5(t)), h =>
+      array(Seq.tabulate(64) { j =>
+        val nib = conv(substring(h, j / 4 + 1, 1), 16, 10).cast("int")
+        when(shiftright(nib, j % 4).bitwiseAND(lit(1)) === 1, 1).otherwise(-1)
+      }: _*)), 1)
+
+  /** Engine-portable packed SimHash signature: same fold shape as
+    * [[simhashSignature]] (row-local, no explode, no shuffle) but with
+    * the md5-nibble token hash, packed into one long with unrolled
+    * shifts. Slower than the codegen'd xxhash64 kernel
+    * (graft.functions.signatures.simhash_packed) — use that at corpus
+    * scale; use this when the signature must be reproducible outside
+    * Spark (cross-engine verification, the d03 oracle). */
+  def simhashPackedPortable(text: Column): Column = {
+    val counts = aggregate(TextFunctions.tokens(text),
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, md5SignedBits(t), (a, b) => a + b))
+    element_at(transform(array(counts), cs =>
+      Seq.tabulate(64)(j =>
+        when(element_at(cs, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))), 1)
+  }
+
   /** SimHash near-dup: candidates collide on any one of `maxHamming+1`
     * signature chunks — the pigeonhole guarantee (≤ `maxHamming` bits
     * differ over 64 bits split into `maxHamming+1` chunks ⇒ some chunk
@@ -459,17 +490,24 @@ object Dedup {
     * `maxBucket` caps the damage if you don't. */
   def simhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                             maxHamming: Int = 3,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000,
+                            portableHash: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nChunks = maxHamming + 1
     // row-local packed signature (one codegen kernel in the scan) —
     // bit-identical to the explode+agg form [[simhashSignaturesPacked]]
     // (SignatureParitySpec), without its shuffle; the null filter
-    // mirrors the agg path, where explode(null) drops the row
+    // mirrors the agg path, where explode(null) drops the row.
+    // portableHash swaps in the md5-nibble signature so the whole
+    // operator is reproducible in any engine with md5 (the exact
+    // banding guarantee is hash-agnostic — completeness at the radius
+    // holds for either signature).
+    val sigExpr =
+      if (portableHash) simhashPackedPortable(col(textCol))
+      else graft.functions.signatures.simhash_packed(col(textCol))
     val sigs = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        graft.functions.signatures.simhash_packed(col(textCol)).as("__sig"))
+      .select(col(idCol), sigExpr.as("__sig"))
     // chunk i covers bits [i*64/n, (i+1)*64/n) — widths differ by ≤1 bit
     val chunkCols = Seq.tabulate(nChunks) { i =>
       val startBit = i * 64 / nChunks
@@ -515,11 +553,13 @@ object Dedup {
     * Scale shape: |s|+1 keys per row explode scan-locally, ONE
     * equi-join shuffle on the key, pairs dedupe by id BEFORE the
     * strings join back once for the verify — the e03/j01 discipline.
-    * Output: (a, b, dist), a < b by id. */
+    * Output: (a, b, dist), a < b under the id column's NATIVE ordering
+    * (no numeric cast — a string/UUID id would cast to null and
+    * silently empty the result; ids keep their own type end to end,
+    * the selfNearestNeighbor discipline). */
   def editDistance1Join(df: DataFrame, idCol: String,
                         strCol: String): DataFrame = {
-    val base = df.select(col(idCol).cast("long").as("__id"),
-      col(strCol).as("__s"))
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
     // the string itself + each single-deletion variant, tagged so the
     // self-key never pairs two identical full strings twice
     val keyed = base.select(col("__id"), explode(array_union(

@@ -67,12 +67,22 @@ object ZOrder {
 
   /** Add a `__z` column: both keys quantile-bucketized to `bits` bits
     * (default 8 → a 256×256 tile grid), then Morton-interleaved.
-    * Numeric keys only (cast dates/timestamps to their epoch number
-    * first). */
+    * Numeric, NON-NULL keys only (cast dates/timestamps to their epoch
+    * number first; filter or impute nulls before layout). Nulls fail
+    * fast here: a null key would silently bucketize to tile 0 — and
+    * approxQuantile ignores nulls when drawing boundaries — so
+    * null-heavy keys would skew the lowest tile's envelope and quietly
+    * destroy the file-skipping the layout exists for. */
   def withZValue(df: DataFrame, colA: String, colB: String,
-                 bits: Int = 8): DataFrame =
+                 bits: Int = 8): DataFrame = {
+    val nNull = df.filter(col(colA).isNull || col(colB).isNull).limit(1).count()
+    require(nNull == 0,
+      s"z-order keys must be non-null: found null $colA or $colB " +
+        "(filter or impute before layout — null rows would co-cluster " +
+        "in tile 0 and break its min/max envelope)")
     df.withColumn("__z", interleave16(
       bucketized(df, colA, bits), bucketized(df, colB, bits)))
+  }
 
   /** Write `df` z-ordered on (colA, colB) into ≈ `numFiles` files:
     * range-partition on the z-value, sort within partitions, drop the

@@ -91,13 +91,18 @@ object IncrementalIvfIndex {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newVecs.sparkSession
     if (newVecs.isEmpty) return
+    // in-batch dedupe: the replay guard below anti-joins the PERSISTED
+    // index only, so duplicate ids inside one micro-batch would all
+    // append — collapse them here (deterministic: rows for one id are
+    // identical under the frozen quantizer)
+    val uniq = newVecs.dropDuplicates(idCol)
     val cents = centroids(spark, statePath).getOrElse {
-      val trained = Similarity.ivfCentroids(newVecs, idCol, vecCol,
+      val trained = Similarity.ivfCentroids(uniq, idCol, vecCol,
         params.k, params.refineSteps)
       writeCentroids(spark, indexPath(statePath), trained)
       trained
     }
-    val delta = Similarity.withIvfLists(newVecs, vecCol, cents).cache()
+    val delta = Similarity.withIvfLists(uniq, vecCol, cents).cache()
     try {
       // Δ-sized driver hop: the touched list ids bound the pruned
       // replay-guard read (a vector has ONE list, and a replayed row's
@@ -127,7 +132,16 @@ object IncrementalIvfIndex {
     (index(spark, statePath), centroids(spark, statePath)) match {
       case (Some(idx), Some(cents)) =>
         Similarity.ivfTopK(idx, idCol, vecCol, query, k, cents, nProbe)
-      case _ => Seq.empty[(Long, Double)].toDF(idCol, "cosine")
+      case (Some(idx), None) =>
+        // index without sidecar can't happen by construction, but if it
+        // does, keep the id column's REAL type in the empty result
+        idx.select(col(idCol)).limit(0).withColumn("cosine", lit(0.0))
+      case _ =>
+        // pre-first-batch: nothing stored to derive a schema from — the
+        // empty frame uses the documented (long id, double cosine)
+        // default shape; non-long id columns only gain their true type
+        // once the first batch lands
+        Seq.empty[(Long, Double)].toDF(idCol, "cosine")
     }
   }
 

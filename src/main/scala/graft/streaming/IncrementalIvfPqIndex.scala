@@ -96,19 +96,24 @@ object IncrementalIvfPqIndex {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newVecs.sparkSession
     if (newVecs.isEmpty) return
+    // in-batch dedupe: the replay guard below anti-joins the PERSISTED
+    // index only, so duplicate ids inside one micro-batch would all
+    // append — collapse them here (deterministic under the frozen
+    // quantizers)
+    val uniq = newVecs.dropDuplicates(idCol)
     val (cents, books) =
       (centroids(spark, statePath), codebooks(spark, statePath)) match {
         case (Some(c), Some(b)) => (c, b)
         case _ =>
-          val c = Similarity.ivfCentroids(newVecs, idCol, vecCol,
+          val c = Similarity.ivfCentroids(uniq, idCol, vecCol,
             params.kLists, params.refineSteps)
-          val b = Similarity.pqCodebooks(newVecs, idCol, vecCol,
+          val b = Similarity.pqCodebooks(uniq, idCol, vecCol,
             params.m, params.ksub, params.refineSteps)
           writeArtifacts(spark, indexPath(statePath), c, b)
           (c, b)
       }
     val delta = Similarity.withIvfLists(
-      Similarity.withPqCodes(newVecs, vecCol, books), vecCol, cents).cache()
+      Similarity.withPqCodes(uniq, vecCol, books), vecCol, cents).cache()
     try {
       // Δ-sized driver hop: touched lists bound the pruned replay-guard
       // read (assignment is frozen, so a replayed row lands identically)
@@ -140,7 +145,16 @@ object IncrementalIvfPqIndex {
       case (Some(idx), Some(cents), Some(books)) =>
         Similarity.ivfPqTopK(idx, idCol, vecCol, query, k, cents, books,
           nProbe)
-      case _ => Seq.empty[(Long, Double)].toDF(idCol, "cosine")
+      case (Some(idx), _, _) =>
+        // index without sidecars can't happen by construction, but if
+        // it does, keep the id column's REAL type in the empty result
+        idx.select(col(idCol)).limit(0).withColumn("cosine", lit(0.0))
+      case _ =>
+        // pre-first-batch: nothing stored to derive a schema from — the
+        // empty frame uses the documented (long id, double cosine)
+        // default shape; non-long id columns only gain their true type
+        // once the first batch lands
+        Seq.empty[(Long, Double)].toDF(idCol, "cosine")
     }
   }
 

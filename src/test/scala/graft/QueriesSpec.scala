@@ -30,6 +30,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  // Schema-parity gate: Spark types the literal `100.0` as DECIMAL(4,1),
+  // so an unguarded `SUM(x)/100.0` emits DECIMAL(…,6) where DuckDB emits
+  // DOUBLE — values hash-mismatch in the driver's compare even when
+  // bitwise-equal (the r06 q65/q66/q68 failure class). No catalog query
+  // may output DecimalType anywhere in its schema (top level or nested).
+  test("no catalog query outputs DecimalType (DuckDB-parity gate)") {
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType     => Seq(path)
+      case a: ArrayType       => decimals(a.elementType, s"$path[]")
+      case m: MapType         => decimals(m.keyType, s"$path.key") ++
+                                 decimals(m.valueType, s"$path.value")
+      case st: StructType     => st.fields.toSeq.flatMap(f =>
+                                   decimals(f.dataType, s"$path.${f.name}"))
+      case _                  => Nil
+    }
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      decimals(fn(spark, sf).schema, name)
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL-typed outputs (will hash-mismatch the DuckDB oracle): " +
+        offenders.mkString(", "))
+  }
+
   test("flagship summary has the 15 reference columns and recomputes total_price") {
     val df = Queries.all("q01_purchase_summary")(spark, sf)
     val expected = Seq("transaction_id", "customer_id", "customer_age",

@@ -42,31 +42,41 @@ class ZOrderSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/linear")
 
     // per-file envelopes, read back exactly as a footer-stats pruner
-    // would see them
+    // would see them; key reads widen via Number so an int32/int64
+    // testdata-regeneration type drift can't throw
     def envelopes(path: String) =
       spark.read.parquet(path)
         .groupBy(input_file_name().as("f"))
         .agg(min("l_partkey").as("pa"), max("l_partkey").as("pb"),
              min("l_suppkey").as("sa"), max("l_suppkey").as("sb"))
         .collect()
+    def longAt(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue()
 
     // fraction of files whose envelope covers a point predicate,
     // averaged over a grid of probe values
     def coverage(env: Array[org.apache.spark.sql.Row],
-                 lo: (org.apache.spark.sql.Row) => Long,
-                 hi: (org.apache.spark.sql.Row) => Long,
-                 probes: Seq[Long]): Double =
+                 lo: Int, hi: Int, probes: Seq[Long]): Double =
       probes.map { v =>
-        env.count(r => lo(r) <= v && v <= hi(r)).toDouble / env.length
+        env.count(r => longAt(r, lo) <= v && v <= longAt(r, hi)).toDouble /
+          env.length
       }.sum / probes.length
 
+    // probes from the DATA's own quantiles, not hard-coded multiples —
+    // testdata regenerates between rounds and a drifted key range would
+    // otherwise make coverage vacuously zero on both layouts
+    def dataProbes(c: String): Seq[Long] =
+      li.stat.approxQuantile(c, (0 to 9).map(i => 0.05 + i * 0.1).toArray,
+        0.001).map(_.toLong).toSeq.distinct
+
     val (zEnv, linEnv) = (envelopes(s"$dir/z"), envelopes(s"$dir/linear"))
-    val partProbes = (1 to 10).map(_ * 180L)
-    val suppProbes = (1 to 10).map(_ * 9L)
-    val zPart = coverage(zEnv, _.getLong(1), _.getLong(2), partProbes)
-    val zSupp = coverage(zEnv, _.getLong(3), _.getLong(4), suppProbes)
-    val linPart = coverage(linEnv, _.getLong(1), _.getLong(2), partProbes)
-    val linSupp = coverage(linEnv, _.getLong(3), _.getLong(4), suppProbes)
+    val partProbes = dataProbes("l_partkey")
+    val suppProbes = dataProbes("l_suppkey")
+    assert(partProbes.nonEmpty && suppProbes.nonEmpty)
+    val zPart = coverage(zEnv, 1, 2, partProbes)
+    val zSupp = coverage(zEnv, 3, 4, suppProbes)
+    val linPart = coverage(linEnv, 1, 2, partProbes)
+    val linSupp = coverage(linEnv, 3, 4, suppProbes)
     info(f"point-predicate file coverage: z=(part $zPart%.3f, supp $zSupp%.3f) " +
       f"linear=(part $linPart%.3f, supp $linSupp%.3f)")
 
