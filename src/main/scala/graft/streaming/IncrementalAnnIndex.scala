@@ -55,11 +55,10 @@ object IncrementalAnnIndex {
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
-  /** The accumulated index — None before the first batch. If a
-    * [[compact]] crashed between its two renames (old moved aside, new
-    * not yet in place) the previous index is recovered from the
-    * `.old` directory first ([[IndexDirs.recover]]) — content is never
-    * lost, the compaction simply didn't happen. */
+  /** The accumulated index — None before the first batch. Reads the
+    * newest live version ([[IndexDirs]]); a [[compact]] that crashed
+    * mid-write left an unmarked directory this never sees — content
+    * is never lost, the compaction simply didn't happen. */
   def index(spark: SparkSession, statePath: String): Option[DataFrame] =
     IndexDirs.readIfExists(spark, indexPath(statePath))
 
@@ -98,9 +97,11 @@ object IncrementalAnnIndex {
       val newRows = delta.join(existing, Seq(idCol, "tb"), "left_anti")
       if (!newRows.isEmpty)
         // one file per touched directory per batch, rows sorted on tb
-        // inside it so probe reads skip row groups from footer stats
+        // inside it so probe reads skip row groups from footer stats;
+        // appended inside the current index version
         newRows.repartition(col("pb")).sortWithinPartitions("tb")
-          .write.mode("append").partitionBy("pb").parquet(indexPath(statePath))
+          .write.mode("append").partitionBy("pb")
+          .parquet(IndexDirs.appendDir(spark, indexPath(statePath)))
     } finally { delta.unpersist(); () }
   }
 
@@ -138,16 +139,18 @@ object IncrementalAnnIndex {
     * directory (many per-batch appended files → one file each),
     * preserving content exactly. Runs in the maintenance process
     * between batches (same single-writer discipline as the batch
-    * fold); the swap is a directory rename, so a crash leaves either
-    * the old or the new index, never a mix. */
+    * fold); the rewrite lands as the NEXT index version, visible
+    * atomically once its `_SUCCESS` exists, and the previous version
+    * is retained one generation so a concurrent reader holding the
+    * old file listing still completes ([[IndexDirs.retire]]). */
   def compact(spark: SparkSession, statePath: String,
               params: Params = Params()): Unit = {
     index(spark, statePath).foreach { idx =>
       val p = indexPath(statePath)
-      val tmp = s"$p.compacting"
       idx.repartition(col("pb")).sortWithinPartitions("tb")
-        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-      IndexDirs.swapIn(spark, p, tmp)
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(IndexDirs.nextDir(spark, p))
+      IndexDirs.retire(spark, p)
     }
   }
 

@@ -166,10 +166,12 @@ object IncrementalEmbeddingDedup {
       LabelStore.commit(spark, statePath, updated)
       if (!newKeys.isEmpty)
         newKeys.repartition(col("pk")).sortWithinPartitions("tk")
-          .write.mode("append").partitionBy("pk").parquet(bandsPath(statePath))
+          .write.mode("append").partitionBy("pk")
+          .parquet(IndexDirs.appendDir(spark, bandsPath(statePath)))
       if (!newVecRows.isEmpty)
         newVecRows.repartition(col("vb"))
-          .write.mode("append").partitionBy("vb").parquet(vectorsPath(statePath))
+          .write.mode("append").partitionBy("vb")
+          .parquet(IndexDirs.appendDir(spark, vectorsPath(statePath)))
       cand.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
@@ -178,23 +180,25 @@ object IncrementalEmbeddingDedup {
   /** LSM-ish maintenance: rewrite each state directory's accumulated
     * per-batch files into one run per partition (keys sorted on `tk`
     * for footer-stat skipping, vectors bucketed on `vb`), preserving
-    * content exactly. Crash-safe per directory ([[IndexDirs.swapIn]] +
-    * reader-side recover); labels are untouched. The keys and vectors
-    * directories swap independently — both orders of (old keys, new
-    * vectors) are consistent states because compaction never changes
-    * content, only file layout. */
+    * content exactly. Each rewrite lands as that directory's NEXT
+    * version, visible atomically once its `_SUCCESS` exists, with the
+    * previous version retained one generation for concurrent readers
+    * ([[IndexDirs.retire]]); labels are untouched. The keys and
+    * vectors directories version independently — both orders of (old
+    * keys, new vectors) are consistent states because compaction
+    * never changes content, only file layout. */
   def compact(spark: SparkSession, statePath: String): Unit = {
     IndexDirs.readIfExists(spark, bandsPath(statePath)).foreach { keys =>
-      val tmp = s"${bandsPath(statePath)}.compacting"
       keys.repartition(col("pk")).sortWithinPartitions("tk")
-        .write.mode("overwrite").partitionBy("pk").parquet(tmp)
-      IndexDirs.swapIn(spark, bandsPath(statePath), tmp)
+        .write.mode("overwrite").partitionBy("pk")
+        .parquet(IndexDirs.nextDir(spark, bandsPath(statePath)))
+      IndexDirs.retire(spark, bandsPath(statePath))
     }
     IndexDirs.readIfExists(spark, vectorsPath(statePath)).foreach { vecs =>
-      val tmp = s"${vectorsPath(statePath)}.compacting"
       vecs.repartition(col("vb"))
-        .write.mode("overwrite").partitionBy("vb").parquet(tmp)
-      IndexDirs.swapIn(spark, vectorsPath(statePath), tmp)
+        .write.mode("overwrite").partitionBy("vb")
+        .parquet(IndexDirs.nextDir(spark, vectorsPath(statePath)))
+      IndexDirs.retire(spark, vectorsPath(statePath))
     }
   }
 

@@ -34,49 +34,39 @@ object IncrementalIvfIndex {
 
   private def indexPath(statePath: String) = s"$statePath/index"
 
-  /** The sidecar lives INSIDE the index directory (underscore-prefixed,
-    * so Spark's file listing never mistakes it for data): the
-    * [[retrain]] directory swap carries quantizer and list assignment
-    * in ONE rename — the two can never disagree, whatever the crash
-    * point. */
+  /** The sidecar lives INSIDE each index VERSION directory
+    * (underscore-prefixed, so Spark's file listing never mistakes it
+    * for data), and a version is live only once the sidecar's own
+    * `_SUCCESS` exists too ([[markers]]): quantizer and list
+    * assignment become visible together — the two can never disagree,
+    * whatever the crash point. */
   private def centroidsPath(indexDir: String) = s"$indexDir/_centroids"
+
+  /** Sidecar gates a version's liveness alongside the root `_SUCCESS`. */
+  private val markers = Seq("_centroids/_SUCCESS")
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Recover a [[retrain]] that crashed between its two renames (old
-    * moved aside, new not yet in place): the previous index+sidecar
-    * pair comes back whole ([[IndexDirs.recover]] — the sidecar lives
-    * INSIDE the index dir, so one recovery rename restores both). */
-  private def recover(spark: SparkSession, statePath: String): Unit =
-    IndexDirs.recover(spark, indexPath(statePath))
-
-  /** The frozen quantizer — None before the first batch trains it. */
+  /** The frozen quantizer — None before the first batch trains it.
+    * Read from the append target (the live version, or the `v0`
+    * staging dir when a crash landed the sidecar before the first data
+    * append — the replayed first batch retrains identically anyway). */
   def centroids(spark: SparkSession,
                 statePath: String): Option[Array[(Int, Seq[Float])]] = {
     import spark.implicits._
-    recover(spark, statePath)
-    val p = centroidsPath(indexPath(statePath))
+    val p = centroidsPath(
+      IndexDirs.appendDir(spark, indexPath(statePath), markers))
     if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
     else Some(spark.read.parquet(p)
       .as[(Int, Seq[Float])].collect().sortBy(_._1))
   }
 
-  /** The accumulated index — None before the first batch appends data
-    * rows (the sidecar alone doesn't count: a crash between training
-    * and the first append replays into an identical re-train). */
-  def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
-    recover(spark, statePath)
-    val p = indexPath(statePath)
-    val f = fs(spark, p)
-    val hasData = f.exists(new Path(p)) &&
-      f.listStatus(new Path(p)).exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    if (hasData) Some(spark.read.parquet(p))
-    else None
-  }
+  /** The accumulated index — None before the first data append (a
+    * version only goes live when the append's root `_SUCCESS` lands,
+    * so the sidecar alone doesn't count). */
+  def index(spark: SparkSession, statePath: String): Option[DataFrame] =
+    IndexDirs.readIfExists(spark, indexPath(statePath), markers)
 
   private def writeCentroids(spark: SparkSession, indexDir: String,
                              cents: Array[(Int, Seq[Float])]): Unit = {
@@ -96,10 +86,13 @@ object IncrementalIvfIndex {
     // append — collapse them here (deterministic: rows for one id are
     // identical under the frozen quantizer)
     val uniq = newVecs.dropDuplicates(idCol)
+    val appendTo = IndexDirs.appendDir(spark, indexPath(statePath), markers)
     val cents = centroids(spark, statePath).getOrElse {
       val trained = Similarity.ivfCentroids(uniq, idCol, vecCol,
         params.k, params.refineSteps)
-      writeCentroids(spark, indexPath(statePath), trained)
+      // sidecar BEFORE the first data append: the version goes live
+      // only when the append's root _SUCCESS lands after it
+      writeCentroids(spark, appendTo, trained)
       trained
     }
     val delta = Similarity.withIvfLists(uniq, vecCol, cents).cache()
@@ -118,7 +111,7 @@ object IncrementalIvfIndex {
       if (!newRows.isEmpty)
         newRows.repartition(col("ivf_list"))
           .write.mode("append").partitionBy("ivf_list")
-          .parquet(indexPath(statePath))
+          .parquet(appendTo)
     } finally { delta.unpersist(); () }
   }
 
@@ -147,8 +140,12 @@ object IncrementalIvfIndex {
 
   /** Quantizer-drift maintenance: retrain centroids on the ACCUMULATED
     * corpus (same deterministic decimal-mean Lloyd step as the initial
-    * train), reassign every stored vector, and atomically swap the
-    * rewritten index + sidecar in. The heavyweight counterpart of
+    * train), reassign every stored vector, and land the rewritten
+    * index + sidecar as the NEXT version — live atomically when the
+    * sidecar marker (written last) appears, so assignment and
+    * quantizer become visible together; the previous version is
+    * retained one generation for concurrent readers
+    * ([[IndexDirs.retire]]). The heavyweight counterpart of
     * [[IncrementalAnnIndex.compact]] — run it when list skew says the
     * first-batch sample stopped representing the distribution. */
   def retrain(spark: SparkSession, statePath: String, idCol: String,
@@ -159,14 +156,14 @@ object IncrementalIvfIndex {
         val cents = Similarity.ivfCentroids(corpus, idCol, vecCol,
           params.k, params.refineSteps)
         val p = indexPath(statePath)
-        val tmp = s"$p.retraining"
+        val next = IndexDirs.nextDir(spark, p)
         Similarity.withIvfLists(corpus, vecCol, cents)
           .repartition(col("ivf_list"))
-          .write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)
-        // sidecar INTO the staged directory BEFORE the swap: the one
-        // rename below moves assignment and quantizer together
-        writeCentroids(spark, tmp, cents)
-        IndexDirs.swapIn(spark, p, tmp)
+          .write.mode("overwrite").partitionBy("ivf_list").parquet(next)
+        // sidecar LAST: its _SUCCESS is the liveness marker, so the
+        // new version appears with assignment and quantizer together
+        writeCentroids(spark, next, cents)
+        IndexDirs.retire(spark, p, markers)
       } finally { corpus.unpersist(); () }
     }
   }

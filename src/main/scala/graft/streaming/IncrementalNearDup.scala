@@ -105,8 +105,9 @@ object IncrementalNearDup {
           .cast("int"))
 
   /** The accumulated band index (all buckets) — empty before the first
-    * batch. A [[compact]] that crashed mid-swap is recovered first
-    * ([[IndexDirs.recover]]). */
+    * batch. Reads the newest live version ([[IndexDirs]]); a
+    * [[compact]] that crashed mid-write left an unmarked directory
+    * this never sees. */
   private[graft] def bandIndex(spark: SparkSession,
                                statePath: String): Option[DataFrame] =
     IndexDirs.readIfExists(spark, indexPath(statePath))
@@ -204,9 +205,12 @@ object IncrementalNearDup {
     LabelStore.commit(spark, statePath, updated)
     if (!newRows.isEmpty)
       // one file per touched bucket per batch (repartition on the
-      // partition column), appended under its pb= directory
+      // partition column), appended under its pb= directory inside the
+      // current index version (appends extend a snapshot; they never
+      // invalidate a reader's held file listing)
       newRows.repartition(col("pb"))
-        .write.mode("append").partitionBy("pb").parquet(indexPath(statePath))
+        .write.mode("append").partitionBy("pb")
+        .parquet(IndexDirs.appendDir(spark, indexPath(statePath)))
     deltaBands.unpersist()
     ()
   }
@@ -215,18 +219,21 @@ object IncrementalNearDup {
     * directory's accumulated per-batch files into one sorted run,
     * preserving content exactly — the compaction pass the layout notes
     * above call for under long streams. Runs between batches (same
-    * single-writer discipline as the fold); the swap is two renames
-    * ([[IndexDirs.swapIn]]), so a crash leaves either the old or the
-    * new index, never a mix, and [[bandIndex]] recovers a stranded
-    * half-swap. Labels are untouched — only the physical file layout
-    * changes. */
+    * single-writer discipline as the fold); the rewrite lands as the
+    * NEXT index version, visible atomically once its `_SUCCESS`
+    * exists, and the previous version is retained one generation
+    * ([[IndexDirs.retire]]) so a concurrent reader holding the old
+    * file listing still completes — snapshot isolation at the
+    * directory-version level. A crash mid-write leaves an unmarked
+    * directory readers ignore. Labels are untouched — only the
+    * physical file layout changes. */
   def compact(spark: SparkSession, statePath: String): Unit =
     bandIndex(spark, statePath).foreach { idx =>
       val p = indexPath(statePath)
-      val tmp = s"$p.compacting"
       idx.repartition(col("pb")).sortWithinPartitions("band", "key")
-        .write.mode("overwrite").partitionBy("pb").parquet(tmp)
-      IndexDirs.swapIn(spark, p, tmp)
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(IndexDirs.nextDir(spark, p))
+      IndexDirs.retire(spark, p)
     }
 
   /** Attach to a streaming document source: one [[processBatch]] per
