@@ -19,9 +19,10 @@ import graft.similarity.Similarity
   * id), and the maintained index probes identically to a one-shot
   * build over the same corpus with the same frozen artifacts
   * (spec-pinned). Drift is an explicit [[retrain]]: both artifacts
-  * retrain deterministically on the accumulated rows and swap in with
-  * the reassigned index as ONE rename (sidecars live inside the index
-  * directory).
+  * retrain deterministically on the accumulated rows and land with
+  * the reassigned index as ONE new [[IndexDirs]] version (sidecars
+  * written last gate its liveness, so index, quantizer, and codebooks
+  * become visible together, whatever the crash point).
   */
 object IncrementalIvfPqIndex {
 
@@ -33,18 +34,23 @@ object IncrementalIvfPqIndex {
   private def centroidsPath(indexDir: String) = s"$indexDir/_centroids"
   private def codebooksPath(indexDir: String) = s"$indexDir/_codebooks"
 
+  /** BOTH sidecars gate a version's liveness alongside the root
+    * `_SUCCESS`: coarse quantizer, codebooks, and list assignment can
+    * never be seen disagreeing. */
+  private val markers = Seq("_centroids/_SUCCESS", "_codebooks/_SUCCESS")
+
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def recover(spark: SparkSession, statePath: String): Unit =
-    IndexDirs.recover(spark, indexPath(statePath))
-
-  /** The frozen coarse quantizer — None before the first batch. */
+  /** The frozen coarse quantizer — None before the first batch. Read
+    * from the append target (the live version, or the `v0` staging dir
+    * when a crash landed the sidecars before the first data append —
+    * the replayed first batch retrains identically anyway). */
   def centroids(spark: SparkSession,
                 statePath: String): Option[Array[(Int, Seq[Float])]] = {
     import spark.implicits._
-    recover(spark, statePath)
-    val p = centroidsPath(indexPath(statePath))
+    val p = centroidsPath(
+      IndexDirs.appendDir(spark, indexPath(statePath), markers))
     if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
     else Some(spark.read.parquet(p)
       .as[(Int, Seq[Float])].collect().sortBy(_._1))
@@ -54,8 +60,8 @@ object IncrementalIvfPqIndex {
   def codebooks(spark: SparkSession,
                 statePath: String): Option[Array[Array[(Int, Seq[Float])]]] = {
     import spark.implicits._
-    recover(spark, statePath)
-    val p = codebooksPath(indexPath(statePath))
+    val p = codebooksPath(
+      IndexDirs.appendDir(spark, indexPath(statePath), markers))
     if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
     else Some(spark.read.parquet(p)
       .as[(Int, Int, Seq[Float])].collect()
@@ -64,19 +70,11 @@ object IncrementalIvfPqIndex {
       .map(_.toArray).toArray)
   }
 
-  /** The accumulated index — None before the first data append. */
-  def index(spark: SparkSession, statePath: String): Option[DataFrame] = {
-    recover(spark, statePath)
-    val p = indexPath(statePath)
-    val f = fs(spark, p)
-    val hasData = f.exists(new Path(p)) &&
-      f.listStatus(new Path(p)).exists { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-    if (hasData) Some(spark.read.parquet(p))
-    else None
-  }
+  /** The accumulated index — None before the first data append (a
+    * version only goes live when the append's root `_SUCCESS` lands,
+    * so the sidecars alone don't count). */
+  def index(spark: SparkSession, statePath: String): Option[DataFrame] =
+    IndexDirs.readIfExists(spark, indexPath(statePath), markers)
 
   private def writeArtifacts(spark: SparkSession, indexDir: String,
                              cents: Array[(Int, Seq[Float])],
@@ -101,6 +99,7 @@ object IncrementalIvfPqIndex {
     // append — collapse them here (deterministic under the frozen
     // quantizers)
     val uniq = newVecs.dropDuplicates(idCol)
+    val appendTo = IndexDirs.appendDir(spark, indexPath(statePath), markers)
     val (cents, books) =
       (centroids(spark, statePath), codebooks(spark, statePath)) match {
         case (Some(c), Some(b)) => (c, b)
@@ -109,7 +108,9 @@ object IncrementalIvfPqIndex {
             params.kLists, params.refineSteps)
           val b = Similarity.pqCodebooks(uniq, idCol, vecCol,
             params.m, params.ksub, params.refineSteps)
-          writeArtifacts(spark, indexPath(statePath), c, b)
+          // sidecars BEFORE the first data append: the version goes
+          // live only when the append's root _SUCCESS lands after them
+          writeArtifacts(spark, appendTo, c, b)
           (c, b)
       }
     val delta = Similarity.withIvfLists(
@@ -128,7 +129,7 @@ object IncrementalIvfPqIndex {
       if (!newRows.isEmpty)
         newRows.repartition(col("ivf_list"))
           .write.mode("append").partitionBy("ivf_list")
-          .parquet(indexPath(statePath))
+          .parquet(appendTo)
     } finally { delta.unpersist(); () }
   }
 
@@ -160,7 +161,10 @@ object IncrementalIvfPqIndex {
 
   /** Drift maintenance: retrain BOTH artifacts on the accumulated
     * corpus (deterministic), reassign and re-encode every stored
-    * vector, swap the rewritten index + sidecars in atomically. */
+    * vector, and land the rewritten index + sidecars as the NEXT
+    * [[IndexDirs]] version — live atomically when the sidecar markers
+    * (written last) appear; the previous version is retained one
+    * generation for concurrent readers ([[IndexDirs.retire]]). */
   def retrain(spark: SparkSession, statePath: String, idCol: String,
               vecCol: String, params: Params = Params()): Unit = {
     index(spark, statePath).foreach { idx =>
@@ -171,15 +175,16 @@ object IncrementalIvfPqIndex {
         val books = Similarity.pqCodebooks(corpus, idCol, vecCol,
           params.m, params.ksub, params.refineSteps)
         val p = indexPath(statePath)
-        val tmp = s"$p.retraining"
+        val next = IndexDirs.nextDir(spark, p)
         Similarity.withIvfLists(
             Similarity.withPqCodes(corpus, vecCol, books), vecCol, cents)
           .repartition(col("ivf_list"))
-          .write.mode("overwrite").partitionBy("ivf_list").parquet(tmp)
-        // sidecars INTO the staged directory BEFORE the swap: one
-        // rename moves index, quantizer, and codebooks together
-        writeArtifacts(spark, tmp, cents, books)
-        IndexDirs.swapIn(spark, p, tmp)
+          .write.mode("overwrite").partitionBy("ivf_list").parquet(next)
+        // sidecars LAST: their _SUCCESS files are the liveness markers,
+        // so the new version appears with index, quantizer, and
+        // codebooks together
+        writeArtifacts(spark, next, cents, books)
+        IndexDirs.retire(spark, p, markers)
       } finally { corpus.unpersist(); () }
     }
   }
