@@ -85,21 +85,30 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     parts.foreach(b =>
       IncrementalNearDup.processBatch(b, "doc_id", "text", statePath, Pc))
 
-    def fileCount(): Int = {
+    // reader-visible files = the newest live version's listing; the
+    // previous version is retained one generation (IndexDirs.retire),
+    // so total on-disk counts may grow across a compaction
+    def liveDir(): java.io.File = new java.io.File(
+      graft.streaming.IndexDirs.currentDir(spark, s"$statePath/index").get)
+    def fileCount(dir: java.io.File): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$statePath/index"))
-        .count(_.getName.endsWith(".parquet"))
+      walk(dir).count(_.getName.endsWith(".parquet"))
     }
     def clusterMap() = IncrementalNearDup.clusters(docs, "doc_id", statePath)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
     val before = clusterMap()
     val rowsBefore = IncrementalNearDup.bandIndex(spark, statePath).get.count()
-    val filesBefore = fileCount()
+    val dirBefore = liveDir()
+    val filesBefore = fileCount(dirBefore)
     IncrementalNearDup.compact(spark, statePath)
-    assert(fileCount() < filesBefore,
-      s"compaction did not reduce files ($filesBefore)")
+    val dirAfter = liveDir()
+    assert(dirAfter != dirBefore, "compaction did not land a new version")
+    assert(fileCount(dirAfter) < filesBefore,
+      s"compaction did not reduce live files ($filesBefore)")
+    assert(dirBefore.exists,
+      "previous version not retained for in-flight readers")
     assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()
       == rowsBefore, "compaction changed index content")
     assert(clusterMap() == before, "compaction changed clusters")
@@ -118,15 +127,20 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(after(2000000L) == after(seedId),
       "post-compaction arrival missed its cross-batch twin")
 
-    // crashed swap: index moved aside, replacement never landed —
-    // the next reader restores it whole
-    val idxDir = new java.io.File(s"$statePath/index")
-    assert(idxDir.renameTo(new java.io.File(s"$statePath/index.old")))
+    // crashed rewrite: a version dir whose _SUCCESS never landed is
+    // invisible to readers, and the next compaction sweeps it
+    val rowsNow = IncrementalNearDup.bandIndex(spark, statePath).get.count()
+    val stale = graft.streaming.IndexDirs.nextDir(spark, s"$statePath/index")
+    Seq((1L, Seq(2L), 0, 0L, 0)).toDF("__id", "__shh", "band", "key", "pb")
+      .write.parquet(stale)
+    assert(new java.io.File(s"$stale/_SUCCESS").delete())
     assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()
-      == IncrementalNearDup.bandRows(
-           docs.unionByName(Seq((2000000L, seedText)).toDF("doc_id", "text")),
-           "doc_id", "text", Pc).count(),
-      "crashed-swap recovery lost index rows")
+      == rowsNow, "reader saw an unmarked (crashed) rewrite")
+    IncrementalNearDup.compact(spark, statePath)
+    assert(!new java.io.File(stale).exists,
+      "crashed rewrite leftover not swept by the next compaction")
+    assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()
+      == rowsNow, "compaction changed index content")
   }
 
   test("cross-batch pairs are found: a near-dup arriving months later still clusters") {

@@ -92,17 +92,27 @@ class StreamingAnnSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(before == ref)
 
-    // compaction: one sorted run per directory, identical content
-    def fileCount(): Int = {
+    // compaction: one sorted run per directory inside the NEW live
+    // version, identical content. The file count a READER sees (the
+    // newest live version's listing) must shrink; the previous version
+    // dir is retained one generation for in-flight readers
+    // (IndexDirs.retire keep=2), so the TOTAL on-disk count may grow.
+    def liveDir(): java.io.File = new java.io.File(
+      graft.streaming.IndexDirs.currentDir(spark, s"$statePath/index").get)
+    def fileCount(dir: java.io.File): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$statePath/index"))
-        .count(_.getName.endsWith(".parquet"))
+      walk(dir).count(_.getName.endsWith(".parquet"))
     }
-    val filesBefore = fileCount()
+    val dirBefore = liveDir()
+    val filesBefore = fileCount(dirBefore)
     IncrementalAnnIndex.compact(spark, statePath, P)
-    assert(fileCount() < filesBefore,
-      s"compaction did not reduce files ($filesBefore)")
+    val dirAfter = liveDir()
+    assert(dirAfter != dirBefore, "compaction did not land a new version")
+    assert(fileCount(dirAfter) < filesBefore,
+      s"compaction did not reduce live files ($filesBefore)")
+    assert(dirBefore.exists,
+      "previous version not retained for in-flight readers")
     val idx2 = IncrementalAnnIndex.index(spark, statePath).get
     assert(idx2.count() == n * P.tables)
     val after = IncrementalAnnIndex.annTopK(spark, statePath,

@@ -119,26 +119,37 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     (0 until 3).foreach(b => IncrementalEmbeddingDedup.processBatch(
       vecs(b + 1, b * 100, 100), "vec_id", "embedding", statePath, p))
 
-    def fileCount(dir: String): Int = {
+    // reader-visible files = the newest live version of each state dir
+    // (the previous version is retained one generation by
+    // IndexDirs.retire, so total on-disk counts may grow)
+    def liveDir(dir: String): java.io.File = new java.io.File(
+      graft.streaming.IndexDirs.currentDir(spark, dir).get)
+    def fileCount(dir: java.io.File): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+      walk(dir).count(_.getName.endsWith(".parquet"))
     }
+    def liveCount(dir: String): Long =
+      graft.streaming.IndexDirs.readIfExists(spark, dir).get.count()
     val ids = (0L until 300L).toSeq.toDF("vec_id")
     def clusterMap() = IncrementalEmbeddingDedup
       .clusters(ids, "vec_id", statePath)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
 
     val before = clusterMap()
-    val bandsBefore = spark.read.parquet(s"$statePath/bands").count()
-    val vecsBefore = spark.read.parquet(s"$statePath/vectors").count()
-    val filesBefore =
-      fileCount(s"$statePath/bands") + fileCount(s"$statePath/vectors")
+    val bandsBefore = liveCount(s"$statePath/bands")
+    val vecsBefore = liveCount(s"$statePath/vectors")
+    val dirsBefore =
+      Seq(liveDir(s"$statePath/bands"), liveDir(s"$statePath/vectors"))
+    val filesBefore = dirsBefore.map(fileCount).sum
     IncrementalEmbeddingDedup.compact(spark, statePath)
-    assert(fileCount(s"$statePath/bands") + fileCount(s"$statePath/vectors")
-      < filesBefore, s"compaction did not reduce files ($filesBefore)")
-    assert(spark.read.parquet(s"$statePath/bands").count() == bandsBefore)
-    assert(spark.read.parquet(s"$statePath/vectors").count() == vecsBefore)
+    assert(fileCount(liveDir(s"$statePath/bands"))
+      + fileCount(liveDir(s"$statePath/vectors")) < filesBefore,
+      s"compaction did not reduce live files ($filesBefore)")
+    assert(dirsBefore.forall(_.exists),
+      "previous versions not retained for in-flight readers")
+    assert(liveCount(s"$statePath/bands") == bandsBefore)
+    assert(liveCount(s"$statePath/vectors") == vecsBefore)
     assert(clusterMap() == before, "compaction changed clusters")
 
     // probe + verify still work on the compacted layout: an exact twin
@@ -154,9 +165,11 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     assert(after(1000000L) == after(7L),
       "post-compaction arrival missed its twin")
 
-    // crashed swap on the bands dir: next reader restores it whole
-    val bandsDir = new java.io.File(s"$statePath/bands")
-    assert(bandsDir.renameTo(new java.io.File(s"$statePath/bands.old")))
+    // crashed rewrite on the bands dir: a version whose _SUCCESS never
+    // landed is invisible — maintenance continues on the live version
+    val stale = graft.streaming.IndexDirs.nextDir(spark, s"$statePath/bands")
+    Seq((0L, 0L, 0)).toDF("__id", "tk", "pk").write.parquet(stale)
+    assert(new java.io.File(s"$stale/_SUCCESS").delete())
     IncrementalEmbeddingDedup.processBatch(
       Seq((1000001L, twinVec)).toDF("vec_id", "embedding"),
       "vec_id", "embedding", statePath, p)
@@ -165,7 +178,7 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
         "vec_id", statePath)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after2(1000001L) == after2(7L),
-      "crashed-swap recovery lost the key index")
+      "crashed-rewrite leftover disturbed live-index maintenance")
   }
 
   test("probe volume stays ~flat at 10x corpus when planes grow with log n") {
