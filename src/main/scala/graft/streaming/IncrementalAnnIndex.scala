@@ -101,7 +101,7 @@ object IncrementalAnnIndex {
         // appended inside the current index version
         newRows.repartition(col("pb")).sortWithinPartitions("tb")
           .write.mode("append").partitionBy("pb")
-          .parquet(IndexDirs.appendDir(spark, indexPath(statePath)))
+          .parquet(IndexDirs.prepareAppend(spark, indexPath(statePath)))
     } finally { delta.unpersist(); () }
   }
 

@@ -167,11 +167,11 @@ object IncrementalEmbeddingDedup {
       if (!newKeys.isEmpty)
         newKeys.repartition(col("pk")).sortWithinPartitions("tk")
           .write.mode("append").partitionBy("pk")
-          .parquet(IndexDirs.appendDir(spark, bandsPath(statePath)))
+          .parquet(IndexDirs.prepareAppend(spark, bandsPath(statePath)))
       if (!newVecRows.isEmpty)
         newVecRows.repartition(col("vb"))
           .write.mode("append").partitionBy("vb")
-          .parquet(IndexDirs.appendDir(spark, vectorsPath(statePath)))
+          .parquet(IndexDirs.prepareAppend(spark, vectorsPath(statePath)))
       cand.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -45,21 +43,19 @@ object IncrementalIvfIndex {
   /** Sidecar gates a version's liveness alongside the root `_SUCCESS`. */
   private val markers = Seq("_centroids/_SUCCESS")
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** The frozen quantizer — None before the first batch trains it.
-    * Read from the append target (the live version, or the `v0`
-    * staging dir when a crash landed the sidecar before the first data
-    * append — the replayed first batch retrains identically anyway). */
+  /** The frozen quantizer — None before the first commit. Only a
+    * sidecar inside a LIVE version is trusted: a quantizer stranded in
+    * an unmarked `v0` by a crashed first append is ignored (and swept
+    * by the writer's [[IndexDirs.prepareAppend]]) — the replayed first
+    * batch retrains from its own data, so a stale artifact from a
+    * changed source is never silently adopted. */
   def centroids(spark: SparkSession,
                 statePath: String): Option[Array[(Int, Seq[Float])]] = {
     import spark.implicits._
-    val p = centroidsPath(
-      IndexDirs.appendDir(spark, indexPath(statePath), markers))
-    if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
-    else Some(spark.read.parquet(p)
-      .as[(Int, Seq[Float])].collect().sortBy(_._1))
+    IndexDirs.currentDir(spark, indexPath(statePath), markers).map { dir =>
+      spark.read.parquet(centroidsPath(dir))
+        .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    }
   }
 
   /** The accumulated index — None before the first data append (a
@@ -86,7 +82,7 @@ object IncrementalIvfIndex {
     // append — collapse them here (deterministic: rows for one id are
     // identical under the frozen quantizer)
     val uniq = newVecs.dropDuplicates(idCol)
-    val appendTo = IndexDirs.appendDir(spark, indexPath(statePath), markers)
+    val appendTo = IndexDirs.prepareAppend(spark, indexPath(statePath), markers)
     val cents = centroids(spark, statePath).getOrElse {
       val trained = Similarity.ivfCentroids(uniq, idCol, vecCol,
         params.k, params.refineSteps)

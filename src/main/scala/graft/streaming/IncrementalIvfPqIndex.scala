@@ -1,7 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -39,35 +37,32 @@ object IncrementalIvfPqIndex {
     * never be seen disagreeing. */
   private val markers = Seq("_centroids/_SUCCESS", "_codebooks/_SUCCESS")
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-
-  /** The frozen coarse quantizer — None before the first batch. Read
-    * from the append target (the live version, or the `v0` staging dir
-    * when a crash landed the sidecars before the first data append —
-    * the replayed first batch retrains identically anyway). */
+  /** The frozen coarse quantizer — None before the first commit. Only
+    * a sidecar inside a LIVE version is trusted: an artifact stranded
+    * in an unmarked `v0` by a crashed first append is ignored (and
+    * swept by the writer's [[IndexDirs.prepareAppend]]) — the replayed
+    * first batch retrains from its own data. */
   def centroids(spark: SparkSession,
                 statePath: String): Option[Array[(Int, Seq[Float])]] = {
     import spark.implicits._
-    val p = centroidsPath(
-      IndexDirs.appendDir(spark, indexPath(statePath), markers))
-    if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
-    else Some(spark.read.parquet(p)
-      .as[(Int, Seq[Float])].collect().sortBy(_._1))
+    IndexDirs.currentDir(spark, indexPath(statePath), markers).map { dir =>
+      spark.read.parquet(centroidsPath(dir))
+        .as[(Int, Seq[Float])].collect().sortBy(_._1)
+    }
   }
 
-  /** The frozen PQ codebooks — None before the first batch. */
+  /** The frozen PQ codebooks — None before the first commit; same
+    * live-version-only trust as [[centroids]]. */
   def codebooks(spark: SparkSession,
                 statePath: String): Option[Array[Array[(Int, Seq[Float])]]] = {
     import spark.implicits._
-    val p = codebooksPath(
-      IndexDirs.appendDir(spark, indexPath(statePath), markers))
-    if (!fs(spark, p).exists(new Path(s"$p/_SUCCESS"))) None
-    else Some(spark.read.parquet(p)
-      .as[(Int, Int, Seq[Float])].collect()
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) }
-      .map(_.toArray).toArray)
+    IndexDirs.currentDir(spark, indexPath(statePath), markers).map { dir =>
+      spark.read.parquet(codebooksPath(dir))
+        .as[(Int, Int, Seq[Float])].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) }
+        .map(_.toArray).toArray
+    }
   }
 
   /** The accumulated index — None before the first data append (a
@@ -99,7 +94,7 @@ object IncrementalIvfPqIndex {
     // append — collapse them here (deterministic under the frozen
     // quantizers)
     val uniq = newVecs.dropDuplicates(idCol)
-    val appendTo = IndexDirs.appendDir(spark, indexPath(statePath), markers)
+    val appendTo = IndexDirs.prepareAppend(spark, indexPath(statePath), markers)
     val (cents, books) =
       (centroids(spark, statePath), codebooks(spark, statePath)) match {
         case (Some(c), Some(b)) => (c, b)

@@ -210,7 +210,7 @@ object IncrementalNearDup {
       // invalidate a reader's held file listing)
       newRows.repartition(col("pb"))
         .write.mode("append").partitionBy("pb")
-        .parquet(IndexDirs.appendDir(spark, indexPath(statePath)))
+        .parquet(IndexDirs.prepareAppend(spark, indexPath(statePath)))
     deltaBands.unpersist()
     ()
   }

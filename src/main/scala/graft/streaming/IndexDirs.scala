@@ -33,9 +33,31 @@ private[graft] object IndexDirs {
 
   private val Ver = "^v(\\d+)$".r
 
+  /** One-time adoption of a state directory written by the pre-version
+    * FLAT layout (data files / `pb=`-style partition dirs / sidecars
+    * directly under `path`, no `v<N>` children): move every child into
+    * `v0`. The old root `_SUCCESS` travels along, so a complete flat
+    * index becomes a live `v0` — previously-accumulated state stays
+    * recognized (dedup continuity) instead of silently reading as
+    * empty — while an incomplete one stays invisible, same as before.
+    * Idempotent (a versioned dir has no non-version children); runs
+    * under the same single-writer discipline as the folds. */
+  private def adoptFlatLayout(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    val children = f.listStatus(root).toSeq.map(_.getPath)
+    val hasVersions = children.exists(p => Ver.matches(p.getName))
+    if (hasVersions || children.isEmpty) return
+    val v0 = new Path(root, "v0")
+    f.mkdirs(v0)
+    children.foreach(c => f.rename(c, new Path(v0, c.getName)))
+  }
+
   /** Every `v<N>` child of `path`, live or not, ascending. */
   private def versionDirs(spark: SparkSession,
                           path: String): Seq[(Long, Path)] = {
+    adoptFlatLayout(spark, path)
     val f = fs(spark, path)
     if (!f.exists(new Path(path))) Nil
     else f.listStatus(new Path(path)).toSeq.map(_.getPath)
@@ -67,6 +89,27 @@ private[graft] object IndexDirs {
   def appendDir(spark: SparkSession, path: String,
                 markers: Seq[String] = Nil): String =
     currentDir(spark, path, markers).getOrElse(s"$path/v0")
+
+  /** WRITER-side [[appendDir]] with first-append hygiene: when no live
+    * version exists yet, any unmarked leftover version dirs are
+    * deleted first. Two crash classes die here: (a) a FIRST append
+    * that crashed mid job-commit stranded partial data files in an
+    * unmarked `v0` — without the sweep they'd become visible alongside
+    * the replay's copies the moment the replay's `_SUCCESS` lands;
+    * (b) a crashed pre-append sidecar write left a trained quantizer
+    * in the unmarked dir — sweeping it forces the replayed first batch
+    * to retrain from ITS data, so a stale artifact from a changed
+    * source is never silently adopted. Single-writer, like the folds;
+    * readers never resolve unmarked dirs so the sweep is invisible to
+    * them. */
+  def prepareAppend(spark: SparkSession, path: String,
+                    markers: Seq[String] = Nil): String = {
+    if (versions(spark, path, markers).isEmpty) {
+      val f = fs(spark, path)
+      versionDirs(spark, path).foreach { case (_, p) => f.delete(p, true); () }
+    }
+    appendDir(spark, path, markers)
+  }
 
   /** The newest live version as a DataFrame — None before the first
     * commit. */

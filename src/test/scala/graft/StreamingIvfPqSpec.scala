@@ -108,8 +108,31 @@ class StreamingIvfPqSpec extends AnyFunSuite {
     assert(!scan.metadata("ReadSchema").contains("embedding"),
       s"ADC scan reads vectors: ${scan.metadata("ReadSchema")}")
 
+    // snapshot isolation across the retrain swap: a reader that
+    // resolved the index BEFORE the rewrite still completes on its
+    // version (retire keeps the previous generation's files on disk),
+    // even though new readers resolve the new version
+    val heldSnapshot = IncrementalIvfPqIndex.index(spark, statePath).get
+    val heldIds = heldSnapshot.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val heldDir = new java.io.File(graft.streaming.IndexDirs
+      .currentDir(spark, s"$statePath/index",
+        Seq("_centroids/_SUCCESS", "_codebooks/_SUCCESS")).get)
+
     // retrain: both artifacts refresh deterministically, swapped whole
     IncrementalIvfPqIndex.retrain(spark, statePath, "vec_id", "embedding", P)
+    val newDir = new java.io.File(graft.streaming.IndexDirs
+      .currentDir(spark, s"$statePath/index",
+        Seq("_centroids/_SUCCESS", "_codebooks/_SUCCESS")).get)
+    assert(newDir != heldDir, "retrain did not land a new version")
+    assert(heldDir.exists, "previous version not retained for readers")
+    assert(heldSnapshot.select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == heldIds,
+      "reader holding the pre-retrain snapshot did not complete on it")
+    // a SECOND rewrite retires the held generation (one-deep retention)
+    IncrementalIvfPqIndex.retrain(spark, statePath, "vec_id", "embedding", P)
+    assert(!heldDir.exists,
+      "two-generations-old version should be out of retention")
     assert(IncrementalIvfPqIndex.centroids(spark, statePath).get.toSeq ==
       Similarity.ivfCentroids(corpus, "vec_id", "embedding",
         P.kLists, P.refineSteps).toSeq)
