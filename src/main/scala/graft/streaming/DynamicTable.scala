@@ -53,8 +53,16 @@ final class DynamicTable(fact: KeyedTable,
     s"view key ${result.keys} must equal the fact key ${fact.keys}")
   private val keys = fact.keys
 
-  /** REFRESH_MODE = FULL: recompute the whole view from current inputs. */
-  def fullRefresh(): Unit = {
+  /** REFRESH_MODE = FULL: recompute the whole view from current inputs.
+    *
+    * Every refresh returns the CDC-shaped change batch it applied to
+    * the result table — the view's OWN change feed. A downstream
+    * [[DynamicTable]] whose fact is this view folds that batch with
+    * its [[incrementalRefresh]], so dynamic tables compose into DAGs
+    * (the reference's dynamic-table-over-dynamic-table pipelines) with
+    * Δ-sized maintenance at every hop; two-hop incremental ≡ full is
+    * property-tested in DynamicTableSpec. */
+  def fullRefresh(): DataFrame = {
     val view = viewOf(fact.current())
     if (result.isSnapshotDone) {
       // express the recompute as one change batch: upsert every current
@@ -64,15 +72,22 @@ final class DynamicTable(fact: KeyedTable,
       val upserts = withMeta(view, CdcApply.Update)
       val vanished = result.current()
         .join(view.select(keys.map(col): _*), keys, "left_anti")
-      result.applyChanges(upserts.unionByName(
-        deleteEvents(vanished, view), allowMissingColumns = false))
-    } else result.snapshot(view)
+      val batch = upserts.unionByName(
+        deleteEvents(vanished, view), allowMissingColumns = false)
+      result.applyChanges(batch)
+      batch
+    } else {
+      result.snapshot(view)
+      withMeta(view, CdcApply.Update)
+    }
   }
 
   /** REFRESH_MODE = INCREMENTAL: fold one fact change batch into the
-    * materialized result. `factChanges` = fact columns + CDC meta. */
-  def incrementalRefresh(factChanges: DataFrame): Unit = {
-    if (!result.isSnapshotDone) { fullRefresh(); return }
+    * materialized result. `factChanges` = fact columns + CDC meta.
+    * Returns the view-change batch applied (see [[fullRefresh]] on
+    * DAG composition). */
+  def incrementalRefresh(factChanges: DataFrame): DataFrame = {
+    if (!result.isSnapshotDone) return fullRefresh()
     val winners = CdcApply.latest(factChanges, keys)
     val after = winners.filter(col(CdcApply.OpCol) =!= CdcApply.Delete)
       .drop(CdcApply.MetaCols: _*)
@@ -84,9 +99,10 @@ final class DynamicTable(fact: KeyedTable,
       winners.columns.contains(c)).toIndexedSeq
     val deletions = winners.select(carried.map(col): _*)
       .join(upserts.select(keys.map(col): _*), keys, "left_anti")
-    result.applyChanges(
-      withMeta(upserts, CdcApply.Update)
-        .unionByName(deleteEvents(deletions, upserts)))
+    val batch = withMeta(upserts, CdcApply.Update)
+      .unionByName(deleteEvents(deletions, upserts))
+    result.applyChanges(batch)
+    batch
   }
 
   /** REFRESH under a DIMENSION change batch (`dimName` keys [[dims]]).
@@ -98,8 +114,8 @@ final class DynamicTable(fact: KeyedTable,
     * exactly those fact rows yields the correct post-change view rows;
     * affected fact keys with no surviving view row become deletions
     * (drop-outs and no-ops collapse in the idempotent merge). */
-  def dimensionRefresh(dimName: String, dimChanges: DataFrame): Unit = {
-    if (!result.isSnapshotDone) { fullRefresh(); return }
+  def dimensionRefresh(dimName: String, dimChanges: DataFrame): DataFrame = {
+    if (!result.isSnapshotDone) return fullRefresh()
     val b = dims.getOrElse(dimName, throw new IllegalArgumentException(
       s"unknown dimension '$dimName' (bound: ${dims.keys.mkString(", ")})"))
     val changedKeys = CdcApply.latest(dimChanges, Seq(b.dimKey))
@@ -111,9 +127,10 @@ final class DynamicTable(fact: KeyedTable,
       affected.columns.contains(c)).toIndexedSeq
     val deletions = affected.select(carried.map(col): _*)
       .join(upserts.select(keys.map(col): _*), keys, "left_anti")
-    result.applyChanges(
-      withMeta(upserts, CdcApply.Update)
-        .unionByName(deleteEvents(deletions, upserts)))
+    val batch = withMeta(upserts, CdcApply.Update)
+      .unionByName(deleteEvents(deletions, upserts))
+    result.applyChanges(batch)
+    batch
   }
 
   private def withMeta(df: DataFrame, op: String): DataFrame =
@@ -146,6 +163,7 @@ final class DynamicTable(fact: KeyedTable,
       .foreachBatch { (batch: DataFrame, _: Long) =>
         fact.applyChanges(batch)
         if (incremental) incrementalRefresh(batch) else fullRefresh()
+        ()
       }
       .start()
 }

@@ -79,6 +79,61 @@ class DynamicTableSpec extends AnyFunSuite {
     }
   }
 
+  test("property: dynamic tables compose into a DAG — two-hop incremental ≡ full") {
+    // tier 1: the usual dim-join view; tier 2 reads tier 1's OUTPUT as
+    // its fact (filter + derived column, row-local in the tier-1 key).
+    // Each refresh returns the view-change batch it applied; feeding
+    // that batch downstream is the whole composition contract.
+    val dim = Seq((0, 2), (1, 3), (2, 5)).toDF("grp", "factor")
+    def viewOf1(fact: DataFrame): DataFrame =
+      fact.join(broadcast(dim), Seq("grp"))
+        .select(col("item_id"), col("grp"),
+                (col("qty") * col("factor")).as("measure"))
+    def viewOf2(v1: DataFrame): DataFrame =
+      v1.filter(col("measure") >= 10)
+        .select(col("item_id"), col("grp"), col("measure"),
+                (col("measure") * lit(100)).as("cents"))
+
+    for (seed <- Seq(5, 13, 31)) {
+      val rnd = new Random(seed)
+      val dir = Files.createTempDirectory(s"graft-dag-$seed").toString
+      val fact = new ReplicatedTable(spark, s"$dir/fact", Seq("item_id"))
+      val mid = new ReplicatedTable(spark, s"$dir/mid", Seq("item_id"))
+      val top = new ReplicatedTable(spark, s"$dir/top", Seq("item_id"))
+      val dt1 = new DynamicTable(fact, mid, viewOf1)
+      val dt2 = new DynamicTable(mid, top, viewOf2)
+
+      fact.snapshot(
+        (0 until 10).map(i => Item(i, rnd.nextInt(5), 1 + rnd.nextInt(9))).toDF())
+      dt2.incrementalRefresh(dt1.fullRefresh())
+      assertSameRows(top.current(), viewOf2(viewOf1(fact.current())),
+        s"seed=$seed initial")
+      var lsn = 0L
+      for (batch <- 1 to 4) {
+        val ops = (0 until 25).map { _ =>
+          lsn += 1
+          val id = rnd.nextInt(20)
+          rnd.nextInt(3) match {
+            case 0 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+              CdcApply.Insert, lsn, new Timestamp(lsn))
+            case 1 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+              CdcApply.Update, lsn, new Timestamp(lsn))
+            case _ => ItemChange(id, 0, 0, CdcApply.Delete, lsn,
+              new Timestamp(lsn))
+          }
+        }
+        val changes = ops.toDF()
+        fact.applyChanges(changes)
+        val midDelta = dt1.incrementalRefresh(changes)
+        dt2.incrementalRefresh(midDelta)
+        assertSameRows(mid.current(), viewOf1(fact.current()),
+          s"seed=$seed batch=$batch tier1")
+        assertSameRows(top.current(), viewOf2(viewOf1(fact.current())),
+          s"seed=$seed batch=$batch tier2")
+      }
+    }
+  }
+
   test("property: incremental ≡ full under interleaved fact AND dimension changes") {
     // dim keys roam 0..5; the dim holding only a subset at any moment
     // exercises all three dim effects: value updates (factor change),
