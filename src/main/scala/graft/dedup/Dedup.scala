@@ -464,10 +464,12 @@ object Dedup {
   /** Engine-portable packed SimHash signature: same fold shape as
     * [[simhashSignature]] (row-local, no explode, no shuffle) but with
     * the md5-nibble token hash, packed into one long with unrolled
-    * shifts. Slower than the codegen'd xxhash64 kernel
-    * (graft.functions.signatures.simhash_packed) — use that at corpus
-    * scale; use this when the signature must be reproducible outside
-    * Spark (cross-engine verification, the d03 oracle). */
+    * shifts. This Column form is the EXECUTABLE SPEC of the convention;
+    * the production path is the codegen kernel
+    * `graft.functions.signatures.simhash_packed_md5`, pinned
+    * bit-identical to this in SignatureParitySpec (the lambda fold
+    * pays 64 substring/conv probes per token — ~25× slower at corpus
+    * scale). */
   def simhashPackedPortable(text: Column): Column = {
     val counts = aggregate(TextFunctions.tokens(text),
       array_repeat(lit(0), 64),
@@ -504,7 +506,7 @@ object Dedup {
     // banding guarantee is hash-agnostic — completeness at the radius
     // holds for either signature).
     val sigExpr =
-      if (portableHash) simhashPackedPortable(col(textCol))
+      if (portableHash) graft.functions.signatures.simhash_packed_md5(col(textCol))
       else graft.functions.signatures.simhash_packed(col(textCol))
     val sigs = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), sigExpr.as("__sig"))

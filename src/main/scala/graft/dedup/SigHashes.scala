@@ -69,6 +69,45 @@ object SigHashes {
       new GenericArrayData(shh), new GenericArrayData(sig)))
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit packed SimHash with the PORTABLE md5-nibble token hash:
+    * token bit j = bit (j%4) of hex nibble (j/4) of md5(token) —
+    * `Dedup.simhashPackedPortable`'s exact convention (parity
+    * spec-pinned), computed natively: one MD5 per token with the
+    * nibbles read straight off the digest bytes, instead of 64
+    * substring/conv lambda probes per token. Same reproducibility in
+    * any engine with md5 (the DuckDB d03 oracle), at kernel speed. */
+  def simhashPackedMd5(text: UTF8String): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    val md = md5Digest.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes)
+      var j = 0
+      while (j < 64) {
+        val nib = j >>> 2 // hex-string char index = nibble index
+        val b = d(nib >>> 1) & 0xFF
+        val nibVal = if ((nib & 1) == 0) b >>> 4 else b & 0xF
+        counts(j) += (if (((nibVal >>> (j & 3)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var packed = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) packed |= (1L << j)
+      j += 1
+    }
+    packed
+  }
+
   /** 64-bit packed SimHash over ALL tokens (duplicates weigh in, as in
     * the explode-based aggregation): bit j set iff Σ_tokens
     * (±1 by bit j of xxhash64(token)) is positive. */

@@ -15,4 +15,11 @@ object signatures {
   /** 64-bit packed SimHash in one pass over the text. */
   def simhash_packed(text: Column): Column =
     org.apache.spark.sql.graft.SignatureExprs.simhashPacked(text)
+
+  /** 64-bit packed SimHash with the engine-portable md5-nibble token
+    * hash — bit-identical to `Dedup.simhashPackedPortable`
+    * (spec-pinned) and reproducible in any md5-capable engine, at
+    * kernel speed. */
+  def simhash_packed_md5(text: Column): Column =
+    org.apache.spark.sql.graft.SignatureExprs.simhashPackedMd5(text)
 }

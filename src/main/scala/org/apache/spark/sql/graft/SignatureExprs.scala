@@ -62,6 +62,28 @@ case class SimhashPacked(child: Expression)
     copy(child = newChild)
 }
 
+/** Row-local packed SimHash with the engine-PORTABLE md5-nibble token
+  * hash (kernel: [[graft.dedup.SigHashes.simhashPackedMd5]]) — the
+  * signature any md5-capable engine reproduces, at kernel speed. */
+case class SimhashPackedMd5(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    graft.dedup.SigHashes.simhashPackedMd5(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = graft.dedup.SigHashes.simhashPackedMd5($t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashPackedMd5 =
+    copy(child = newChild)
+}
+
 object SignatureExprs {
   def minhashSignature(text: Column, numHashes: Int): Column =
     ExpressionUtils.column(
@@ -69,4 +91,7 @@ object SignatureExprs {
 
   def simhashPacked(text: Column): Column =
     ExpressionUtils.column(SimhashPacked(ExpressionUtils.expression(text)))
+
+  def simhashPackedMd5(text: Column): Column =
+    ExpressionUtils.column(SimhashPackedMd5(ExpressionUtils.expression(text)))
 }

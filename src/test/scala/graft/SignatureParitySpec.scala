@@ -53,6 +53,22 @@ class SignatureParitySpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("simhash_packed_md5 == the Column-form portable signature on real docs") {
+    // the md5-nibble convention has two implementations: the Column
+    // fold (Dedup.simhashPackedPortable — the executable spec, also
+    // mirrored by the DuckDB d03 oracle) and the codegen kernel the
+    // catalog query runs; they must agree bit-for-bit
+    val docs = TestData.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+    val ref = docs.select(col("doc_id"),
+        Dedup.simhashPackedPortable(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = docs.select(col("doc_id"),
+        simhash_packed_md5(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref)
+  }
+
   test("kernels participate in codegen; repeated use in one stage compiles") {
     val prev = spark.conf.getOption("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
