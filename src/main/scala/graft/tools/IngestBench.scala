@@ -65,14 +65,36 @@ object IngestBench {
     val stream = MemoryStream[TxChangeRow]
     val q = dt2.start(stream.toDF(), s"$dir/ckpt",
       trigger = Trigger.ProcessingTime(0))
-    val batches = 10
+    val batches = 20
     val per = 500
-    val t1 = System.nanoTime()
-    (0 until batches).foreach { i =>
+    // per-batch change→view latency: enqueue, then wait until the view
+    // reflects the batch (processAllAvailable returns once the
+    // foreachBatch — replica merge + incremental view refresh — is
+    // done). p95 over the batches is the SLA number BASELINE.md's
+    // TARGET_LAG contract asks about.
+    val latencies = (0 until batches).map { i =>
+      val t = System.nanoTime()
       stream.addData(changes.slice(i * per, (i + 1) * per).toIndexedSeq)
       q.processAllAvailable()
+      (System.nanoTime() - t) / 1e9
+    }.sorted
+    val streamSec = latencies.sum
+    val p50 = latencies((latencies.size - 1) / 2)
+    val p95 = latencies(math.ceil(latencies.size * 0.95).toInt - 1)
+    // sustained streaming throughput: the 500-row batches above are
+    // latency probes (fixed per-micro-batch scheduling cost dominates);
+    // sustained rows/min is measured with production-sized micro-batches
+    // through the SAME streaming pipeline
+    val bulk = TransactionGenerator.generate(
+      spark, tables("customers"), tables("products"), tables("merchants"),
+      n = 30000, seed = 101L, startLsn = 200000L)
+      .as[TxChangeRow].collect()
+    val tBulk = System.nanoTime()
+    (0 until 3).foreach { i =>
+      stream.addData(bulk.slice(i * 10000, (i + 1) * 10000).toIndexedSeq)
+      q.processAllAvailable()
     }
-    val streamSec = (System.nanoTime() - t1) / 1e9
+    val bulkSec = (System.nanoTime() - tBulk) / 1e9
     q.stop()
 
     // partitioned star path: date-partitioned fact AND view, plus a
@@ -98,8 +120,11 @@ object IngestBench {
       f""""batch_rows_per_min":${rowsPerMinBatch}%.0f,""" +
       f""""stream_batches":$batches,"stream_rows":${batches * per},""" +
       f""""stream_sec":$streamSec%.2f,""" +
-      f""""stream_latency_per_batch_sec":${streamSec / batches}%.2f,""" +
+      f""""stream_latency_p50_sec":$p50%.2f,""" +
+      f""""stream_latency_p95_sec":$p95%.2f,""" +
       f""""stream_rows_per_min":${rowsPerMinStream}%.0f,""" +
+      f""""stream_bulk_rows":30000,"stream_bulk_sec":$bulkSec%.2f,""" +
+      f""""stream_bulk_rows_per_min":${30000 / bulkSec * 60}%.0f,""" +
       f""""partitioned_star_batch_sec":$partBatchSec%.2f,""" +
       f""""dim_delta_refresh_sec":$dimSec%.2f}""")
     spark.stop()
