@@ -44,8 +44,8 @@ import graft.cdc.{CdcApply, KeyedTable}
   * Triggers map TARGET_LAG: `ProcessingTime(lag)` in production,
   * `AvailableNow` in tests.
   */
-final class DynamicTable(fact: KeyedTable,
-                         result: KeyedTable,
+final class DynamicTable(private[streaming] val fact: KeyedTable,
+                         private[streaming] val result: KeyedTable,
                          viewOf: DataFrame => DataFrame,
                          dims: Map[String, DynamicTable.DimBinding] = Map.empty) {
 
@@ -166,6 +166,38 @@ final class DynamicTable(fact: KeyedTable,
         ()
       }
       .start()
+
+  /** Wire a streaming change feed through a DAG chain: every
+    * micro-batch maintains this table's fact and view, then folds the
+    * emitted view-change batch through each `downstream` table in
+    * order (each one's fact must BE the previous one's result — the
+    * view-over-view contract). One trigger interval covers the WHOLE
+    * chain: change → deepest-view latency is still the TARGET_LAG,
+    * and every hop's refresh is Δ-sized. */
+  def startDag(factChanges: DataFrame, checkpoint: String,
+               downstream: Seq[DynamicTable],
+               trigger: Trigger = Trigger.AvailableNow(),
+               queryName: String = "dynamic-table-dag"): StreamingQuery = {
+    downstream.foldLeft(this) { (up, down) =>
+      require(down.fact eq up.result,
+        "each downstream table's fact must be the previous table's result")
+      down
+    }
+    factChanges.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fact.applyChanges(batch)
+        // each refresh applies its batch to its own result table and
+        // emits the view-change feed the next hop consumes
+        downstream.foldLeft(incrementalRefresh(batch)) { (delta, dt) =>
+          dt.incrementalRefresh(delta)
+        }
+        ()
+      }
+      .start()
+  }
 }
 
 object DynamicTable {

@@ -134,6 +134,59 @@ class DynamicTableSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed DAG: one trigger maintains the whole two-hop chain") {
+    val dim = Seq((0, 2), (1, 3), (2, 5)).toDF("grp", "factor")
+    def viewOf1(fact: DataFrame): DataFrame =
+      fact.join(broadcast(dim), Seq("grp"))
+        .select(col("item_id"), col("grp"),
+                (col("qty") * col("factor")).as("measure"))
+    def viewOf2(v1: DataFrame): DataFrame =
+      v1.filter(col("measure") >= 10)
+        .select(col("item_id"), col("measure"))
+
+    val rnd = new Random(17)
+    val dir = Files.createTempDirectory("graft-dag-stream").toString
+    val fact = new ReplicatedTable(spark, s"$dir/fact", Seq("item_id"))
+    val mid = new ReplicatedTable(spark, s"$dir/mid", Seq("item_id"))
+    val top = new ReplicatedTable(spark, s"$dir/top", Seq("item_id"))
+    val dt1 = new DynamicTable(fact, mid, viewOf1)
+    val dt2 = new DynamicTable(mid, top, viewOf2)
+
+    fact.snapshot(
+      (0 until 10).map(i => Item(i, rnd.nextInt(5), 1 + rnd.nextInt(9))).toDF())
+    dt2.incrementalRefresh(dt1.fullRefresh())
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[ItemChange]
+    val q = dt1.startDag(stream.toDF(), s"$dir/ckpt", Seq(dt2),
+      trigger = Trigger.ProcessingTime(0))
+    var lsn = 0L
+    for (_ <- 1 to 3) {
+      val ops = (0 until 20).map { _ =>
+        lsn += 1
+        val id = rnd.nextInt(20)
+        rnd.nextInt(3) match {
+          case 0 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+            CdcApply.Insert, lsn, new Timestamp(lsn))
+          case 1 => ItemChange(id, rnd.nextInt(5), 1 + rnd.nextInt(9),
+            CdcApply.Update, lsn, new Timestamp(lsn))
+          case _ => ItemChange(id, 0, 0, CdcApply.Delete, lsn,
+            new Timestamp(lsn))
+        }
+      }
+      stream.addData(ops)
+      q.processAllAvailable()
+      assertSameRows(mid.current(), viewOf1(fact.current()), "dag tier1")
+      assertSameRows(top.current(), viewOf2(viewOf1(fact.current())), "dag tier2")
+    }
+    q.stop()
+
+    // wiring a chain whose tables don't connect is rejected
+    assertThrows[IllegalArgumentException] {
+      dt1.startDag(stream.toDF(), s"$dir/ckpt2", Seq(dt1))
+    }
+  }
+
   test("property: incremental ≡ full under interleaved fact AND dimension changes") {
     // dim keys roam 0..5; the dim holding only a subset at any moment
     // exercises all three dim effects: value updates (factor change),
