@@ -32,7 +32,7 @@ object ScaleBench {
     // events.parquet carries ns timestamps (see TestData.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val done = new org.apache.hadoop.fs.Path(dst, "_DONE2")
+    val done = new org.apache.hadoop.fs.Path(dst, "_DONE4")
     val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
@@ -46,22 +46,54 @@ object ScaleBench {
         .withColumn("l_orderkey", col("l_orderkey") + col("__i") * maxOrder)
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-      // documents scale with COPY-ISOLATED tokens (each token prefixed
-      // with its copy tag): every copy reproduces the original's whole
-      // near-dup structure without cross-copy similarity, so the TRUE
-      // pair/cluster output grows ×factor (linear), and wall-time
-      // ratios measure the ALGORITHM's scaling — replicating identical
-      // texts would instead ×factor² the true output (every dup group
-      // merges across copies) and any engine would look quadratic.
+      // documents scale with a per-copy VOCABULARY REMAP: every token
+      // maps deterministically to a real corpus word,
+      // vocab[xxhash64(tok, copy) mod W]. Three properties at once:
+      //  - within-copy duplicate structure is preserved (the map is a
+      //    pure function of the token, so identical/overlapping token
+      //    sets stay identical/overlapping) → dedup output grows
+      //    ×factor, not ×factor² (identical-text replication would
+      //    merge every dup group across copies);
+      //  - copies are mutually dissimilar (different copy seeds give
+      //    near-disjoint images; expected cross-copy jaccard ≈
+      //    |doc|²/W ≪ any pair threshold);
+      //  - the text stays STATISTICALLY NATURAL — tokens are real
+      //    corpus words, so quality scoring, stopword ratios, and
+      //    char-n-gram language ID behave as on real data and the
+      //    curation pipelines (c01/c02/c06) keep their selectivity
+      //    (the earlier tag-prefix transform zeroed the stopword
+      //    ratio and the filters dropped every doc).
       val maxDoc = t("documents").agg(max("doc_id")).head().getLong(0) + 1
+      val vocab = t("documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("__t"))
+        .groupBy("__t").count().orderBy(desc("count"), asc("__t")).limit(2000)
+        .collect().map(_.getString(0))
+      val vocabLit = array(vocab.toIndexedSeq.map(lit): _*)
       t("documents").withColumn("__i", copies)
         .withColumn("doc_id", col("doc_id") + col("__i") * maxDoc)
         .withColumn("text", array_join(
-          transform(split(col("text"), "\\s+"),
-            tok => concat(lit("c"), col("__i"), lit("_"), tok)), " "))
+          transform(split(col("text"), "\\s+"), tok =>
+            element_at(vocabLit,
+              (pmod(xxhash64(tok, col("__i")), lit(vocab.length)) + 1)
+                .cast("int"))), " "))
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-      for (n <- Seq("region", "nation", "customer", "supplier", "part",
+      // customer scales with COPY-ISOLATED names: each copy's names are
+      // prefixed with its copy digit repeated 3× ("000_", "111_", …), so
+      // within-copy edit-distance structure is preserved exactly (a
+      // shared prefix shifts every deletion variant identically) while
+      // cross-copy name distance is ≥ 3 — outside j02's radius. True
+      // fuzzy-pair output grows ×factor (linear), like documents. The
+      // extra customers are unreferenced by orders, so inner-join
+      // queries (q53/q55) keep their semantics and merely scan more.
+      val maxCust = t("customer").agg(max("c_custkey")).head().getLong(0) + 1
+      t("customer").withColumn("__i", copies)
+        .withColumn("c_custkey", col("c_custkey") + col("__i") * maxCust)
+        .withColumn("c_name",
+          concat(repeat(col("__i").cast("string"), 3), lit("_"), col("c_name")))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+      for (n <- Seq("region", "nation", "supplier", "part",
                     "events", "embeddings"))
         t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       fs.create(done).close()
