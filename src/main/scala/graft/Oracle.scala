@@ -1052,6 +1052,28 @@ hits AS (
 SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
 FROM hits ORDER BY doc_id"""),
 
+
+    // d09 = the bloom-prefiltered form of d04 — same exact output
+    // (the bloom only prunes the join input), so the oracle is d04's
+    // SQL verbatim.
+    "d09_decontaminate_bloom" -> ("""
+WITH tok AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS g
+  FROM tok WHERE len(toks) >= 5),
+bench AS (SELECT DISTINCT g FROM grams WHERE source IN ('src0', 'src1')),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_contaminated_grams
+  FROM grams c JOIN bench b ON c.g = b.g
+  WHERE c.source NOT IN ('src0', 'src1')
+  GROUP BY c.doc_id)
+SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
+FROM hits ORDER BY doc_id"""),
+
     "d05_dup_clusters" -> ("""
 WITH RECURSIVE t AS (
   SELECT doc_id, source,
@@ -1633,5 +1655,30 @@ WITH h AS (
 SELECT source, doc_id, pick_hash, CAST(rn AS BIGINT) AS sample_rank
 FROM h WHERE rn <= 5
 ORDER BY source, sample_rank"""),
+
+    // d08 = A-ES weighted sampling on the shared integer grid: u from
+    // the first 8 md5 hex chars, -ln(u) quantized to 1e-9 before an
+    // exact integer divide by the token-count weight (see
+    // Mixture.weightedPriority) — everything after the grid is BIGINT
+    // math, identical in both engines.
+    "d08_weighted_sample" -> ("""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS weight,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS u32
+  FROM documents),
+p AS (
+  SELECT source, doc_id, weight,
+         CAST(floor(-ln((u32 + 0.5) / 4294967296.0) * 1e9) AS BIGINT)
+           // GREATEST(weight, 1) AS priority
+  FROM t),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority, doc_id) AS rn
+  FROM p)
+SELECT source, doc_id, weight, priority, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= 5 ORDER BY source, sample_rank"""),
   )
 }

@@ -1106,6 +1106,18 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // d04 at beyond-broadcast benchmark scale: a Bloom filter over the
+    // bench gram hashes prefilters corpus grams scan-locally, the
+    // exact join verifies only the survivors — identical output, the
+    // shuffle shrinks to matches + fpp·grams. Oracle = d04's SQL.
+    "d09_decontaminate_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      val isBench = col("source").isin("src0", "src1")
+      Dedup.contaminationCountsBloom(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
     // Duplicate clusters: near-dup pairs (exact word-Jaccard ≥ 0.7,
     // the j01 edge set) → connected components via alternating
     // large-star/small-star (O(log n) rounds, two shuffles each — the
@@ -1786,6 +1798,21 @@ object Queries {
         .filter(col("__rn") <= 5)
         .select(col("source"), col("doc_id"), col("pick_hash"),
                 col("__rn").cast("long").as("sample_rank"))
+        .orderBy("source", "sample_rank")
+    }),
+
+    // Weighted reproducible sampling (Efraimidis–Spirakis): 5 docs per
+    // source with P(win) ∝ token count — the quality/length-weighted
+    // sibling of d07's uniform stratified sample. Priority is a pure
+    // hash function of the key on an integer grid (engine-portable;
+    // see Mixture.weightedPriority), so the oracle reproduces it
+    // bit-for-bit.
+    "d08_weighted_sample" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("weight"))
+      Mixture.weightedSample(docs, "doc_id", "source", "weight", 5)
+        .select(col("source"), col("doc_id"), col("weight"),
+                col("priority"), col("sample_rank"))
         .orderBy("source", "sample_rank")
     }),
   )

@@ -377,6 +377,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** [[contaminationCounts]] for when the benchmark gram set is too
+    * big to broadcast raw: a Bloom filter over the bench gram hashes
+    * (built once, tree-merged — `graft.functions.bloom`) prefilters
+    * corpus grams SCAN-LOCALLY, so only the ~fpp false positives plus
+    * true matches enter the exact verify join; the shuffle shrinks
+    * from |corpus grams| to |matches| + fpp·|corpus grams|. Output is
+    * identical to `contaminationCounts(hashGrams = true)` — the bloom
+    * only prunes, the exact join keeps the decision (no false
+    * negatives by construction, spec-pinned).
+    *
+    * Builds the filter EAGERLY (one action over the benchmark — the
+    * explicit analog of the runtime-filter injection the session
+    * already does for one-shot joins; use this form when the bloom is
+    * reused across queries or micro-batches). */
+  def contaminationCountsBloom(corpus: DataFrame, benchmark: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               fpp: Double = 0.01): DataFrame = {
+    import graft.functions.bloom
+    def grams(df: DataFrame) =
+      df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
+        .select(col(idCol),
+          explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+        .select(col(idCol), xxhash64(col("__s")).as("__g"))
+    val bench = grams(benchmark).select("__g").distinct().cache()
+    try {
+      val nBench = math.max(1L, bench.count())
+      val mBits = bloom.bitsFor(nBench, fpp)
+      val k = bloom.probesFor(mBits, nBench)
+      val bits = bloom.build(bench, "__g", mBits, k)
+      grams(corpus)
+        .filter(bloom.mightContain(col("__g"), bits, k))
+        .join(bench, "__g")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_contaminated_grams"))
+    } finally { bench.unpersist(); () }
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. The
     * single-element transform binds the intersection size once — the
     * intersect is the expensive part and must not be evaluated twice. */

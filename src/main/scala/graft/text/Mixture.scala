@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data mixing — the stage after curation in a training-data pipeline:
@@ -82,6 +82,52 @@ object Mixture {
       .filter(col("n_copies") > 0)
       .select(col(idCol), col(sourceCol), col("n_tokens"),
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
+  /** Deterministic Efraimidis–Spirakis (A-ES) sampling priority:
+    * smaller = more likely sampled, P(doc wins) ∝ its weight. The
+    * classic form draws u ~ U(0,1) per item and ranks by u^(1/w)
+    * (equivalently by -ln(u)/w ascending); here u is a pure md5
+    * function of the key — the [[TextFunctions.hashSplit]] discipline
+    * applied to WEIGHTED sampling, so the sample is reproducible
+    * across runs, engines, and partitionings, and a top-k by this
+    * column is a weighted sample without replacement.
+    *
+    * Cross-engine exactness: -ln(u) is quantized to an integer 1e-9
+    * grid BEFORE the divide, and the divide is integer division —
+    * float `pow`/`ln` in two engines can disagree in the last ulp,
+    * but a last-ulp disagreement only matters if it crosses a grid
+    * boundary (p ≈ 1e-7 per row), and everything after the grid is
+    * exact BIGINT arithmetic in both. Weights clamp to ≥ 1 (a
+    * zero-weight doc would divide by zero; it just gets the minimum
+    * priority weight instead of being silently dropped). */
+  def weightedPriority(key: Column, weight: Column): Column = {
+    val u32 = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (u32.cast("double") + 0.5) / 4294967296.0
+    val grid = floor(-log(u) * 1e9).cast("long")
+    val w = greatest(weight.cast("long"), lit(1L))
+    // exact integer division: strip the remainder first, so the double
+    // divide is of an exactly-divisible pair (< 2^53 — exact result)
+    ((grid - pmod(grid, w)) / w).cast("long")
+  }
+
+  /** Weighted sample without replacement, k docs per stratum: rank by
+    * [[weightedPriority]] within each stratum (deterministic key
+    * tie-break) and keep the top k. One shuffle on the stratum key;
+    * only the winning rows survive the window filter. Emits the
+    * priority and 1-based `sample_rank` alongside the input columns. */
+  def weightedSample(docs: DataFrame, keyCol: String, stratumCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = weightedPriority(col(keyCol), col(weightCol))
+    val win = Window.partitionBy(stratumCol).orderBy(col("__pri"), col(keyCol))
+    docs.withColumn("__pri", pri)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .withColumn("priority", col("__pri"))
+      .withColumn("sample_rank", col("__rn").cast("long"))
+      .drop("__pri", "__rn")
   }
 
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle

@@ -71,6 +71,50 @@ class CurationSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("d08: weighted sample — k per source, driver-exact priority, weight bias") {
+    val out = Queries.all("d08_weighted_sample")(spark, sf).cache()
+    try {
+      out.groupBy("source").count().collect()
+        .foreach(r => assert(r.getLong(1) == 5L))
+
+      // the engine's priority equals a driver-side recomputation of the
+      // A-ES grid math (md5 → u32 → -ln grid → integer divide)
+      def driverPriority(key: String, w: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val u32 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val u = (u32.toDouble + 0.5) / 4294967296.0
+        val grid = math.floor(-math.log(u) * 1e9).toLong
+        grid / math.max(w, 1L)
+      }
+      out.collect().foreach { r =>
+        val exp = driverPriority(r.getAs[Any]("doc_id").toString,
+          r.getAs[Long]("weight"))
+        assert(r.getAs[Long]("priority") == exp,
+          s"doc ${r.get(1)}: priority ${r.get(3)} != driver $exp")
+      }
+
+      // the sample is weight-biased: sampled docs are longer on average
+      // than the corpus (token-count weights span a wide range here)
+      val docs = TestData.table(spark, sf, "documents")
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      val corpusMean = docs.agg(avg("w")).head().getDouble(0)
+      val sampleMean = out.agg(avg("weight")).head().getDouble(0)
+      assert(sampleMean > corpusMean,
+        s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    } finally { out.unpersist(); () }
+
+    // planted dominance: one overwhelming weight wins its stratum for
+    // any hash draw (priority <= 22 vs >= ~1e7 for unit weights)
+    val planted = spark.createDataFrame(Seq(
+      ("heavy", "s", 1000000000L)) ++
+      (1 to 50).map(i => (s"u$i", "s", 1L))).toDF("doc_id", "source", "weight")
+    val top = graft.text.Mixture
+      .weightedSample(planted, "doc_id", "source", "weight", 1)
+      .head()
+    assert(top.getAs[String]("doc_id") == "heavy")
+  }
+
   test("m02: frame windows reassemble into the content prefix") {
     val docs = Queries.all("m02_multimodal_frames")(spark, sf)
     // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
