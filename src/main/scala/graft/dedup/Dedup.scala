@@ -394,24 +394,51 @@ object Dedup {
   def contaminationCountsBloom(corpus: DataFrame, benchmark: DataFrame,
                                idCol: String, textCol: String, n: Int,
                                fpp: Double = 0.01): DataFrame = {
+    val idx = benchmarkIndex(benchmark, textCol, n, fpp)
+    try contaminationCountsWith(corpus, idx, idCol, textCol, n)
+    finally { idx.grams.unpersist(); () }
+  }
+
+  /** The benchmark side of bloom decontamination, built ONCE and
+    * reusable across queries / micro-batches: the distinct hashed
+    * gram set (exact-verify side) plus its bloom bits (scan-side
+    * prefilter). `grams` stays cached — callers that are done with
+    * the index unpersist it. */
+  final case class BenchmarkIndex(grams: DataFrame, bits: Array[Byte], k: Int)
+
+  private def hashedGrams(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__g"))
+
+  def benchmarkIndex(benchmark: DataFrame, textCol: String, n: Int,
+                     fpp: Double = 0.01): BenchmarkIndex = {
     import graft.functions.bloom
-    def grams(df: DataFrame) =
-      df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
-        .select(col(idCol),
-          explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
-        .select(col(idCol), xxhash64(col("__s")).as("__g"))
-    val bench = grams(benchmark).select("__g").distinct().cache()
-    try {
-      val nBench = math.max(1L, bench.count())
-      val mBits = bloom.bitsFor(nBench, fpp)
-      val k = bloom.probesFor(mBits, nBench)
-      val bits = bloom.build(bench, "__g", mBits, k)
-      grams(corpus)
-        .filter(bloom.mightContain(col("__g"), bits, k))
-        .join(bench, "__g")
-        .groupBy(idCol)
-        .agg(count(lit(1)).as("n_contaminated_grams"))
-    } finally { bench.unpersist(); () }
+    val bench = benchmark
+      .filter(TextFunctions.tokenCount(col(textCol)) >= n)
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(xxhash64(col("__s")).as("__g")).distinct().cache()
+    val nBench = math.max(1L, bench.count())
+    val mBits = bloom.bitsFor(nBench, fpp)
+    val k = bloom.probesFor(mBits, nBench)
+    BenchmarkIndex(bench, bloom.build(bench, "__g", mBits, k), k)
+  }
+
+  /** Probe side: corpus grams bloom-filter SCAN-LOCALLY against the
+    * prebuilt index, survivors exact-verify against the hashed gram
+    * set — per-doc contaminated-gram counts, identical to
+    * [[contaminationCounts]] over the same benchmark. */
+  def contaminationCountsWith(corpus: DataFrame, idx: BenchmarkIndex,
+                              idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    import graft.functions.bloom
+    hashedGrams(corpus, idCol, textCol, n)
+      .filter(bloom.mightContain(col("__g"), idx.bits, idx.k))
+      .join(idx.grams, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. The

@@ -86,6 +86,41 @@ object IncrementalCuration {
       .orderBy(idCol)
   }
 
+  /** [[curated]] with DECONTAMINATION composed in (c02's filter under
+    * the dynamic-table discipline): docs whose n-gram overlap with the
+    * benchmark exceeds `maxHits` are dropped. The benchmark is static
+    * reference state, so its gram set + bloom build ONCE
+    * ([[Dedup.benchmarkIndex]]) and every refresh pays one scan-local
+    * bloom probe over the accumulated docs plus an exact verify join
+    * pruned to the survivors — contamination is a per-doc property
+    * (no cross-doc state), so the view needs no extra maintained
+    * state beyond the dedup labeling. */
+  def curatedClean(docs: DataFrame, idCol: String, textCol: String,
+                   statePath: String, bench: Dedup.BenchmarkIndex,
+                   gramLen: Int, maxHits: Long = 0): DataFrame = {
+    val contaminated = Dedup
+      .contaminationCountsWith(docs, bench, idCol, textCol, gramLen)
+      .filter(col("n_contaminated_grams") > maxHits).select(col(idCol))
+    curated(docs, idCol, textCol, statePath)
+      .join(contaminated, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+
+  /** One-shot batch reference for [[curatedClean]]: batch clustering +
+    * the exact (join-based) contamination filter. */
+  def curatedCleanBatch(docs: DataFrame, idCol: String, textCol: String,
+                        benchmark: DataFrame, gramLen: Int,
+                        maxHits: Long = 0,
+                        params: IncrementalNearDup.Params =
+                          IncrementalNearDup.Params()): DataFrame = {
+    val contaminated = Dedup
+      .contaminationCounts(docs, benchmark, idCol, textCol, gramLen)
+      .filter(col("n_contaminated_grams") > maxHits).select(col(idCol))
+    curatedBatch(docs, idCol, textCol, params)
+      .join(contaminated, Seq(idCol), "left_anti")
+      .orderBy(idCol)
+  }
+
   /** Scoring with the source column carried through (the mixture
     * stage groups by source). */
   private def scoredWithSource(docs: DataFrame, idCol: String,

@@ -18,9 +18,11 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val names = if (args.length > 2) args.drop(2).toSeq
-      else Seq("q01_purchase_summary", "q11_daily_items",
-               "q19_category_revenue", "q24_median_order_value")
+    val names = if (args.length > 2 && args(2) == "ALL")
+      graft.SparkEntry.queries.keys.toSeq.sorted
+    else if (args.length > 2) args.drop(2).toSeq
+    else Seq("q01_purchase_summary", "q11_daily_items",
+             "q19_category_revenue", "q24_median_order_value")
     val dst = s"${sys.props("java.io.tmpdir")}/graft-scale$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -32,7 +34,7 @@ object ScaleBench {
     // events.parquet carries ns timestamps (see TestData.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val done = new org.apache.hadoop.fs.Path(dst, "_DONE4")
+    val done = new org.apache.hadoop.fs.Path(dst, "_DONE5")
     val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
@@ -93,8 +95,24 @@ object ScaleBench {
           concat(repeat(col("__i").cast("string"), 3), lit("_"), col("c_name")))
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-      for (n <- Seq("region", "nation", "supplier", "part",
-                    "events", "embeddings"))
+      // events scale with COPY-SHIFTED ids: per-user session/sequence
+      // structure (sessionize, last-event-per-user, interval joins) is
+      // preserved exactly within each copy, keyed output grows
+      // ×factor; time-bucketed aggregates keep their group count and
+      // get ×factor denser buckets — the realistic "same window, more
+      // traffic" growth shape.
+      val maxEvt = t("events").agg(max("event_id")).head().getLong(0) + 1
+      val maxUser = t("events").agg(max("user_id")).head().getLong(0) + 1
+      t("events").withColumn("__i", copies)
+        .withColumn("event_id", col("event_id") + col("__i") * maxEvt)
+        .withColumn("user_id", col("user_id") + col("__i") * maxUser)
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+      // embeddings stay at base size here — their ×10 discipline
+      // (sign-flip gapless + planted linear-output modes) lives in
+      // EmbeddingScaleBench; copying them through keeps the e/s
+      // queries runnable at dst for end-to-end catalog sweeps.
+      for (n <- Seq("region", "nation", "supplier", "part", "embeddings"))
         t(n).write.mode("overwrite").parquet(s"$dst/$n.parquet")
       fs.create(done).close()
     }

@@ -64,7 +64,13 @@ object GraftFunctions {
       "lsh_bucket" ->
         (exprs => VectorLshBucket(exprs.head, 8, 42L)),
       "md5_bucket" -> col1(c => md5Bucket(c, 100)),
-      "hash_split" -> col1(c => hashSplit(c)))
+      "hash_split" -> col1(c => hashSplit(c)),
+      // bloom_might_contain(hash BIGINT, bits BINARY, k INT) — SQL
+      // callers pass the built filter as a binary literal/param
+      "bloom_might_contain" ->
+        (exprs => BloomMightContain(exprs(0), exprs(1), exprs(2))),
+      // A-ES weighted-sampling priority (see Mixture.weightedPriority)
+      "weighted_priority" -> col2(graft.text.Mixture.weightedPriority))
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -146,5 +146,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
       FROM docs_fn ORDER BY doc_id LIMIT 20""").collect()
     assert(s.forall(x => x.getInt(1) >= 0 && x.getInt(1) < 100))
     assert(s.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+
+    // round-8 surface additions: weighted_priority + bloom_might_contain
+    val wp = spark.sql("""
+      SELECT doc_id, weighted_priority(doc_id, 10) AS p
+      FROM docs_fn ORDER BY doc_id LIMIT 5""").collect()
+    assert(wp.forall(_.getLong(1) >= 0))
+    val bits = new Array[Byte](64)
+    org.apache.spark.sql.graft.BloomMightContain.set(42L, bits, 4)
+    val hex = bits.map("%02x".format(_)).mkString
+    val bm = spark.sql(
+      s"""SELECT bloom_might_contain(42L, unhex('$hex'), 4) AS yes,
+                 bloom_might_contain(43L, unhex('$hex'), 4) AS probably_not
+      """).head()
+    assert(bm.getBoolean(0))
   }
 }

@@ -108,6 +108,55 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(both < lexOnly, s"semantic stage filtered nothing: $both vs $lexOnly")
   }
 
+  test("streaming DECONTAMINATED curation == batch c02-shape at every boundary") {
+    import graft.dedup.Dedup
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    val isBench = col("source").isin("src0", "src1")
+    val benchDf = docs.filter(isBench).select("doc_id", "text").cache()
+    val corpus = docs.filter(!isBench).select("doc_id", "text")
+    val statePath = Files.createTempDirectory("graft-curation-dc").toString
+    val gramLen = 5
+
+    // the benchmark is static reference state: gram set + bloom built once
+    val benchIdx = Dedup.benchmarkIndex(benchDf, "text", gramLen)
+
+    val all = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
+    var seen = Seq.empty[(Long, String)]
+    for (b <- batches) {
+      IncrementalNearDup.processBatch(
+        b.toSeq.toDF("doc_id", "text"), "doc_id", "text", statePath, P)
+      seen = seen ++ b
+      val seenDf = seen.toDF("doc_id", "text")
+      val streaming = rowsOf(IncrementalCuration.curatedClean(
+        seenDf, "doc_id", "text", statePath, benchIdx, gramLen))
+      val batch = rowsOf(IncrementalCuration.curatedCleanBatch(
+        seenDf, "doc_id", "text", benchDf, gramLen, 0, P))
+      assert(streaming == batch,
+        s"decontaminated view diverged after ${seen.length} docs: " +
+          s"streaming ${streaming.length} rows, batch ${batch.length} rows")
+      // clean ⊆ curated, and the dropped set is exactly the
+      // contaminated survivors (per-doc property, no hidden state)
+      val curatedIds = IncrementalCuration.curated(
+        seenDf, "doc_id", "text", statePath)
+        .select("doc_id").as[Long].collect().toSet
+      val cleanIds = streaming.map(_._1).toSet
+      assert(cleanIds.subsetOf(curatedIds))
+      val contaminated = Dedup.contaminationCountsWith(
+        seenDf, benchIdx, "doc_id", "text", gramLen)
+        .select("doc_id").as[Long].collect().toSet
+      assert(curatedIds -- cleanIds == curatedIds.intersect(contaminated))
+    }
+    // the filter must actually bite on the shipped corpus (src0/src1
+    // grams leak into other sources at this SF — d04's premise)
+    val contamTotal = Dedup.contaminationCountsWith(
+      seen.toDF("doc_id", "text"), benchIdx, "doc_id", "text", gramLen).count()
+    assert(contamTotal > 0, "no contamination in corpus — test is vacuous")
+    benchIdx.grams.unpersist()
+    benchDf.unpersist()
+  }
+
   test("streaming EXPORT view (curate -> mix -> pack) == batch composition at every boundary") {
     import graft.text.Mixture
     val docs = TestData.table(spark, sf, "documents")
