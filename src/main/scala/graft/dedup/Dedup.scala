@@ -628,21 +628,34 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
     // the string itself + each single-deletion variant, tagged so the
     // self-key never pairs two identical full strings twice
-    val keyed = base.select(col("__id"), explode(array_union(
+    val keyed = base.select(col("__id"), col("__s"), explode(array_union(
         array(col("__s")),
         transform(sequence(lit(1), length(col("__s"))), i =>
           concat(col("__s").substr(lit(1), i - 1),
                  col("__s").substr(i + 1, length(col("__s"))))))
       ).as("__key"))
-    val cand = keyed.as("x").join(keyed.as("y"), col("x.__key") === col("y.__key"))
-      .filter(col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a"), col("y.__id").as("b"))
-      .distinct()
-    cand
-      .join(base.select(col("__id").as("a"), col("__s").as("__sa")), "a")
-      .join(base.select(col("__id").as("b"), col("__s").as("__sb")), "b")
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+    // bucket-local pairing + verify (the d02 band-bucket discipline):
+    // each row's (id, string) ships ONCE per deletion key; candidate
+    // pairs are generated row-locally from the bucket array and
+    // levenshtein-verified inline — no candidate-pair shuffle and no
+    // per-pair string re-join (the previous shape paid one distinct +
+    // two big-big joins over the pair set; at fact ×10 those three
+    // shuffles were ~half the wall). A pair sharing several keys is
+    // verified once per shared key (≤3 cheap levenshteins) and
+    // deduped AFTER the dist filter, when only true pairs remain.
+    val m = col("__m")
+    keyed.groupBy("__key")
+      .agg(collect_list(struct(col("__id").as("i"), col("__s").as("s")))
+        .as("__m"))
+      .filter(size(m) > 1)
+      .select(explode(flatten(transform(m, (x, i) =>
+        transform(slice(m, i + 2, size(m)), y => struct(
+          when(x("i") < y("i"), x("i")).otherwise(y("i")).as("a"),
+          when(x("i") < y("i"), y("i")).otherwise(x("i")).as("b"),
+          levenshtein(x("s"), y("s")).as("dist")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
       .filter(col("dist") <= 1)
+      .distinct()
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
 }
