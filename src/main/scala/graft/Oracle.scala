@@ -122,6 +122,45 @@ surv AS (
     AND q.doc_id NOT IN (SELECT doc_id FROM contam)
     AND q.quality_score >= 0.72 AND q.lang_pred <> 'und' AND q.n_tokens >= 3)"""
 
+  /** c06's full chain through the packed sequences (`seqs`): the
+    * semantic-curation CTEs + train filter + token-budget mixture +
+    * fixed-length packing. c06 selects `seqs`; c08 adds the shard
+    * assignment + manifest on top. */
+  private val exportSeqCtes: String = semanticCurationCtes + s""",
+tr AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS tok
+  FROM surv WHERE split = 'train'),
+totals AS (
+  SELECT source, CAST(SUM(tok) AS BIGINT) AS total FROM tr GROUP BY source),
+budgets(source, token_budget) AS (VALUES
+  ${graft.text.Mixture.ExportBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
+rates AS (
+  SELECT t2.source,
+         CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                          CAST(token_budget AS DOUBLE) / total) * 10000)
+              AS BIGINT) AS keep
+  FROM totals t2 JOIN budgets b ON t2.source = b.source),
+mixed AS (
+  SELECT tr.doc_id, tr.source, tr.tok
+  FROM tr JOIN rates ON tr.source = rates.source
+  WHERE (ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 1)) * 1000
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 2, 1)) * 100
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 3, 1)) * 10
+         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 4, 1))) % 10000 < keep),
+cm AS (
+  SELECT source, doc_id, tok,
+         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM mixed),
+seqs AS (
+  SELECT source,
+         CAST(FLOOR((cum - tok) / ${graft.text.Mixture.ExportSeqTokens}.0) AS BIGINT) AS seq_id,
+         COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM cm GROUP BY source, seq_id)"""
+
   /** Shared prelude: reference-shaped frames over the TPC-H testdata,
     * the flagship view, and per-customer spending. Mirrors
     * `TestData.star` + `PurchaseSummary.customerPurchaseSummary` +
@@ -657,40 +696,24 @@ FROM surv ORDER BY doc_id"""),
     // Budget VALUES and the sequence length come from the SAME
     // constants the Spark side uses (Mixture.ExportBudgets /
     // ExportSeqTokens).
-    "c06_export_packed" -> (semanticCurationCtes + s""",
-tr AS (
-  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS tok
-  FROM surv WHERE split = 'train'),
-totals AS (
-  SELECT source, CAST(SUM(tok) AS BIGINT) AS total FROM tr GROUP BY source),
-budgets(source, token_budget) AS (VALUES
-  ${graft.text.Mixture.ExportBudgets
-      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
-rates AS (
-  SELECT t2.source,
-         CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
-                          CAST(token_budget AS DOUBLE) / total) * 10000)
-              AS BIGINT) AS keep
-  FROM totals t2 JOIN budgets b ON t2.source = b.source),
-mixed AS (
-  SELECT tr.doc_id, tr.source, tr.tok
-  FROM tr JOIN rates ON tr.source = rates.source
-  WHERE (ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 1, 1)) * 1000
-         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 2, 1)) * 100
-         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 3, 1)) * 10
-         + ascii(substr(md5(CAST(tr.doc_id AS VARCHAR)), 4, 1))) % 10000 < keep),
-cm AS (
-  SELECT source, doc_id, tok,
-         SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
-                        ROWS UNBOUNDED PRECEDING) AS cum
-  FROM mixed)
-SELECT source,
-       CAST(FLOOR((cum - tok) / ${graft.text.Mixture.ExportSeqTokens}.0) AS BIGINT) AS seq_id,
-       COUNT(*) AS n_docs,
-       CAST(SUM(tok) AS BIGINT) AS seq_tokens,
-       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-FROM cm GROUP BY source, seq_id
-ORDER BY source, seq_id"""),
+    "c06_export_packed" -> (exportSeqCtes +
+      "\nSELECT * FROM seqs ORDER BY source, seq_id"),
+
+    // c08 = c06's CTE chain + the md5-keyed shard assignment and the
+    // per-shard manifest aggregate (t07's portable md5-bucket formula
+    // over source#seq_id).
+    "c08_shard_manifest" -> (exportSeqCtes + """
+, keyed AS (
+  SELECT *, source || '#' || CAST(seq_id AS VARCHAR) AS k FROM seqs)
+SELECT CAST((ascii(substr(md5(k), 1, 1)) * 1000
+           + ascii(substr(md5(k), 2, 1)) * 100
+           + ascii(substr(md5(k), 3, 1)) * 10
+           + ascii(substr(md5(k), 4, 1))) % 8 AS BIGINT) AS shard_id,
+       COUNT(*) AS n_seqs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS shard_tokens,
+       MIN(md5(k)) AS first_pick
+FROM keyed GROUP BY shard_id ORDER BY shard_id"""),
 
     // e03 shares e02's brute-force SQL: the LSH form's verification is
     // exact and its recall is measured 100% on the shipped corpora
@@ -1655,6 +1678,32 @@ WITH h AS (
 SELECT source, doc_id, pick_hash, CAST(rn AS BIGINT) AS sample_rank
 FROM h WHERE rn <= 5
 ORDER BY source, sample_rank"""),
+
+    // t14 = the stepwise scrub: each pattern counts + replaces on the
+    // PREVIOUS step's output, exactly like TextFunctions.redact's fold
+    // (patterns shared via RedactPatterns — drift fails the hash).
+    "t14_redaction" -> {
+      val p = graft.text.TextFunctions.RedactPatterns.toMap
+      s"""
+WITH s1 AS (
+  SELECT c_custkey,
+         len(regexp_extract_all(c_name, '${p("email")}')) AS n1,
+         regexp_replace(c_name, '${p("email")}', '[REDACTED]', 'g') AS t1
+  FROM customer),
+s2 AS (
+  SELECT c_custkey, n1,
+         len(regexp_extract_all(t1, '${p("hex_id")}')) AS n2,
+         regexp_replace(t1, '${p("hex_id")}', '[REDACTED]', 'g') AS t2
+  FROM s1),
+s3 AS (
+  SELECT c_custkey, n1, n2,
+         len(regexp_extract_all(t2, '${p("digit_run")}')) AS n3,
+         regexp_replace(t2, '${p("digit_run")}', '[REDACTED]', 'g') AS t3
+  FROM s2)
+SELECT c_custkey, t3 AS redacted_name,
+       CAST(n1 + n2 + n3 AS BIGINT) AS n_redacted
+FROM s3 ORDER BY c_custkey"""
+    },
 
     // d08 = A-ES weighted sampling on the shared integer grid: u from
     // the first 8 md5 hex chars, -ln(u) quantized to 1e-9 before an

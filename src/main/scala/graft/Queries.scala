@@ -147,6 +147,29 @@ object Queries {
       .withColumn("split", TextFunctions.hashSplit(col("doc_id")))
   }
 
+  /** c06's packed-sequence plan (shared with c08's shard manifest):
+    * curated-semantic train survivors → token-budget mixture →
+    * fixed-length sequence packing. */
+  private def exportPackedSeqs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val train = curatedSemantic(s, d)
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("tok"))
+    val mixed = Mixture.tokenBudgetMixtureCounts(train, "doc_id",
+      "source", "tok", Mixture.ExportBudgets.toDF("source", "token_budget"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    mixed
+      .withColumn("__cum", sum(col("tok")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col("tok")) / lit(Mixture.ExportSeqTokens)))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("tok")).as("seq_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+  }
+
   /** Per-SF-dir cache location for persisted ANN indexes (build once,
     * probe partition-pruned across driver invocations). */
   private def annIndexPath(sfDir: String, kind: String): String =
@@ -1200,25 +1223,30 @@ object Queries {
     // sequence packing. score → dedup (both axes) → decontaminate →
     // split → mix → pack, one lazily-composed plan; pins shared with
     // the oracle via Mixture.ExportBudgets / ExportSeqTokens.
-    "c06_export_packed" -> ((s, d) => {
-      import s.implicits._
-      val train = curatedSemantic(s, d)
-        .filter(col("split") === "train")
-        .select(col("doc_id"), col("source"),
-          col("n_tokens").cast("long").as("tok"))
-      val mixed = Mixture.tokenBudgetMixtureCounts(train, "doc_id",
-        "source", "tok", Mixture.ExportBudgets.toDF("source", "token_budget"))
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      mixed
-        .withColumn("__cum", sum(col("tok")).over(w))
-        .withColumn("seq_id",
-          floor((col("__cum") - col("tok")) / lit(Mixture.ExportSeqTokens)))
-        .groupBy("source", "seq_id")
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("tok")).as("seq_tokens"),
-             min(col("doc_id")).as("first_doc"),
-             max(col("doc_id")).as("last_doc"))
-        .orderBy("source", "seq_id")
+    "c06_export_packed" -> ((s, d) =>
+      exportPackedSeqs(s, d).orderBy("source", "seq_id")),
+
+    // The export FINALIZATION after c06: deterministic shuffle + shard
+    // assignment. Each packed sequence lands in a shard by
+    // md5(source#seq_id) — a pure key function, so the shard layout is
+    // reproducible across engines/runs/partitionings and
+    // training-order "shuffling" needs no RNG state; the manifest
+    // (per-shard seq/doc/token totals + the md5-order head) is what an
+    // export job writes next to its shard files. One |shards|-group
+    // aggregate over c06's plan — nothing new shuffles but the
+    // manifest rows.
+    "c08_shard_manifest" -> ((s, d) => {
+      val key = concat(col("source"), lit("#"), col("seq_id").cast("string"))
+      exportPackedSeqs(s, d)
+        .withColumn("shard_id",
+          TextFunctions.md5Bucket(key, 8).cast("long"))
+        .withColumn("__pick", md5(key))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_seqs"),
+             sum(col("n_docs")).as("n_docs"),
+             sum(col("seq_tokens")).as("shard_tokens"),
+             min(col("__pick")).as("first_pick"))
+        .orderBy("shard_id")
     }),
 
     // Intra-document repetition: duplicate-trigram ratio, the standard
@@ -1781,6 +1809,21 @@ object Queries {
         .withColumn("oov_rate",
           round(col("n_oov").cast("double") / col("n_tokens"), 6))
         .orderBy("doc_id")
+    }),
+
+    // The scrub stage: sensitive-token masking (emails / long hex ids /
+    // digit runs — TextFunctions.RedactPatterns) with per-row
+    // redaction counts. All regexp built-ins, scan-local and
+    // shuffle-free; demonstrated on the identifier-bearing customer
+    // names (a digit run in every row). RE2-safe patterns keep the
+    // DuckDB oracle automata identical.
+    "t14_redaction" -> ((s, d) => {
+      TestData.table(s, d, "customer")
+        .select(col("c_custkey"),
+          TextFunctions.redact(col("c_name")).as("__r"))
+        .select(col("c_custkey"), col("__r.redacted").as("redacted_name"),
+          col("__r.n_redacted").as("n_redacted"))
+        .orderBy("c_custkey")
     }),
 
     // Deterministic stratified sampling: k docs per source, picked by

@@ -118,6 +118,28 @@ object TextFunctions {
   def minKSketch(text: Column, n: Int, k: Int): Column =
     slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
 
+  /** The scrub stage of a training-data pipeline: sensitive-token
+    * patterns applied IN ORDER, each replacing on the previous step's
+    * output (so a digit run inside an already-masked email is not
+    * double-counted). All regexp built-ins — codegen'd, scan-local,
+    * shuffle-free; the patterns use only RE2-safe syntax so the DuckDB
+    * oracle applies the identical automata. */
+  val RedactPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "hex_id" -> "\\b[0-9a-fA-F]{16,}\\b",
+    "digit_run" -> "[0-9]{6,}")
+
+  /** (redacted_text, n_redactions) as a struct — replacement and the
+    * per-step counts share the stepwise texts, so the two are always
+    * consistent. */
+  def redact(text: Column, mask: String = "[REDACTED]"): Column = {
+    val (finalText, n) = RedactPatterns.foldLeft((text, lit(0L))) {
+      case ((t, acc), (_, p)) =>
+        (regexp_replace(t, p, mask), acc + regexp_count(t, lit(p)))
+    }
+    struct(finalText.as("redacted"), n.as("n_redacted"))
+  }
+
   /** Deterministic bucket in [0, buckets) from any column — the
     * engine-portable primitive behind reproducible sampling and
     * train/val/test splits (derived from md5, which every engine

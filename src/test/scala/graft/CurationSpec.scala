@@ -115,6 +115,51 @@ class CurationSpec extends AnyFunSuite {
     assert(top.getAs[String]("doc_id") == "heavy")
   }
 
+  test("t14: redaction masks each pattern class, stepwise counts consistent") {
+    import graft.text.TextFunctions
+    val rows = Seq(
+      (1L, "contact bob.smith+x@mail.example.org for details"),
+      (2L, "session 0123456789abcdef0123 expired"),
+      (3L, "card 123456789 and pin 000042 leaked"),
+      (4L, "mixed a1b2@ex.io then 99887766 done"),
+      (5L, "clean text with no sensitive tokens at all"),
+      (6L, "short 12345 hex abc123 stay"))
+    val rowsDf = spark.createDataFrame(rows).toDF("id", "text")
+    val got = rowsDf.select(col("id"), TextFunctions.redact(col("text")).as("r"))
+      .select(col("id"), col("r.redacted").as("t"), col("r.n_redacted").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == ("contact [REDACTED] for details", 1L))
+    assert(got(2L) == ("session [REDACTED] expired", 1L))
+    assert(got(3L) == ("card [REDACTED] and pin [REDACTED] leaked", 2L))
+    // the email is masked FIRST, so its digits are not double-counted
+    assert(got(4L) == ("mixed [REDACTED] then [REDACTED] done", 2L))
+    assert(got(5L)._2 == 0L && got(5L)._1.startsWith("clean"))
+    // below-threshold runs (5 digits, 6 hex chars) stay untouched
+    assert(got(6L) == ("short 12345 hex abc123 stay", 0L))
+
+    // every customer name carries a digit run → one redaction per row
+    val t14 = Queries.all("t14_redaction")(spark, sf)
+    assert(t14.filter(col("n_redacted") =!= 1L).count() == 0)
+    assert(t14.filter(col("redacted_name").contains("[REDACTED]")).count()
+      == t14.count())
+  }
+
+  test("c08: shard manifest conserves c06's sequences, docs, and tokens") {
+    val c06 = Queries.all("c06_export_packed")(spark, sf).cache()
+    val c08 = Queries.all("c08_shard_manifest")(spark, sf).cache()
+    try {
+      val seqs = c06.count()
+      val toks = c06.agg(sum("seq_tokens")).head().getLong(0)
+      val docsN = c06.agg(sum("n_docs")).head().getLong(0)
+      assert(c08.agg(sum("n_seqs")).head().getLong(0) == seqs)
+      assert(c08.agg(sum("shard_tokens")).head().getLong(0) == toks)
+      assert(c08.agg(sum("n_docs")).head().getLong(0) == docsN)
+      val ids = c08.select("shard_id").collect().map(_.getLong(0))
+      assert(ids.forall(i => i >= 0 && i < 8))
+      assert(ids.distinct.length == ids.length)
+    } finally { c06.unpersist(); c08.unpersist(); () }
+  }
+
   test("m02: frame windows reassemble into the content prefix") {
     val docs = Queries.all("m02_multimodal_frames")(spark, sf)
     // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
