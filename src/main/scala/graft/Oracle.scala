@@ -1729,5 +1729,27 @@ r AS (
   FROM p)
 SELECT source, doc_id, weight, priority, CAST(rn AS BIGINT) AS sample_rank
 FROM r WHERE rn <= 5 ORDER BY source, sample_rank"""),
+
+    // d10 = the MinKAgg aggregate form of d08 — identical output by the
+    // shared (priority, key) total order, so the oracle is d08's SQL.
+    "d10_weighted_sample_agg" -> ("""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS weight,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS u32
+  FROM documents),
+p AS (
+  SELECT source, doc_id, weight,
+         CAST(floor(-ln((u32 + 0.5) / 4294967296.0) * 1e9) AS BIGINT)
+           // GREATEST(weight, 1) AS priority
+  FROM t),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority, doc_id) AS rn
+  FROM p)
+SELECT source, doc_id, weight, priority, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= 5 ORDER BY source, sample_rank"""),
   )
 }

@@ -1858,5 +1858,16 @@ object Queries {
                 col("priority"), col("sample_rank"))
         .orderBy("source", "sample_rank")
     }),
+
+    // d08's 100 TB form: the same weighted sample as ONE mergeable
+    // aggregation (MinKAgg k-bounded buffers, map-side partials — only
+    // k rows per stratum cross the shuffle; the window form shuffles
+    // and sorts every row). Identical output — the oracle is d08's.
+    "d10_weighted_sample_agg" -> ((s, d) => {
+      val docs = documents(s, d).select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("weight"))
+      Mixture.weightedSampleAgg(docs, "doc_id", "source", "weight", 5)
+        .orderBy("source", "sample_rank")
+    }),
   )
 }

@@ -130,6 +130,31 @@ object Mixture {
       .drop("__pri", "__rn")
   }
 
+  /** [[weightedSample]]'s 100 TB form for long-keyed corpora: the
+    * k smallest priorities per stratum via the mergeable
+    * [[graft.functions.MinKAgg]] — map-side partials keep the buffer
+    * k-bounded, so only k rows per stratum cross the shuffle (the
+    * window form shuffles and sorts EVERY row). Identical output to
+    * [[weightedSample]] (same priority, same (priority, key) total
+    * order). */
+  def weightedSampleAgg(docs: DataFrame, keyCol: String, stratumCol: String,
+                        weightCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(stratumCol).cast("string").as("_st"),
+        weightedPriority(col(keyCol), col(weightCol)).as("_p"),
+        col(keyCol).cast("long").as("_id"),
+        col(weightCol).cast("long").as("_w"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, p, id, w) => (p, id, w) }
+      .agg(graft.functions.MinKAgg.of(k).toColumn.name("top"))
+      .flatMap { case (st, top) =>
+        top.zipWithIndex.map { case ((p, id, w), i) =>
+          (st, id, w, p, (i + 1).toLong) } }
+      .toDF(stratumCol, keyCol, weightCol, "priority", "sample_rank")
+  }
+
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle
     * (drift would fail the hash check, not confuse it): even-numbered
     * sources get a tight budget (keep rate well under 1 on the shipped

@@ -115,6 +115,26 @@ class CurationSpec extends AnyFunSuite {
     assert(top.getAs[String]("doc_id") == "heavy")
   }
 
+  test("d10: MinKAgg weighted sample equals the d08 window form") {
+    val win = Queries.all("d08_weighted_sample")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val agg = Queries.all("d10_weighted_sample_agg")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(win == agg, s"agg form diverged: ${win.length} vs ${agg.length}")
+
+    // partitioning invariance of the mergeable form
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("weight"))
+    val a = graft.text.Mixture
+      .weightedSampleAgg(docs, "doc_id", "source", "weight", 5)
+      .collect().map(_.toString).sorted.toSeq
+    val b = graft.text.Mixture
+      .weightedSampleAgg(docs.repartition(7), "doc_id", "source", "weight", 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
   test("t14: redaction masks each pattern class, stepwise counts consistent") {
     import graft.text.TextFunctions
     val rows = Seq(
