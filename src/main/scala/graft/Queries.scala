@@ -867,9 +867,10 @@ object Queries {
     // Fuzzy string self-join at edit distance ≤ 1 (entity-resolution
     // primitive): candidates from the deletion neighborhood
     // (symmetric-delete keys — provably complete for one edit, keys
-    // stay selective even on near-identical name spaces), exact
-    // levenshtein verify. One equi-join shuffle; ids-only pair dedupe
-    // before the strings ship back once.
+    // stay selective even on near-identical name spaces). One key
+    // shuffle into bucket-local pair generation + inline levenshtein
+    // verify (the d02 band-bucket discipline); dedupe after the dist
+    // filter, when only true pairs remain.
     "j02_fuzzy_name_pairs" -> ((s, d) =>
       Dedup.editDistance1Join(
         TestData.table(s, d, "customer"), "c_custkey", "c_name")
@@ -1857,6 +1858,21 @@ object Queries {
         .select(col("source"), col("doc_id"), col("weight"),
                 col("priority"), col("sample_rank"))
         .orderBy("source", "sample_rank")
+    }),
+
+    // FUZZY decontamination: corpus docs whose token-set jaccard
+    // against ANY benchmark doc reaches 0.7 — the overlap check exact
+    // n-gram decontamination (d04) can't make: a paraphrased benchmark
+    // doc shares few exact 5-grams but a high token-set jaccard.
+    // Exact (prefix-filtered PPJoin across the two corpora, no
+    // probabilistic recall), never computes either side's self-pairs.
+    "d11_fuzzy_decontaminate" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val isBench = col("source").isin("src0", "src1")
+      Dedup.jaccardJoinAcross(
+        t.filter(!isBench), t.filter(isBench), "doc_id", "w", 0.7)
+        .orderBy("a", "b")
     }),
 
     // d08's 100 TB form: the same weighted sample as ONE mergeable

@@ -282,7 +282,36 @@ object Dedup {
     */
   def jaccardJoinExact(docs: DataFrame, idCol: String, tokensCol: String,
                        threshold: Double,
-                       partitionCols: Seq[String] = Nil): DataFrame = {
+                       partitionCols: Seq[String] = Nil): DataFrame =
+    ppjoinPairs(docs.withColumn("__side", lit(0)), idCol, tokensCol,
+      threshold, partitionCols, cross = false)
+
+  /** The CROSS-corpus form of [[jaccardJoinExact]] — fuzzy
+    * decontamination: every (left, right) pair with jaccard ≥
+    * `threshold`, exactly (no probabilistic recall), without the
+    * left×right product AND without computing either side's
+    * self-pairs. Same prefix-filter machinery over the tagged union
+    * (the rarity order is computed on the combined vocabulary — any
+    * total order keeps the prefix argument exact); only cross-side
+    * pairs are generated inside each bucket. Output: (a = left id,
+    * b = right id, jaccard).
+    *
+    * This is the overlap check exact n-gram decontamination
+    * ([[contaminationCounts]]) can't do: a paraphrased benchmark doc
+    * shares few exact 5-grams but a high token-set jaccard. */
+  def jaccardJoinAcross(left: DataFrame, right: DataFrame, idCol: String,
+                        tokensCol: String, threshold: Double): DataFrame = {
+    val l = left.select(col(idCol), col(tokensCol))
+      .withColumn("__side", lit(0))
+    val r = right.select(col(idCol), col(tokensCol))
+      .withColumn("__side", lit(1))
+    ppjoinPairs(l.unionByName(r), idCol, tokensCol, threshold, Nil,
+      cross = true)
+  }
+
+  private def ppjoinPairs(docs: DataFrame, idCol: String, tokensCol: String,
+                          threshold: Double, partitionCols: Seq[String],
+                          cross: Boolean): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val pc = partitionCols.map(col)
@@ -290,7 +319,8 @@ object Dedup {
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
     val ex = docs.select(
-      (pc :+ col(idCol).as("__id")) :+ explode(col(tokensCol)).as("__t"): _*)
+      (pc :+ col(idCol).as("__id") :+ col("__side")) :+
+        explode(col(tokensCol)).as("__t"): _*)
     // Long token ids ranked rare-first WITHOUT a global single-partition
     // sort (a billion-token vocabulary must never funnel through one
     // task): range-repartition the vocabulary on (freq, token) — range
@@ -311,21 +341,25 @@ object Dedup {
           row_number().over(Window.partitionBy(col("__pid"))
             .orderBy(col("__f"), col("__t"))).cast("long")).as("__r"))
     val sorted = ex.join(vocab, "__t")
-      .groupBy(pc :+ col("__id"): _*)
+      .groupBy(pc :+ col("__id") :+ col("__side"): _*)
       .agg(sort_array(collect_list(col("__r"))).as("__w"))
 
     val pref = sorted.select(
-      (pc :+ col("__id") :+ col("__w")) :+
+      (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
         explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
     val buckets = pref.groupBy(pc :+ col("__pt"): _*)
-      .agg(collect_list(struct(col("__id"), col("__w"))).as("__ms"))
+      .agg(collect_list(struct(col("__id"), col("__side"), col("__w")))
+        .as("__ms"))
       .filter(size(col("__ms")) >= 2)
 
     val nx = size(col("x.__w")); val ny = size(col("y.__w"))
     buckets
       .select(col("__ms"), col("__pt"), explode(col("__ms")).as("x"))
       .select(col("__pt"), col("x"), explode(col("__ms")).as("y"))
-      .filter(col("x.__id") < col("y.__id"))
+      // self mode pairs by id order; cross mode pairs LEFT members with
+      // RIGHT members only (each cross pair once, no self-side pairs)
+      .filter(if (cross) col("x.__side") < col("y.__side")
+              else col("x.__id") < col("y.__id"))
       // length filter: |x∩y| ≥ t·max(nx,ny) is impossible otherwise
       .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
       // verify-ONCE guard: a qualifying pair's smallest common token is

@@ -125,6 +125,35 @@ class ExtensionsSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("cross-corpus jaccard join == brute-force cross product, even with colliding ids") {
+    // left/right share id values DELIBERATELY — the side tag, not the
+    // id, must keep the two corpora apart inside the shared machinery
+    val mk = (off: Int) => (0 until 60).map { i =>
+      val toks = (0 until 6 + i % 5)
+        .map(j => s"w${(i % 11 + j * (1 + (i + off) % 3)) % 30}")
+      (i.toLong, toks.distinct)
+    }
+    // every right id 0..59 also exists on the left (full id collision)
+    val left = mk(0).toDF("doc_id", "w").cache()
+    val right = (mk(1) ++ Seq((300L, Seq.empty[String])))
+      .toDF("doc_id", "w").cache()
+
+    for (t <- Seq(0.5, 0.8)) {
+      val brute = left.alias("x").join(right.alias("y"))
+        .withColumn("jaccard", Dedup.jaccard(col("x.w"), col("y.w")))
+        .filter(col("jaccard") >= t)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+                round(col("jaccard"), 4).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val pruned = Dedup.jaccardJoinAcross(left, right, "doc_id", "w", t)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(pruned == brute,
+        s"t=$t: ${brute.size} brute vs ${pruned.size} pruned")
+      assert(brute.nonEmpty, s"t=$t: degenerate corpus")
+    }
+    left.unpersist(); right.unpersist()
+  }
+
   test("ANN probes a fraction of the corpus and overlaps the exact top-k") {
     val emb = TestData.table(spark, sf, "embeddings")
     val q = emb.filter(col("vec_id") === 0)
