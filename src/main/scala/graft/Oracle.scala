@@ -1076,20 +1076,24 @@ SELECT doc_id, CAST(n_contaminated_grams AS BIGINT) AS n_contaminated_grams
 FROM hits ORDER BY doc_id"""),
 
 
-    // d11 = brute-force cross jaccard (j01's formula, corpus × bench).
+    // d11 = brute-force cross jaccard (j01's formula, corpus × bench),
+    // aggregated to the per-doc verdict.
     "d11_fuzzy_decontaminate" -> ("""
 WITH t AS (
   SELECT doc_id, source,
          list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
-  FROM documents)
-SELECT c.doc_id AS a, b.doc_id AS b,
-       ROUND(1.0 * len(list_intersect(c.w, b.w))
-             / (len(c.w) + len(b.w) - len(list_intersect(c.w, b.w))), 4) AS jaccard
-FROM t c JOIN t b ON c.source NOT IN ('src0', 'src1')
-                 AND b.source IN ('src0', 'src1')
-WHERE 1.0 * len(list_intersect(c.w, b.w))
-      / (len(c.w) + len(b.w) - len(list_intersect(c.w, b.w))) >= 0.7
-ORDER BY a, b"""),
+  FROM documents),
+p AS (
+  SELECT c.doc_id AS a,
+         ROUND(1.0 * len(list_intersect(c.w, b.w))
+               / (len(c.w) + len(b.w) - len(list_intersect(c.w, b.w))), 4)
+           AS jaccard
+  FROM t c JOIN t b ON c.source NOT IN ('src0', 'src1')
+                   AND b.source IN ('src0', 'src1')
+  WHERE 1.0 * len(list_intersect(c.w, b.w))
+        / (len(c.w) + len(b.w) - len(list_intersect(c.w, b.w))) >= 0.9)
+SELECT a AS doc_id, COUNT(*) AS n_bench_matches, MAX(jaccard) AS max_jaccard
+FROM p GROUP BY a ORDER BY doc_id"""),
 
     // d09 = the bloom-prefiltered form of d04 — same exact output
     // (the bloom only prunes the join input), so the oracle is d04's
