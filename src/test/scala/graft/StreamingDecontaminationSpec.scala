@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TestData
+import graft.streaming.IncrementalDecontamination
+import graft.text.TextFunctions
+
+/** The d11 fuzzy-decontamination verdict as MAINTAINED state:
+  * per-doc verdicts are pure and monotone under a static benchmark,
+  * so each micro-batch pays only Δ × benchmark work — and the
+  * accumulated flagged set must equal the one-shot batch verdict over
+  * the docs seen so far at EVERY batch boundary, exactly (the
+  * per-batch PPJoin rarity ranks differ from the full-corpus ranks,
+  * which must not matter). */
+class StreamingDecontaminationSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("incremental flagged set == one-shot d11 verdicts at every boundary; replay idempotent") {
+    val tau = 0.9
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+    val isBench = col("source").isin("src0", "src1")
+    val bench = docs.filter(isBench).select("doc_id", "w").cache()
+    val corpus = docs.filter(!isBench).select("doc_id", "w")
+    val statePath = Files.createTempDirectory("graft-fuzzy-decon").toString
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+
+    val all = corpus.as[(Long, Seq[String])].collect().sortBy(_._1)
+    val batches = all.grouped(math.max(1, all.length / 3)).toSeq
+    var seen = Seq.empty[(Long, Seq[String])]
+    for (b <- batches) {
+      IncrementalDecontamination.processBatch(
+        b.toSeq.toDF("doc_id", "w"), "doc_id", "w", bench, statePath, tau)
+      seen = seen ++ b
+      val streaming = rowsOf(
+        IncrementalDecontamination.flagged(spark, statePath).get)
+      val batch = rowsOf(IncrementalDecontamination.flaggedBatch(
+        seen.toDF("doc_id", "w"), "doc_id", "w", bench, tau))
+      assert(streaming == batch,
+        s"flagged set diverged after ${seen.length} docs: " +
+          s"${streaming.length} vs ${batch.length}")
+      assert(streaming.nonEmpty, "vacuous: no contamination at this SF")
+    }
+
+    // replaying the last batch adds nothing (verdicts are pure)
+    val before = IncrementalDecontamination.flagged(spark, statePath)
+      .get.count()
+    IncrementalDecontamination.processBatch(
+      batches.last.toSeq.toDF("doc_id", "w"), "doc_id", "w",
+      bench, statePath, tau)
+    val after = IncrementalDecontamination.flagged(spark, statePath)
+      .get.count()
+    assert(before == after, s"replay duplicated rows: $before -> $after")
+    bench.unpersist()
+  }
+}
