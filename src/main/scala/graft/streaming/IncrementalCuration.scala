@@ -205,6 +205,28 @@ object IncrementalCuration {
     mixAndPack(surv, idCol, sourceCol, budgets, seqTokens)
   }
 
+  /** The export FINALIZATION over any packed-sequence frame (c08's
+    * shape): deterministic md5(source#seq_id) shard assignment + the
+    * per-shard manifest an export job writes next to its shard files.
+    * RNG-free, so the streaming export's shard layout is reproducible
+    * and STABLE under refreshes that don't change the sequences. One
+    * |shards|-group aggregate — nothing new shuffles but the manifest
+    * rows. */
+  def exportManifest(seqs: DataFrame, sourceCol: String,
+                     nShards: Int = 8): DataFrame = {
+    val key = concat(col(sourceCol), lit("#"), col("seq_id").cast("string"))
+    seqs
+      .withColumn("shard_id", TextFunctions.md5Bucket(key, nShards)
+        .cast("long"))
+      .withColumn("__pick", md5(key))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_seqs"),
+           sum(col("n_docs")).as("n_docs"),
+           sum(col("seq_tokens")).as("shard_tokens"),
+           min(col("__pick")).as("first_pick"))
+      .orderBy("shard_id")
+  }
+
   /** One-shot batch reference for [[curatedSemantic]]: both cluster
     * sets recomputed from scratch over the accumulated corpus (the
     * c03 composition). `vecs` carries (idCol, vecCol) embeddings

@@ -202,7 +202,20 @@ class StreamingCurationSpec extends AnyFunSuite {
     }
     val finalView = IncrementalCuration.exportPacked(
       seen.toDF("doc_id", "source", "text"), "doc_id", "source", "text",
-      statePath, semStatePath, budgets, seqTokens)
+      statePath, semStatePath, budgets, seqTokens).cache()
     assert(finalView.count() > 0, "degenerate check: empty export")
+
+    // the shard-manifest tail (c08's shape) over the MAINTAINED export
+    // conserves sequences/docs/tokens and is a pure key function
+    val manifest = IncrementalCuration.exportManifest(finalView, "source")
+      .cache()
+    assert(manifest.agg(sum("n_seqs")).head().getLong(0)
+      == finalView.count())
+    assert(manifest.agg(sum("shard_tokens")).head().getLong(0)
+      == finalView.agg(sum("seq_tokens")).head().getLong(0))
+    val again = IncrementalCuration.exportManifest(finalView, "source")
+      .collect().map(_.toString).toSeq
+    assert(again == manifest.collect().map(_.toString).toSeq)
+    manifest.unpersist(); finalView.unpersist()
   }
 }
