@@ -22,6 +22,11 @@ import graft.dedup.Dedup
   */
 object IncrementalDecontamination {
 
+  /** Versioned flags live under a child dir so stream checkpoints
+    * (`$statePath/checkpoint`) stay siblings, outside the
+    * [[IndexDirs]] version discipline. */
+  private def flagsPath(statePath: String): String = s"$statePath/flags"
+
   /** Fold one document micro-batch: verdicts for the batch docs with
     * jaccard ≥ `tau` against the benchmark land in the flagged set.
     * `newDocs` and `bench` both carry (idCol, tokensCol) with
@@ -46,13 +51,30 @@ object IncrementalDecontamination {
     }
     if (!newRows.isEmpty)
       newRows.write.mode("append")
-        .parquet(IndexDirs.prepareAppend(spark, statePath))
+        .parquet(IndexDirs.prepareAppend(spark, flagsPath(statePath)))
   }
+
+  /** Attach to a streaming tokenized-document source: one
+    * [[processBatch]] per micro-batch (foreachBatch — replays are
+    * anti-joined away, so exactly-once delivery is not required). */
+  def attach(docs: DataFrame, idCol: String, tokensCol: String,
+             bench: DataFrame, statePath: String, tau: Double,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$statePath/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, idCol, tokensCol, bench, statePath, tau)
+      }
+      .start()
 
   /** The flagged set so far — None before the first commit. */
   def flagged(spark: org.apache.spark.sql.SparkSession,
               statePath: String): Option[DataFrame] =
-    IndexDirs.readIfExists(spark, statePath)
+    IndexDirs.readIfExists(spark, flagsPath(statePath))
 
   /** One-shot batch reference: d11's verdicts over the whole corpus —
     * the equivalence target for the incremental fold. */

@@ -26,6 +26,11 @@ import graft.text.Mixture
   */
 object IncrementalSample {
 
+  /** The versioned reservoir lives under a child dir so stream
+    * checkpoints (`$statePath/checkpoint`) stay siblings, outside the
+    * [[IndexDirs]] version discipline. */
+  private def reservoirPath(statePath: String): String = s"$statePath/reservoir"
+
   /** Fold one micro-batch of (keyCol, stratumCol, weightCol) rows. */
   def processBatch(newDocs: DataFrame, keyCol: String, stratumCol: String,
                    weightCol: String, k: Int, statePath: String): Unit = {
@@ -43,15 +48,33 @@ object IncrementalSample {
       case None => batchTop
     }
     val winners = ranked(folded, keyCol, stratumCol, k)
-    val next = IndexDirs.nextDir(spark, statePath)
+    val next = IndexDirs.nextDir(spark, reservoirPath(statePath))
     winners.coalesce(1).write.mode("overwrite").parquet(next)
-    IndexDirs.retire(spark, statePath)
+    IndexDirs.retire(spark, reservoirPath(statePath))
   }
 
   /** The maintained sample — (stratum, key, weight, priority,
     * sample_rank), None before the first commit. */
   def current(spark: SparkSession, statePath: String): Option[DataFrame] =
-    IndexDirs.readIfExists(spark, statePath)
+    IndexDirs.readIfExists(spark, reservoirPath(statePath))
+
+  /** Attach to a streaming source: one [[processBatch]] per
+    * micro-batch (foreachBatch — the same orchestration as every
+    * maintained index; exactly-once NOT required, the fold absorbs
+    * replays). */
+  def attach(docs: DataFrame, keyCol: String, stratumCol: String,
+             weightCol: String, k: Int, statePath: String,
+             trigger: org.apache.spark.sql.streaming.Trigger =
+               org.apache.spark.sql.streaming.Trigger.ProcessingTime(1000))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$statePath/checkpoint")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, keyCol, stratumCol, weightCol, k, statePath)
+      }
+      .start()
 
   private def ranked(rows: DataFrame, keyCol: String, stratumCol: String,
                      k: Int): DataFrame = {

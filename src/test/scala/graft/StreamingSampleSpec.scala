@@ -57,4 +57,35 @@ class StreamingSampleSpec extends AnyFunSuite {
       "doc_id", "source", "weight", k, statePath)
     assert(rowsOf(IncrementalSample.current(spark, statePath).get) == before)
   }
+
+  test("attach: the reservoir maintained from a real stream equals the batch sample") {
+    val k = 3
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("weight"))
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    val statePath = Files.createTempDirectory("graft-reservoir-s").toString
+
+    implicit val sq = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Long)]
+    val q = IncrementalSample.attach(
+      stream.toDS().toDF("source", "doc_id", "weight"),
+      "doc_id", "source", "weight", k, statePath,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    docs.grouped(math.max(1, docs.length / 2)).foreach { b =>
+      stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streaming = IncrementalSample.current(spark, statePath).get
+      .select("source", "doc_id", "weight", "priority", "sample_rank")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Mixture.weightedSample(
+        docs.toDF("source", "doc_id", "weight"),
+        "doc_id", "source", "weight", k)
+      .select("source", "doc_id", "weight", "priority", "sample_rank")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streaming == batch)
+  }
 }
