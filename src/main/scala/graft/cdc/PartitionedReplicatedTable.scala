@@ -195,4 +195,47 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     * Some(EMPTY) = all rows deleted). Exposed for tests/monitoring. */
   def partitionVersion(value: Any): Option[String] =
     manifest().get(enc(value))
+
+  /** Table maintenance — the VACUUM analog this layout needs at a
+    * 1-minute lag cadence (every touched partition leaves its previous
+    * version dir behind; 1 440 manifests/day accumulate): delete every
+    * partition version dir not referenced by the newest
+    * `keepManifests` manifests, the manifests older than those, and
+    * crashed `_stage-*` leftovers. Retention gives concurrent readers
+    * the same grace window as `IndexDirs.retire` — a reader that
+    * resolved any retained manifest still finds all its files; run
+    * with the single-writer discipline (between applies, like the ANN
+    * compactions). Version-number reuse after a sweep is safe: the
+    * writer's next-version probe keys off dirs that still exist, and
+    * a fully swept partition restarts at a dir that no longer does. */
+  def vacuum(keepManifests: Int = 2): Unit = {
+    require(keepManifests >= 1, "must retain at least the head manifest")
+    if (!isSnapshotDone) return
+    val hv = readSmall(head).toInt
+    val keepFrom = math.max(0, hv - keepManifests + 1)
+    // live (partition, version-dir) references across retained manifests
+    val live: Set[(String, String)] = (keepFrom to hv).flatMap { v =>
+      val p = new Path(root, s"m=$v")
+      if (!fs.exists(p)) Nil
+      else readSmall(p).linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(e, ver) = line.split('\t'); (e, ver)
+      }.toSeq
+    }.filter(_._2 != Empty).toSet
+    // sweep unreferenced partition versions
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("p=")).foreach { pd =>
+        val e = pd.getName.stripPrefix("p=")
+        fs.listStatus(pd).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("v="))
+          .filterNot(vd => live((e, vd.getName)))
+          .foreach { vd => fs.delete(vd, true); () }
+      }
+    // sweep superseded manifests and crashed staging dirs
+    fs.listStatus(root).toSeq.map(_.getPath).foreach { c =>
+      val n = c.getName
+      val oldManifest = n.startsWith("m=") &&
+        n.stripPrefix("m=").toIntOption.exists(_ < keepFrom)
+      if (oldManifest || n.startsWith("_stage-")) { fs.delete(c, true); () }
+    }
+  }
 }

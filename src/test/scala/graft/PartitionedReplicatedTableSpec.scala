@@ -60,6 +60,48 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(t.current().filter($"day" === "2024-01-02").count() == 1)
   }
 
+  test("vacuum sweeps superseded versions, old manifests, and crashed stages; reads unchanged") {
+    val dir = Files.createTempDirectory("graft-ptab-vac").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    t.snapshot(Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-02", "b")).toDF())
+    for (i <- 1 to 3)
+      t.applyChanges(Seq(PKvChange(1, "2024-01-01", s"a$i",
+        CdcApply.Update, i.toLong, ts(i.toLong))).toDF())
+
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val root = new org.apache.hadoop.fs.Path(s"$dir/t")
+    def versionsOf(e: String) = {
+      val pd = new org.apache.hadoop.fs.Path(root, s"p=$e")
+      fs.listStatus(pd).map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    }
+    def manifests() = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("m=")).sorted.toSeq
+    // three rewrites accumulated four versions of day 1, four manifests
+    assert(versionsOf("x323032342D30312D3031").size == 4)
+    assert(manifests().size == 4)
+    // plant a crashed staging dir
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_stage-123"))
+
+    val before = t.current().orderBy("k").collect().map(_.toString).toSeq
+    t.vacuum(keepManifests = 2)
+    assert(t.current().orderBy("k").collect().map(_.toString).toSeq == before)
+    // the two retained manifests reference day-1 v=2 and v=3 (the
+    // reader grace window) and day-2 v=0; v=0/v=1 of day 1 are swept
+    assert(versionsOf("x323032342D30312D3031") == Seq("v=2", "v=3"))
+    assert(versionsOf("x323032342D30312D3032") == Seq("v=0"))
+    assert(manifests().size == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_stage-123")))
+
+    // the table keeps working after the sweep (and version reuse is safe)
+    t.applyChanges(Seq(PKvChange(2, "2024-01-02", "b9",
+      CdcApply.Update, 9, ts(9))).toDF())
+    assert(t.current().filter(col("k") === 2).head().getAs[String]("v") == "b9")
+    t.vacuum(keepManifests = 1)
+    assert(t.current().count() == 2)
+  }
+
   test("partition values needing escaping survive the round trip") {
     // ':' and space URL-encode to %-sequences, 'ü' is non-ASCII, '%' is
     // the escape char itself, "" is empty — all historically mangled by
