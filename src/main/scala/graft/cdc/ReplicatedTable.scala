@@ -73,4 +73,19 @@ final class ReplicatedTable(spark: SparkSession, path: String,
 
   /** Versions applied after the snapshot (CONNECTOR_STATS analog). */
   def appliedBatches: Int = currentVersion.map(v => v).getOrElse(0)
+
+  /** Table maintenance: delete all version dirs older than the newest
+    * `keep` (retention = the reader grace window, as in
+    * `PartitionedReplicatedTable.vacuum`). Single-writer, between
+    * applies. */
+  def vacuum(keep: Int = 2): Unit = {
+    require(keep >= 1, "must retain the current version")
+    currentVersion.foreach { v =>
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("v="))
+        .filter(_.getName.stripPrefix("v=").toIntOption
+          .exists(_ <= v - keep))
+        .foreach { p => fs.delete(p, true); () }
+    }
+  }
 }

@@ -59,6 +59,22 @@ class CdcSpec extends AnyFunSuite {
       KvChange(2, null, CdcApply.Delete, 3, ts(3))).toDF())
     assert(table.current().as[Kv].collect().sortBy(_.k).toSeq ==
       Seq(Kv(1, "a2"), Kv(3, "c")))
+
+    // vacuum keeps the newest `keep` versions; reads and later applies
+    // are untouched by the sweep
+    val fsys = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def versions() = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/kv"))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(versions() == Seq("v=0", "v=1", "v=2"))
+    table.vacuum(keep = 1)
+    assert(versions() == Seq("v=2"))
+    assert(table.current().as[Kv].collect().sortBy(_.k).toSeq ==
+      Seq(Kv(1, "a2"), Kv(3, "c")))
+    table.applyChanges(Seq(
+      KvChange(4, "d", CdcApply.Insert, 4, ts(4))).toDF())
+    assert(table.current().count() == 3)
   }
 
   test("streaming replication: snapshot + tail equals batch apply") {
