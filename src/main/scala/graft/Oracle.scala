@@ -1095,6 +1095,44 @@ p AS (
 SELECT a AS doc_id, COUNT(*) AS n_bench_matches, MAX(jaccard) AS max_jaccard
 FROM p GROUP BY a ORDER BY doc_id"""),
 
+    // d12 = brute-force token-set jaccard over the SAME planted corpus
+    // the Spark entry constructs (base docs with doc-unique tokens,
+    // set-identical duplicates at id+1e9 for doc_id%7=0, sub-threshold
+    // distractors at id+2e9 for doc_id%11=0). LSH recall over the
+    // planted pairs is provably 1 (identical sets ⟹ identical
+    // signatures ⟹ collide in every band) and verification is exact,
+    // so brute force is a FULL pair-level oracle for the minhash
+    // operator. The token join replaces the cross join: tokens are
+    // cluster-disjoint by construction, so only true candidates meet.
+    "d12_minhash_planted" -> ("""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_transform(range(0, 10),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)) AS w
+  FROM ids
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         list_transform(range(0, 10),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+  FROM ids WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         list_transform(range(0, 5),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+         || list_transform(range(0, 5),
+           j -> 'u' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+  FROM ids WHERE doc_id % 11 = 0),
+tok AS (SELECT id, len(w) AS n, unnest(w) AS t FROM corpus),
+cand AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS si, MAX(x.n) AS nx, MAX(y.n) AS ny
+  FROM tok x JOIN tok y ON x.t = y.t AND x.id < y.id
+  GROUP BY x.id, y.id)
+SELECT a, b, ROUND(1.0 * si / (nx + ny - si), 4) AS jaccard
+FROM cand
+WHERE 1.0 * si / (nx + ny - si) >= 0.7
+ORDER BY a, b"""),
+
     // d09 = the bloom-prefiltered form of d04 — same exact output
     // (the bloom only prunes the join input), so the oracle is d04's
     // SQL verbatim.

@@ -1897,5 +1897,44 @@ object Queries {
       Mixture.weightedSampleAgg(docs, "doc_id", "source", "weight", 5)
         .orderBy("source", "sample_rank")
     }),
+
+    // PLANTED minhash near-dup: d02's operator (same code path —
+    // Dedup.nearDuplicates: codegen signatures, banded LSH buckets,
+    // verify-once exact-jaccard guard, skew caps) run over a
+    // constructed corpus where LSH recall is PROVABLE, so the
+    // brute-force jaccard join is a FULL oracle for the emitted pair
+    // set — the s06–s09 planted-ANN trick applied to near-dup
+    // detection. Construction (reproduced verbatim by the DuckDB
+    // oracle): each doc_id contributes a base doc of ten tokens unique
+    // to it ("t<id>_0".."t<id>_9" — cross-doc jaccard is exactly 0);
+    // every 7th doc also plants a DUPLICATE (id + 1e9) with the same
+    // token SET in a different surface form (reversed order, one token
+    // repeated) — identical sets give identical minhash signatures, so
+    // the pair collides in EVERY band and LSH finds it with
+    // probability 1 (buckets stay ≪ maxBucket: token sets are
+    // cluster-disjoint); every 11th doc plants a sub-threshold
+    // DISTRACTOR (id + 2e9, jaccard 5/15 ≈ 0.33) exercising the
+    // exact-verify reject. Output is therefore EXACTLY the planted
+    // duplicate pairs at jaccard 1.0 — no probabilistic slack.
+    "d12_minhash_planted" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id")).distinct()
+      def tok(p: String, j: Int): org.apache.spark.sql.Column =
+        concat(lit(p), col("doc_id").cast("string"), lit("_" + j))
+      val baseText = concat_ws(" ", (0 until 10).map(tok("t", _)): _*)
+      val dupText = concat_ws(" ",
+        (9 to 0 by -1).map(tok("t", _)) :+ tok("t", 0): _*)
+      val distText = concat_ws(" ",
+        (0 until 5).map(tok("t", _)) ++ (0 until 5).map(tok("u", _)): _*)
+      val corpus = ids
+        .select(col("doc_id").as("id"), baseText.as("text"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000000L).as("id"), dupText.as("text")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000000L).as("id"), distText.as("text")))
+      Dedup.nearDuplicates(corpus, "id", "text",
+        shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,
+        maxBucket = 200)
+        .orderBy("a", "b")
+    }),
   )
 }

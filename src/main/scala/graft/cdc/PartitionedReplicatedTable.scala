@@ -208,7 +208,8 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     * compactions). Version-number reuse after a sweep is safe: the
     * writer's next-version probe keys off dirs that still exist, and
     * a fully swept partition restarts at a dir that no longer does. */
-  def vacuum(keepManifests: Int = 2): Unit = {
+  def vacuum(keepManifests: Int = 2,
+             stageGraceMs: Long = 15 * 60 * 1000L): Unit = {
     require(keepManifests >= 1, "must retain at least the head manifest")
     if (!isSnapshotDone) return
     val hv = readSmall(head).toInt
@@ -230,12 +231,21 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
           .filterNot(vd => live((e, vd.getName)))
           .foreach { vd => fs.delete(vd, true); () }
       }
-    // sweep superseded manifests and crashed staging dirs
-    fs.listStatus(root).toSeq.map(_.getPath).foreach { c =>
-      val n = c.getName
+    // sweep superseded manifests and crashed staging dirs. Stage dirs
+    // are age-gated on filesystem mtime: the single-writer convention
+    // says vacuum runs between applies, but if an apply IS in flight
+    // (convention violated, or a human ran vacuum by hand), its fresh
+    // _stage-* must not be yanked out from under the staging write —
+    // a crashed leftover is by definition old, so the grace window
+    // only delays its sweep, never leaks it.
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq.foreach { st =>
+      val n = st.getPath.getName
       val oldManifest = n.startsWith("m=") &&
         n.stripPrefix("m=").toIntOption.exists(_ < keepFrom)
-      if (oldManifest || n.startsWith("_stage-")) { fs.delete(c, true); () }
+      val deadStage = n.startsWith("_stage-") &&
+        now - st.getModificationTime >= stageGraceMs
+      if (oldManifest || deadStage) { fs.delete(st.getPath, true); () }
     }
   }
 }

@@ -428,9 +428,15 @@ object Dedup {
   def contaminationCountsBloom(corpus: DataFrame, benchmark: DataFrame,
                                idCol: String, textCol: String, n: Int,
                                fpp: Double = 0.01): DataFrame = {
-    val idx = benchmarkIndex(benchmark, textCol, n, fpp)
-    try contaminationCountsWith(corpus, idx, idCol, textCol, n)
-    finally { idx.grams.unpersist(); () }
+    // One-shot convenience path: the returned DataFrame is lazy, so
+    // unpersisting idx.grams here would evict the cache before the
+    // caller ever evaluates it (the exact-verify join would rebuild
+    // the bench gram set from scratch at execution time). Leave the
+    // cache in place for the query's lifetime — reusers who manage the
+    // index lifecycle explicitly use benchmarkIndex +
+    // contaminationCountsWith and unpersist when done.
+    contaminationCountsWith(
+      corpus, benchmarkIndex(benchmark, textCol, n, fpp), idCol, textCol, n)
   }
 
   /** The benchmark side of bloom decontamination, built ONCE and

@@ -51,8 +51,7 @@ object bloom {
     require(mBits / 8 <= Int.MaxValue, s"bloom too large: $mBits bits")
     val bytes = (mBits / 8).toInt
     val rows = hashes.select(col(hashCol).cast("long")).na.drop().rdd
-    val target = math.max(1,
-      math.min(rows.getNumPartitions, rows.getNumPartitions / 4))
+    val target = math.max(1, rows.getNumPartitions / 4)
     rows.coalesce(target).map(_.getLong(0))
       .treeAggregate(new Array[Byte](bytes))(
         (bits, h) => { BloomMightContain.set(h, bits, k); bits },

@@ -139,6 +139,19 @@ object Mixture {
     * order). */
   def weightedSampleAgg(docs: DataFrame, keyCol: String, stratumCol: String,
                         weightCol: String, k: Int): DataFrame = {
+    // The agg form REQUIRES an integral key: the k-bounded buffer
+    // carries (priority, key, weight) as longs, and the (priority,
+    // key) tie-break must order exactly like weightedSample's natural
+    // key order — a silent cast would null string keys at encode time
+    // and a lexicographic carry would re-order ties. Fail fast
+    // instead; non-numeric keys use weightedSample (any key type).
+    {
+      import org.apache.spark.sql.types._
+      val kt = docs.schema(keyCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+        s"weightedSampleAgg requires an integral key column; " +
+          s"'$keyCol' is $kt — use weightedSample for non-numeric keys")
+    }
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(stratumCol).cast("string").as("_st"),

@@ -14,10 +14,11 @@ import graft.dedup.Dedup
   * The regime that matters: corpus ≫ benchmark, benchmark gram set
   * past broadcast size. Corpus is the ScaleBench ×N documents table
   * (run `ScaleBench <src> <factor>` once first); benchmark is the
-  * sf0.1 documents; the broadcast threshold is dropped to 1 MB so the
-  * bench gram set (~1.6 MB of xxhash64 longs) sits past it — the
-  * shape a multi-benchmark suite has at production size. The exact
-  * form then shuffles EVERY corpus gram into the join; the bloom form
+  * sf0.1 documents; auto-broadcast is DISABLED (threshold -1) so the
+  * bench gram set (~1.6 MB of xxhash64 longs) cannot broadcast at
+  * all — the shape a multi-benchmark suite has at production size,
+  * where the gram set is past any plausible threshold. The exact form
+  * then shuffles EVERY corpus gram into the join; the bloom form
   * ships only survivors.
   *
   * Usage: runMain graft.tools.BloomCrossoverBench [corpusDir] [benchSf]

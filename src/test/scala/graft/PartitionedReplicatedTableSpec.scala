@@ -85,7 +85,12 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_stage-123"))
 
     val before = t.current().orderBy("k").collect().map(_.toString).toSeq
+    // default grace window: a FRESH stage dir (possibly an in-flight
+    // apply's) survives the sweep...
     t.vacuum(keepManifests = 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_stage-123")))
+    // ...and only an aged-out one is treated as crashed leftovers
+    t.vacuum(keepManifests = 2, stageGraceMs = 0L)
     assert(t.current().orderBy("k").collect().map(_.toString).toSeq == before)
     // the two retained manifests reference day-1 v=2 and v=3 (the
     // reader grace window) and day-2 v=0; v=0/v=1 of day 1 are swept
