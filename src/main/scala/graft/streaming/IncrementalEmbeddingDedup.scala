@@ -202,6 +202,18 @@ object IncrementalEmbeddingDedup {
     }
   }
 
+  /** Maintenance sweep for week-long streams: prune the label store
+    * to its retention window ([[LabelStore.vacuum]] — committed
+    * versions beyond the newest `keep`, plus crashed uncommitted
+    * leftovers) and retire superseded generations of both index
+    * directories. Same single-writer + reader-grace contract as
+    * [[compact]]; run between batches. */
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
+    LabelStore.vacuum(spark, statePath, keep)
+    IndexDirs.retire(spark, bandsPath(statePath), keep = keep)
+    IndexDirs.retire(spark, vectorsPath(statePath), keep = keep)
+  }
+
   /** Attach to a streaming vector source: one [[processBatch]] per
     * micro-batch. */
   def attach(vecs: DataFrame, idCol: String, vecCol: String,

@@ -236,6 +236,17 @@ object IncrementalNearDup {
       IndexDirs.retire(spark, p)
     }
 
+  /** Maintenance sweep for week-long streams: prune the label store
+    * to its retention window (committed versions beyond the newest
+    * `keep`, plus crashed uncommitted leftovers that would otherwise
+    * linger forever — [[LabelStore.vacuum]]) and retire superseded
+    * index generations ([[IndexDirs.retire]]). Same single-writer +
+    * reader-grace contract as [[compact]]; run between batches. */
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
+    LabelStore.vacuum(spark, statePath, keep)
+    IndexDirs.retire(spark, indexPath(statePath), keep = keep)
+  }
+
   /** Attach to a streaming document source: one [[processBatch]] per
     * micro-batch (foreachBatch — the same orchestration the dynamic
     * table uses for its incremental refresh). */

@@ -46,4 +46,36 @@ private[streaming] object LabelStore {
     vs.dropRight(1).foreach(v =>
       fs(spark, statePath).delete(new Path(s"$statePath/labels/v$v"), true))
   }
+
+  /** Standalone retention sweep for long-running streams, with the
+    * [[IndexDirs.retire]] contract: keep the newest `keep` committed
+    * versions (the reader grace window — a reader that resolved the
+    * previous version before a commit still completes on its
+    * snapshot), delete older committed versions, and sweep crashed
+    * UNCOMMITTED leftovers strictly below the newest committed version
+    * (their numbers are never reused — `commit` probes past the
+    * newest committed — so without the sweep they'd linger forever).
+    * An uncommitted dir AT or ABOVE the newest committed version may
+    * be an in-flight writer's target and is left alone. `commit`
+    * already prunes to two on every call; vacuum is for stores whose
+    * maintainer crashed mid-write, or a `keep=1` tightening between
+    * runs. Single-writer, like commit. */
+  def vacuum(spark: SparkSession, statePath: String,
+             keep: Int = 2): Unit = {
+    require(keep >= 1, "must retain the current labeling")
+    val f = fs(spark, statePath)
+    val dir = new Path(s"$statePath/labels")
+    if (!f.exists(dir)) return
+    val committed = versions(spark, statePath)
+    val retained = committed.takeRight(keep).toSet
+    val newest = committed.lastOption.getOrElse(Long.MinValue)
+    f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+      .flatMap(p => p.getName.drop(1).toLongOption.map((_, p)))
+      .foreach { case (v, p) =>
+        val staleCommitted = committed.contains(v) && !retained(v)
+        val crashedLeftover = !committed.contains(v) && v < newest
+        if (staleCommitted || crashedLeftover) { f.delete(p, true); () }
+      }
+  }
 }

@@ -143,6 +143,44 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       == rowsNow, "compaction changed index content")
   }
 
+  test("vacuum prunes label retention and sweeps crashed leftovers, labels unchanged") {
+    val statePath = Files.createTempDirectory("graft-incdedup-v").toString
+    val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "zig zag")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b3 = Seq((4L, "unrelated words entirely")).toDF("doc_id", "text")
+    Seq(b1, b2, b3).foreach(b =>
+      IncrementalNearDup.processBatch(b, "doc_id", "text", statePath, P))
+
+    val labelsDir = new java.io.File(s"$statePath/labels")
+    def dirs() = labelsDir.list().filter(_.startsWith("v")).sorted.toSeq
+    // commit itself retains two: v1 (grace) + v2 (head)
+    assert(dirs() == Seq("v1", "v2"), dirs().mkString(","))
+    // plant a crashed UNCOMMITTED write below the head (its number is
+    // never reused — without vacuum it lingers forever) and an
+    // uncommitted dir above the head (a possibly in-flight writer)
+    assert(new java.io.File(labelsDir, "v0/part-0").mkdirs())
+    assert(new java.io.File(labelsDir, "v99/part-0").mkdirs())
+
+    val before = IncrementalNearDup.labels(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    IncrementalNearDup.vacuum(spark, statePath, keep = 1)
+    assert(dirs() == Seq("v2", "v99"), dirs().mkString(","))
+    val after = IncrementalNearDup.labels(spark, statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before, "vacuum changed the current labeling")
+
+    // maintenance continues: the next batch folds onto the vacuumed
+    // store (its commit probes past the newest COMMITTED version, so
+    // the spared uncommitted v99 is never adopted or overwritten)
+    IncrementalNearDup.processBatch(
+      Seq((5L, "alpha beta gamma delta zeta")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath, P)
+    val got = IncrementalNearDup.clusters(
+      Seq(1L, 3L, 5L).toDF("doc_id"), "doc_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 1L && got(3L) == 1L && got(5L) == 1L)
+  }
+
   test("cross-batch pairs are found: a near-dup arriving months later still clusters") {
     val statePath = Files.createTempDirectory("graft-incdedup-x").toString
     val b1 = Seq((1L, "alpha beta gamma delta"), (2L, "zig zag")).toDF("doc_id", "text")
