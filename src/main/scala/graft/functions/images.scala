@@ -16,6 +16,13 @@ object images {
   def audio_meta(content: Column): Column =
     org.apache.spark.sql.graft.AudioMetaExpr.audioMeta(content)
 
+  /** REAL MP4 header decode (pure-JVM ISO-BMFF moov/mvhd/tkhd box
+    * walk — no codec): struct(mime, width, height, duration_ms,
+    * n_tracks), NULL when the bytes are not well-formed MP4. Frame
+    * pixels still require a codec and stay stubbed. */
+  def video_meta(content: Column): Column =
+    org.apache.spark.sql.graft.VideoMetaExpr.videoMeta(content)
+
   /** REAL thumbnail (javax.imageio full decode + bilinear rescale,
     * longer edge ≤ maxDim, PNG re-encode), NULL when the bytes are
     * not a well-formed PNG/JPEG. */

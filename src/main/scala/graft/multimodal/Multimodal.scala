@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, per-partition batch
   * shape — is real and tested. PNG/JPEG metadata AND thumbnails are
   * REALLY decoded (javax.imageio ships with the JDK); WAV headers
-  * really decode too. Only the codecs this environment lacks remain
+  * really decode too, and MP4 headers decode via a pure-JVM ISO-BMFF
+  * box walk ([[VideoHeaders]]). Only the codecs this environment lacks remain
   * STUBBED with a deterministic fake: every function marked "STUB
   * DECODER" derives its output from the bytes via hashing, standing in
   * for a real ffmpeg call with identical schema and batch shape.
@@ -69,6 +70,15 @@ object Multimodal {
     * oracle-stable, so absence is the honest signal). */
   def decodeAudioMeta(content: Column): Column =
     graft.functions.images.audio_meta(content)
+
+  /** Video metadata: MP4 content REALLY decodes (pure-JVM ISO-BMFF
+    * moov/mvhd/tkhd box walk via the codegen'd video_meta expression —
+    * width / height / duration / track count from the actual boxes, no
+    * codec needed); non-MP4 bytes yield NULL, same contract as
+    * [[decodeAudioMeta]]. Only frame PIXELS remain stubbed
+    * ([[frameSample]]) — the codecs aren't available offline. */
+  def decodeVideoMeta(content: Column): Column =
+    graft.functions.images.video_meta(content)
 
   /** Thumbnail. PNG/JPEG content is REALLY decoded and resampled
     * (javax.imageio full decode + bilinear rescale via the codegen'd

@@ -120,6 +120,73 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(got(2L).isNullAt(1) && got(2L).isNullAt(2))
   }
 
+  // Minimal spec-correct ISO-BMFF: ftyp + moov(mvhd, trak(tkhd)…).
+  // Built box-by-box from ISO/IEC 14496-12 §8.2.2/§8.3.2 — a REAL
+  // format instance the box walk must parse, synthesized like the
+  // PNG/WAV fixtures (no codec needed for headers).
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ tpe.getBytes("ISO-8859-1") ++ payload
+  private def mp4Bytes(timescale: Long, duration: Long,
+                       tracks: Seq[(Int, Int)],
+                       v1: Boolean = false): Array[Byte] = {
+    val ver: Array[Byte] = Array((if (v1) 1 else 0).toByte, 0, 0, 0)
+    val mvhd = box("mvhd",
+      if (v1) ver ++ be32(0) ++ be32(0) ++ be32(0) ++ be32(0) ++
+        be32(timescale) ++ be32(0) ++ be32(duration) ++
+        Array.fill[Byte](80)(0)
+      else ver ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        Array.fill[Byte](80)(0))
+    val traks = tracks.map { case (w, h) =>
+      // tkhd v0 payload: fullbox(4) c(4) m(4) id(4) res(4) dur(4)
+      // res(8) layer/alt/vol/res(8) matrix(36) width(4) height(4) = 84
+      // 84-byte payload: fullbox(4) + c/m/id/res/dur(20) + res(8) +
+      // layer/alt/vol/res(8) + matrix(36) + width(4) + height(4)
+      box("trak", box("tkhd",
+        Array[Byte](0, 0, 0, 7) ++ Array.fill[Byte](72)(0) ++
+          be32(w.toLong << 16) ++ be32(h.toLong << 16)))
+    }
+    box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0) ++
+      "isommp42".getBytes("ISO-8859-1")) ++
+      box("moov", (Seq(mvhd) ++ traks).flatten.toArray)
+  }
+
+  test("VideoHeaders + video_meta: MP4 moov/mvhd/tkhd boxes decode; junk is null") {
+    import graft.multimodal.VideoHeaders
+    // movie: 1000-unit timescale, 5500 units = 5.5 s; audio track
+    // first (zero extent, per spec) then the 640x360 video track
+    val mp4 = mp4Bytes(1000, 5500, Seq((0, 0), (640, 360)))
+    val m = VideoHeaders.meta(mp4)
+    assert(m == VideoHeaders.VideoMeta("video/mp4", 640, 360, 5500L, 2))
+    // version-1 (64-bit times) layout decodes identically
+    assert(VideoHeaders.meta(mp4Bytes(600, 1200, Seq((1920, 1080)), v1 = true))
+      == VideoHeaders.VideoMeta("video/mp4", 1920, 1080, 2000L, 1))
+    // not MP4 / truncated structure: null, never a throw
+    assert(VideoHeaders.meta("plain text document".getBytes("UTF-8")) == null)
+    assert(VideoHeaders.meta(mp4.take(20)) == null)
+    assert(VideoHeaders.meta(Array[Byte]()) == null)
+    // well-formed ftyp but a moov whose declared size overruns the
+    // buffer: the walk stops at the malformed header
+    val overrun = mp4.dropRight(40)
+    assert(VideoHeaders.meta(overrun) == null ||
+      VideoHeaders.meta(overrun).width == 0)
+
+    val rows = Seq(
+      (1L, mp4),
+      (2L, "document body".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    import graft.functions.images.video_meta
+    val got = rows
+      .select(col("asset_id"), video_meta(col("content")).as("a"),
+        video_meta(col("content")).as("b")) // repeated use in one stage
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val a = got(1L).getStruct(1)
+    assert(a.getString(0) == "video/mp4" && a.getInt(1) == 640 &&
+      a.getInt(2) == 360 && a.getLong(3) == 5500L && a.getInt(4) == 2)
+    assert(got(2L).isNullAt(1) && got(2L).isNullAt(2))
+  }
+
   test("thumbnail: real resample for images (known-good dimensions), byte-window stub otherwise") {
     val rows = Seq(
       (1L, imageBytes("png", 64, 48)),   // downscale 2x → 32x24
