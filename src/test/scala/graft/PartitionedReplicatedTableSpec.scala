@@ -107,6 +107,56 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(t.current().count() == 2)
   }
 
+  test("reader holding a retained manifest survives a concurrent apply+vacuum; full-sweep version reuse stays correct") {
+    val dir = Files.createTempDirectory("graft-ptab-conc").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    t.snapshot(Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-02", "b")).toDF())
+
+    // a reader resolves the CURRENT manifest (m=0) and holds its lazy
+    // plan across a concurrent writer's apply + vacuum — the snapshot-
+    // isolation contract: keepManifests=2 retains exactly the previous
+    // generation, so every dir the reader's manifest references
+    // survives the sweep and the read completes on ITS snapshot, not
+    // the writer's
+    val reader = t.current()
+    t.applyChanges(Seq(PKvChange(1, "2024-01-01", "a2",
+      CdcApply.Update, 1, ts(1))).toDF())            // m=1, day1 v=1
+    t.vacuum(keepManifests = 2, stageGraceMs = 0L)
+    assert(reader.as[PKv].collect().sortBy(_.k).toSeq == Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-02", "b")),
+      "grace-window reader did not complete on its own snapshot")
+    // while a fresh resolve sees the writer's commit
+    assert(t.current().filter(col("k") === 1)
+      .head().getAs[String]("v") == "a2")
+
+    // FULL sweep of a partition, then version-number reuse: empty
+    // day2, vacuum to keep only the head manifest — every v dir of
+    // day2 is unreferenced and goes; the partition dir survives with
+    // no v children
+    t.applyChanges(Seq(PKvChange(2, "2024-01-02", null,
+      CdcApply.Delete, 2, ts(2))).toDF())            // day2 EMPTY
+    t.vacuum(keepManifests = 1, stageGraceMs = 0L)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val day2 = new org.apache.hadoop.fs.Path(
+      s"$dir/t/p=x323032342D30312D3032")
+    assert(!fs.exists(day2) || fs.listStatus(day2).toSeq
+      .forall(!_.getPath.getName.startsWith("v=")),
+      "fully swept partition still holds version dirs")
+    // reinsert: the writer's next-version probe keys off dirs that
+    // still EXIST, so the fully swept partition restarts at v=0 —
+    // reuse is safe because nothing references the old v numbers
+    t.applyChanges(Seq(PKvChange(3, "2024-01-02", "c",
+      CdcApply.Insert, 3, ts(3))).toDF())
+    assert(t.partitionVersion("2024-01-02").contains("v=0"))
+    assert(t.current().as[PKv].collect().sortBy(_.k).toSeq == Seq(
+      PKv(1, "2024-01-01", "a2"), PKv(3, "2024-01-02", "c")))
+    // and the next vacuum over the reused numbers stays consistent
+    t.vacuum(keepManifests = 1, stageGraceMs = 0L)
+    assert(t.current().count() == 2)
+  }
+
   test("partition values needing escaping survive the round trip") {
     // ':' and space URL-encode to %-sequences, 'ü' is non-ASCII, '%' is
     // the escape char itself, "" is empty — all historically mangled by
