@@ -62,33 +62,54 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 
+    // Per-query executor CPU time alongside wall: this box has 3×
+    // wall variance under host load, but CPU-seconds of the same plan
+    // are load-stable — the column that makes ≤10% round-over-round
+    // deltas meaningful. Listener events are async; the tiny
+    // post-action attribution skew is noise at diagnostic precision.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          cpuNs.addAndGet(sc.stageInfo.taskMetrics.executorCpuTime)
+          ()
+        }
+      })
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.fill(math.max(1, repeats)) {
+        val c0 = cpuNs.get
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        ((System.nanoTime() - t0) / 1e9, (cpuNs.get - c0) / 1e9)
+      }.sortBy(_._1)
       name -> times
     }
-    val allResults = timings.map { case (k, ts) => k -> ts(ts.length / 2) }
+    val allResults = timings.map { case (k, ts) => k -> ts(ts.length / 2)._1 }
     val (baseResults, results) =
       allResults.partition { case (k, _) => ExactBaselines(k) }
     val total = results.map(_._2).sum
     val baseTotal = baseResults.map(_._2).sum
+    val cpuTotal = timings.collect {
+      case (k, ts) if !ExactBaselines(k) => ts(ts.length / 2)._2
+    }.sum
 
-    // Full precision + spread for humans / BENCH_NOTES (never parsed
-    // by the driver). Baseline rows are tagged.
+    // Full precision + spread + CPU for humans / BENCH_NOTES (never
+    // parsed by the driver). Baseline rows are tagged.
     try {
       val tsv = timings.map { case (k, ts) =>
         val tag = if (ExactBaselines(k)) "\tbaseline" else ""
-        f"$k\t${ts(ts.length / 2)}%.6f\t${ts.head}%.6f\t${ts.last}%.6f$tag"
+        f"$k\t${ts(ts.length / 2)._1}%.6f\t${ts.head._1}%.6f" +
+          f"\t${ts.last._1}%.6f\t${ts(ts.length / 2)._2}%.6f$tag"
       }.mkString("\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LAST.tsv"),
         (f"# sf=$sfDir total(median)=$total%.3f repeats=$repeats " +
           f"exact_baselines=$baseTotal%.3f " +
-          f"max_total=${timings.map(_._2.last).sum}%.3f\n" +
-          "# query\tmedian\tmin\tmax\n" + tsv + "\n").getBytes("UTF-8"))
+          f"max_total=${timings.map(_._2.last._1).sum}%.3f " +
+          f"cpu_total(median)=$cpuTotal%.3f\n" +
+          "# query\tmedian\tmin\tmax\tcpu_median\n" + tsv + "\n")
+          .getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
     def line(short: Boolean): String = {
@@ -98,7 +119,8 @@ object Bench {
       }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${sect(results)},""" +
         f""""exact_baselines":${sect(baseResults)},""" +
-        f""""exact_baselines_total":$baseTotal%.3f,"sf":"$sfDir"}"""
+        f""""exact_baselines_total":$baseTotal%.3f,""" +
+        f""""cpu_total":$cpuTotal%.3f,"sf":"$sfDir"}"""
     }
     val full = line(short = false)
     // ~2000-char tail minus sbt's trailing "[success] Total time" line.

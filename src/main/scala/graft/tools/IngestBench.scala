@@ -97,6 +97,42 @@ object IngestBench {
     val bulkSec = (System.nanoTime() - tBulk) / 1e9
     q.stop()
 
+    // change → DEEPEST-view latency through a 2-hop DAG: hop 1 is the
+    // flagship dim-join view, hop 2 a row-local derivation over hop
+    // 1's OUTPUT (spend-bucket + cents — the view-over-view shape the
+    // reference's dynamic-table pipelines stack). One trigger covers
+    // the whole chain (DynamicTable.startDag), so the SLA contract is
+    // unchanged: p95 change→deepest-view vs TARGET_LAG = 60 s.
+    def viewOf2(v1: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
+      v1.select(col("transaction_id"), col("customer_id"),
+        col("merchant_name"), col("transaction_date"),
+        col("total_price"),
+        (col("total_price") * 100).cast("long").as("cents"),
+        when(col("total_price") < 50, "small")
+          .when(col("total_price") < 500, "mid")
+          .otherwise("large").as("bucket"))
+    }
+    val fact3 = new ReplicatedTable(spark, s"$dir/tx3", Seq("transaction_id"))
+    val mid3 = new ReplicatedTable(spark, s"$dir/mid3", Seq("transaction_id"))
+    val top3 = new ReplicatedTable(spark, s"$dir/top3", Seq("transaction_id"))
+    fact3.snapshot(tables("transactions"))
+    val dag1 = new DynamicTable(fact3, mid3, viewOf)
+    val dag2 = new DynamicTable(mid3, top3, viewOf2)
+    dag2.incrementalRefresh(dag1.fullRefresh())
+    val dagStream = MemoryStream[TxChangeRow]
+    val qd = dag1.startDag(dagStream.toDF(), s"$dir/ckpt-dag", Seq(dag2),
+      trigger = Trigger.ProcessingTime(0))
+    val dagLat = (0 until batches).map { i =>
+      val t = System.nanoTime()
+      dagStream.addData(changes.slice(i * per, (i + 1) * per).toIndexedSeq)
+      qd.processAllAvailable()
+      (System.nanoTime() - t) / 1e9
+    }.sorted
+    qd.stop()
+    val dagP50 = dagLat((dagLat.size - 1) / 2)
+    val dagP95 = dagLat(math.ceil(dagLat.size * 0.95).toInt - 1)
+
     // partitioned star path: date-partitioned fact AND view, plus a
     // dimension-delta refresh (the affected-fact recompute)
     val star = new StarReplication(spark, s"$dir/star")
@@ -123,6 +159,8 @@ object IngestBench {
       f""""stream_latency_p50_sec":$p50%.2f,""" +
       f""""stream_latency_p95_sec":$p95%.2f,""" +
       f""""stream_rows_per_min":${rowsPerMinStream}%.0f,""" +
+      f""""dag2_latency_p50_sec":$dagP50%.2f,""" +
+      f""""dag2_latency_p95_sec":$dagP95%.2f,""" +
       f""""stream_bulk_rows":30000,"stream_bulk_sec":$bulkSec%.2f,""" +
       f""""stream_bulk_rows_per_min":${30000 / bulkSec * 60}%.0f,""" +
       f""""partitioned_star_batch_sec":$partBatchSec%.2f,""" +

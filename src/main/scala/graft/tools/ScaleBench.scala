@@ -117,11 +117,63 @@ object ScaleBench {
       fs.create(done).close()
     }
 
+    // wall time at local[32] is fixed-cost-bound; the metric that
+    // scales with cluster network is shuffle bytes — account both
+    // (the BloomCrossoverBench listener)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shuffled.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     for (dir <- Seq(src, dst); pass <- 1 to 2; name <- names) {
+      shuffled.set(0L)
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, dir).count()
       println(f"[scale] $dir pass$pass $name: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
+        f"${shuffled.get / 1048576.0}%.1f MB shuffled)")
+    }
+
+    // Bucket-boundedness probes: the d02/j02 hot paths materialize one
+    // collect_list ARRAY per bucket inside the agg buffer, so the
+    // number that must stay modest as data scales is the LARGEST
+    // actual bucket — d02's emission is additionally capped at
+    // maxBucket (over-cap buckets take the min-anchor star), j02's is
+    // bounded by deletion-key selectivity. Print the distribution tail
+    // at both scales so "stays bounded" is measured, not assumed.
+    def bucketStats(what: String, counts: DataFrame): Unit = {
+      val r = counts.agg(max("cnt").as("mx"),
+        expr("percentile_approx(cnt, 0.999)").as("p999"),
+        sum(when(col("cnt") > 200, 1L).otherwise(0L)).as("over200"),
+        count(lit(1)).as("buckets")).head()
+      println(s"[scale] $what: maxBucket=${r.get(0)} p999=${r.get(1)} " +
+        s"over200=${r.get(2)} buckets=${r.get(3)}")
+    }
+    for (dir <- Seq(src, dst)) {
+      if (names.contains("d02_minhash_neardups")) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        bucketStats(s"$dir d02 band-buckets",
+          graft.dedup.Dedup.bandSignatures(docs, "doc_id", "text", 1, 32, 4)
+            .select(posexplode(col("__bk")).as(Seq("band", "key")))
+            .groupBy("band", "key").agg(count(lit(1)).as("cnt")))
+      }
+      if (names.contains("j02_fuzzy_name_pairs")) {
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_name").as("__s"))
+        bucketStats(s"$dir j02 deletion-key buckets",
+          cust.select(explode(array_union(
+              array(col("__s")),
+              transform(sequence(lit(1), length(col("__s"))), i =>
+                concat(col("__s").substr(lit(1), i - 1),
+                       col("__s").substr(i + 1, length(col("__s")))))))
+            .as("__key"))
+            .groupBy("__key").agg(count(lit(1)).as("cnt")))
+      }
     }
     spark.stop()
   }
