@@ -840,9 +840,12 @@ object Queries {
       Dedup.exactCounts(documents(s, d), "doc_id", "text")
         .select("doc_id", "dup_count").orderBy("doc_id")),
 
-    // MinHash + banded LSH near-dup (hash-based: no SQL oracle; gated
-    // on the shipped corpora by DedupRecallGateSpec — subset of the
-    // exact pair set, identical jaccard values, pinned recall floor).
+    // MinHash + banded LSH near-dup (hash-based: no SQL oracle on the
+    // natural corpus; gated on the shipped corpora by
+    // DedupRecallGateSpec — subset of the exact pair set, identical
+    // jaccard values, pinned recall floor — and shadowed by the
+    // planted-corpus sibling d12, whose pair set has a FULL
+    // brute-force oracle over the same code path).
     "d02_minhash_neardups" -> ((s, d) =>
       Dedup.nearDuplicates(documents(s, d), "doc_id", "text",
         shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,

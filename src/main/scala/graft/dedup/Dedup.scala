@@ -282,9 +282,10 @@ object Dedup {
     */
   def jaccardJoinExact(docs: DataFrame, idCol: String, tokensCol: String,
                        threshold: Double,
-                       partitionCols: Seq[String] = Nil): DataFrame =
+                       partitionCols: Seq[String] = Nil,
+                       bucketCap: Int = 2000): DataFrame =
     ppjoinPairs(docs.withColumn("__side", lit(0)), idCol, tokensCol,
-      threshold, partitionCols, cross = false)
+      threshold, partitionCols, cross = false, bucketCap)
 
   /** The CROSS-corpus form of [[jaccardJoinExact]] — fuzzy
     * decontamination: every (left, right) pair with jaccard ≥
@@ -300,18 +301,20 @@ object Dedup {
     * ([[contaminationCounts]]) can't do: a paraphrased benchmark doc
     * shares few exact 5-grams but a high token-set jaccard. */
   def jaccardJoinAcross(left: DataFrame, right: DataFrame, idCol: String,
-                        tokensCol: String, threshold: Double): DataFrame = {
+                        tokensCol: String, threshold: Double,
+                        bucketCap: Int = 2000): DataFrame = {
     val l = left.select(col(idCol), col(tokensCol))
       .withColumn("__side", lit(0))
     val r = right.select(col(idCol), col(tokensCol))
       .withColumn("__side", lit(1))
     ppjoinPairs(l.unionByName(r), idCol, tokensCol, threshold, Nil,
-      cross = true)
+      cross = true, bucketCap)
   }
 
   private def ppjoinPairs(docs: DataFrame, idCol: String, tokensCol: String,
                           threshold: Double, partitionCols: Seq[String],
-                          cross: Boolean): DataFrame = {
+                          cross: Boolean, bucketCap: Int = 2000): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val pc = partitionCols.map(col)
@@ -347,19 +350,59 @@ object Dedup {
     val pref = sorted.select(
       (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
         explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
-    val buckets = pref.groupBy(pc :+ col("__pt"): _*)
-      .agg(collect_list(struct(col("__id"), col("__side"), col("__w")))
-        .as("__ms"))
+
+    // SKEW-SPLIT pair generation (triangle partitioning). The bucket
+    // walk materializes each (partition, prefix-token) group as ONE
+    // collect_list row and generates its pairs in ONE task — exact and
+    // cheap while buckets are small, but a single over-cap bucket (a
+    // token that stopped being rare: vocab-capped corpora, templated
+    // text) serializes the whole join and its agg buffer grows with
+    // the bucket (measured: d11 at fact ×100 ran one task at load
+    // 3/32 for 25+ min). Fix, exactness-preserving: members of a
+    // B-member bucket hash into nc ≈ ⌈B/cap⌉ chunks; each member
+    // replicates into the nc sub-buckets (i,j), i ≤ j, that contain
+    // its chunk, and a pair materializes ONLY in the one sub-bucket
+    // matching its chunk multiset {c(x), c(y)} — so every pair is
+    // generated exactly once (the verify-once prefix-token guard is
+    // untouched), sub-bucket arrays are ~2·cap bounded, and the B²
+    // candidate work spreads over nc² tasks. Replication cost is nc
+    // copies of (id, side, w) PER OVER-CAP BUCKET row only; nc is
+    // bounded so the worst case stays a constant-factor shuffle.
+    val sizes = pref.groupBy(pc :+ col("__pt"): _*)
+      .agg(count(lit(1)).as("__bn"))
+    val nc = least(ceil(col("__bn") / lit(bucketCap)), lit(128))
+      .cast("int").as("__nc")
+    val withChunk = pref
+      .join(sizes.select((pc :+ col("__pt") :+ nc): _*),
+            partitionCols :+ "__pt")
+      .withColumn("__c",
+        pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
+          .cast("int"))
+      .select((pc :+ col("__pt") :+ col("__id") :+ col("__side") :+
+        col("__w") :+ col("__c")) :+
+        explode(transform(
+          sequence(lit(0), greatest(col("__nc"), lit(1)) - 1), z =>
+            struct(least(col("__c"), z).cast("int").as("i"),
+                   greatest(col("__c"), z).cast("int").as("j"))))
+          .as("__ij"): _*)
+    val buckets = withChunk
+      .groupBy(pc :+ col("__pt") :+ col("__ij"): _*)
+      .agg(collect_list(struct(col("__id"), col("__side"), col("__w"),
+        col("__c"))).as("__ms"))
       .filter(size(col("__ms")) >= 2)
 
     val nx = size(col("x.__w")); val ny = size(col("y.__w"))
     buckets
-      .select(col("__ms"), col("__pt"), explode(col("__ms")).as("x"))
-      .select(col("__pt"), col("x"), explode(col("__ms")).as("y"))
+      .select(col("__ms"), col("__pt"), col("__ij"), explode(col("__ms")).as("x"))
+      .select(col("__pt"), col("__ij"), col("x"), explode(col("__ms")).as("y"))
       // self mode pairs by id order; cross mode pairs LEFT members with
       // RIGHT members only (each cross pair once, no self-side pairs)
       .filter(if (cross) col("x.__side") < col("y.__side")
               else col("x.__id") < col("y.__id"))
+      // chunk-span guard: the pair materializes only in the sub-bucket
+      // whose (i,j) equals its chunk multiset — once across the split
+      .filter(col("__ij.i") === col("__ij.j") ||
+              col("x.__c") =!= col("y.__c"))
       // length filter: |x∩y| ≥ t·max(nx,ny) is impossible otherwise
       .filter(ny >= lit(threshold) * nx && nx >= lit(threshold) * ny)
       // verify-ONCE guard: a qualifying pair's smallest common token is

@@ -121,6 +121,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(pruned == brute,
         s"t=$t: missed ${(brute -- pruned).size}, extra ${(pruned -- brute).size}")
       assert(brute.nonEmpty, s"t=$t: degenerate corpus")
+      // skew-split path: a tiny bucketCap forces every prefix bucket
+      // through the triangle chunking — pair set must be IDENTICAL
+      val split = Dedup.jaccardJoinExact(docs, "doc_id", "w", t,
+          Seq("source"), bucketCap = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(split == brute,
+        s"t=$t split: missed ${(brute -- split).size}, extra ${(split -- brute).size}")
     }
     docs.unpersist()
   }
@@ -150,6 +157,14 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(pruned == brute,
         s"t=$t: ${brute.size} brute vs ${pruned.size} pruned")
       assert(brute.nonEmpty, s"t=$t: degenerate corpus")
+      // skew-split path under full id collision: chunk hashing keys on
+      // __id only, so colliding cross-side ids land in the SAME chunk —
+      // the side filter, not the chunking, must still separate them
+      val split = Dedup.jaccardJoinAcross(left, right, "doc_id", "w", t,
+          bucketCap = 3)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(split == brute,
+        s"t=$t split: ${brute.size} brute vs ${split.size} split")
     }
     left.unpersist(); right.unpersist()
   }

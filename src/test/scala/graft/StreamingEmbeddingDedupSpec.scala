@@ -229,4 +229,51 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     // hash noise; bound at 2x
     assert(l2 <= 2 * l1 + 5, s"per-key load grew with corpus: $l1 -> $l2")
   }
+
+  test("vacuum prunes labels and retires index generations; clusters unchanged, folding continues") {
+    val p = IncrementalEmbeddingDedup.Params(numPlanes = 4, tables = 4,
+      indexBuckets = 8)
+    val statePath = Files.createTempDirectory("graft-incsem-v").toString
+    def vecs(seed: Int, from: Int, n: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (from until from + n).map(i =>
+          (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    (0 until 3).foreach(b => IncrementalEmbeddingDedup.processBatch(
+      vecs(b + 1, b * 100, 100), "vec_id", "embedding", statePath, p))
+    // a compaction leaves a superseded previous generation on each
+    // index dir; plant a crashed uncommitted label leftover too
+    IncrementalEmbeddingDedup.compact(spark, statePath)
+    assert(new java.io.File(s"$statePath/labels/v0/part-0").mkdirs())
+
+    val ids = (0L until 300L).toSeq.toDF("vec_id")
+    def clusterMap() = IncrementalEmbeddingDedup
+      .clusters(ids, "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val before = clusterMap()
+    IncrementalEmbeddingDedup.vacuum(spark, statePath, keep = 1)
+    // superseded index generations gone: exactly one version remains
+    // on each state dir; the crashed label leftover swept
+    for (d <- Seq("bands", "vectors")) {
+      val vs = new java.io.File(s"$statePath/$d").list()
+        .filter(_.matches("v\\d+")).toSeq
+      assert(vs.size == 1, s"$d retained $vs after vacuum(keep=1)")
+    }
+    assert(!new java.io.File(s"$statePath/labels/v0").exists,
+      "crashed uncommitted label leftover survived vacuum")
+    assert(clusterMap() == before, "vacuum changed clusters")
+
+    // maintenance continues: an exact twin still folds into its cluster
+    val twinVec = vecs(1, 0, 100).filter(col("vec_id") === 7L)
+      .head().getSeq[Float](1)
+    IncrementalEmbeddingDedup.processBatch(
+      Seq((1000000L, twinVec)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", statePath, p)
+    val after = IncrementalEmbeddingDedup.clusters(
+        ids.unionByName(Seq(1000000L).toDF("vec_id")), "vec_id", statePath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after(1000000L) == after(7L),
+      "post-vacuum arrival missed its twin")
+  }
 }
