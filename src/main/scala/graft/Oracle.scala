@@ -1418,6 +1418,23 @@ SELECT doc_id AS asset_id,
        md5(substr(text, 193, 64)) AS frame3_md5
 FROM documents ORDER BY asset_id"""),
 
+    // m03's embedding-level dedup: identical content ⇒ identical
+    // byte-n-gram feature vector (and distinct content ⇒ distinct
+    // vector on these corpora), so vector-equality groups ≡ md5(text)
+    // groups — a full oracle for the REAL embedding path. The planted
+    // exact copies (every 50th doc at id+1000000) mirror the Spark
+    // side's construction verbatim.
+    "m03_embed_content_dedup" -> ("""
+WITH p AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 50 = 0),
+a AS (SELECT doc_id AS asset_id, md5(text) AS h FROM p),
+g AS (SELECT h, min(asset_id) AS rep_id, count(*) AS group_size
+      FROM a GROUP BY h)
+SELECT a.asset_id, g.rep_id, g.group_size
+FROM a JOIN g USING (h) ORDER BY asset_id"""),
+
     // Multi-way TPC-H-style joins. Revenue mirrors the Spark side's
     // integer domain: cents(extendedprice) × (100 − discount%) summed
     // exactly, one division at the end. DuckDB widens BIGINT sums to

@@ -1387,6 +1387,35 @@ object Queries {
         .orderBy("asset_id")
     }),
 
+    // REAL content embedding (byte-n-gram signed feature hashing,
+    // codegen — no stub) driving content-level dedup over binary
+    // assets: two assets are duplicates iff their embeddings are
+    // identical. The corpus has no exact-content dups, so the planted
+    // construction (the d12/s06 pattern, reproduced verbatim in the
+    // oracle SQL) injects exact copies of every 50th document at
+    // shifted ids — the embedding must place each copy in its
+    // source's group and nothing else anywhere (identical bytes ⇒
+    // identical vector by construction; distinct content ⇒ distinct
+    // vector on these corpora — FeatureHashSpec pins sensitivity), so
+    // the md5-groups SQL is a FULL oracle. One shuffle, keyed by the
+    // 64-float vector (≈256 B/row — the same order as text-dedup
+    // keys; at cluster scale the key could drop to xxhash64(vec)
+    // without changing semantics).
+    "m03_embed_content_dedup" -> ((s, d) => {
+      val docs = documents(s, d)
+      val planted = docs.unionByName(
+        docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+      val emb = Multimodal.assetsFromDocuments(planted)
+        .select(col("asset_id"),
+          Multimodal.featureEmbed(col("content"), 64).as("__v"))
+      val w = Window.partitionBy("__v")
+      emb.select(col("asset_id"),
+          min("asset_id").over(w).as("rep_id"),
+          count(lit(1)).over(w).as("group_size"))
+        .orderBy("asset_id")
+    }),
+
     // ----- Multi-way join analytics on the raw TPC-H tables ---------
     // These exercise Catalyst's join planning directly: a 6-table
     // star/snowflake chain where the two big inputs (lineitem, orders)

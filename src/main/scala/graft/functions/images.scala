@@ -34,4 +34,13 @@ object images {
     * NULL when the bytes are not a well-formed GIF. */
   def image_frames(content: Column, n: Int): Column =
     org.apache.spark.sql.graft.ImageFrames.imageFrames(content, n)
+
+  /** REAL content embedding: dim-width L2-normalized signed feature
+    * hashing (the hashing trick) over sliding byte n-grams —
+    * array<float>, row-local, codegen. Identical bytes ⇒ identical
+    * vector; near-identical ⇒ high cosine; unrelated ⇒ near-
+    * orthogonal. See [[graft.multimodal.FeatureHash]]. */
+  def byte_ngram_features(content: Column, dim: Int, n: Int): Column =
+    org.apache.spark.sql.graft.ByteNgramFeatures
+      .byteNgramFeatures(content, dim, n)
 }

