@@ -1435,6 +1435,13 @@ g AS (SELECT h, min(asset_id) AS rep_id, count(*) AS group_size
 SELECT a.asset_id, g.rep_id, g.group_size
 FROM a JOIN g USING (h) ORDER BY asset_id"""),
 
+    // m04's planted mutation→source retrieval: each mutated asset's
+    // argmax-cosine corpus match is its true source (margin measured
+    // in FeatureHashSpec), so the planted mapping IS the result.
+    "m04_embed_mutation_source" -> ("""
+SELECT doc_id + 2000000 AS query_id, doc_id AS src_id
+FROM documents WHERE doc_id % 37 = 0 ORDER BY query_id"""),
+
     // Multi-way TPC-H-style joins. Revenue mirrors the Spark side's
     // integer domain: cents(extendedprice) × (100 − discount%) summed
     // exactly, one division at the end. DuckDB widens BIGINT sums to

@@ -1416,6 +1416,41 @@ object Queries {
         .orderBy("asset_id")
     }),
 
+    // Batch SOURCE LOOKUP over the real content embedding: a query
+    // batch of planted asset copies (every 37th doc at id+2000000 —
+    // the construction the oracle reproduces verbatim) is joined to
+    // the corpus via the cross-table multi-LSH cosine join, and each
+    // query's argmax-cosine match must be its source. Argmax
+    // certainty: an exact copy scores cosine 1.0 at its source, and
+    // only an exact content duplicate of the source could tie (none
+    // exist, under any regeneration of these corpora — vector
+    // injectivity on distinct content, the m03 property); identical
+    // vectors share every LSH bucket, so recall is 1 by
+    // construction. NEAR-dup retrieval margins (a 1-byte-mutated
+    // query still argmax-resolves to its source, margin ≈ 0.01 over
+    // the closest natural near-dup) are pinned in FeatureHashSpec —
+    // corpus-statistics-dependent, so spec-gated rather than
+    // driver-oracled. The retrieval shape is the one an
+    // embedding-space decontamination or cross-store asset match
+    // runs at scale: bucket-join candidates, verify once per
+    // distinct pair, map-side argmax.
+    "m04_embed_mutation_source" -> ((s, d) => {
+      val docs = documents(s, d)
+      val mutated = docs
+        .filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+                col("text"), col("source"))
+      def emb(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.assetsFromDocuments(df)
+          .select(col("asset_id"),
+            Multimodal.featureEmbed(col("content"), 64).as("__v"))
+      val pairs = Similarity.cosineJoinMulti(emb(mutated), "asset_id",
+        emb(docs), "asset_id", "__v", threshold = 0.8)
+      Similarity.nearestFromPairsDirected(pairs)
+        .select(col("id").as("query_id"), col("nn").as("src_id"))
+        .orderBy("query_id")
+    }),
+
     // ----- Multi-way join analytics on the raw TPC-H tables ---------
     // These exercise Catalyst's join planning directly: a 6-table
     // star/snowflake chain where the two big inputs (lineitem, orders)

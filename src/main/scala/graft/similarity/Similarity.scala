@@ -369,6 +369,75 @@ object Similarity {
               (-col("__m.__negc")).as("cosine"))
   }
 
+  /** Cross-table cosine similarity JOIN via multi-table LSH — the
+    * batch-retrieval sibling of [[cosineNearDuplicatesMulti]]: every
+    * (left, right) pair with cosine ≥ `threshold`, for a BATCH of
+    * query vectors against a corpus (near-dup lookup, embedding-space
+    * decontamination, cross-store asset matching). Same recall
+    * construction as the self form (OR over `tables` independent
+    * plane sets), with the 1-bit probe expansion on the LEFT side
+    * only — left∧right both expanding would square the probe volume
+    * for the same 1-bit reach.
+    *
+    * Scale shape: candidate generation ships (table, bucket, id)
+    * longs for both sides, one hash-agg groups a bucket's two id
+    * lists, pairs are left×right within the bucket (never
+    * left×left), candidate ids distinct BEFORE the exact verify, and
+    * vectors join back once per unique pair. `maxBucket` caps the
+    * combined bucket population (skew guard, same contract as the
+    * self form: a pair capped in one table still surfaces from any
+    * other). Output: (a = left id, b = right id, cosine 4dp). */
+  def cosineJoinMulti(left: DataFrame, leftId: String,
+                      right: DataFrame, rightId: String, vecCol: String,
+                      threshold: Double, numPlanes: Int = 8,
+                      tables: Int = 16, seed: Long = 42L,
+                      maxBucket: Int = 4000): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val tableSeeds = Seq.tabulate(tables)(t => tableSeed(seed, t))
+    def homes(df: DataFrame, id: String) = {
+      val hs = array(tableSeeds.map(s => lshBucket(col(vecCol), numPlanes, s)): _*)
+      df.select(col(id).as("__id"), posexplode(hs).as(Seq("__t", "__b")))
+    }
+    val lp = homes(left, leftId)
+      .select(col("__id"), col("__t"),
+        explode(array(col("__b") +: Seq.tabulate(numPlanes)(p =>
+          col("__b").bitwiseXOR(lit(1L << p))): _*)).as("__bk"))
+      .withColumn("__s", lit(0))
+    val rp = homes(right, rightId)
+      .select(col("__id"), col("__t"), col("__b").as("__bk"))
+      .withColumn("__s", lit(1))
+    val cand = lp.unionByName(rp).groupBy("__t", "__bk")
+      .agg(collect_list(when(col("__s") === 0, col("__id"))).as("__la"),
+           collect_list(when(col("__s") === 1, col("__id"))).as("__lb"))
+      .filter(size(col("__la")) >= 1 && size(col("__lb")) >= 1 &&
+        size(col("__la")) + size(col("__lb")) <= maxBucket)
+      .select(explode(col("__la")).as("a"), col("__lb"))
+      .select(col("a"), explode(col("__lb")).as("b"))
+      .distinct()
+    val xa = left.select(col(leftId).as("a"), col(vecCol).as("__vx"),
+      norm(col(vecCol)).as("__nx"))
+    val xb = right.select(col(rightId).as("b"), col(vecCol).as("__vy"),
+      norm(col(vecCol)).as("__ny"))
+    cand.join(xa, "a").join(xb, "b")
+      .withColumn("cosine", round(
+        when(col("__nx") * col("__ny") === 0, 0.0)
+          .otherwise(dot(col("__vx"), col("__vy")) / (col("__nx") * col("__ny"))),
+        4))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Per-LEFT-id argmax over a DIRECTED (a, b, cosine) pair set from
+    * [[cosineJoinMulti]] — for each query, its best corpus match.
+    * Map-side partial maxes; (cosine desc, b asc) tie-break via one
+    * `min` over `struct(-cosine, b)`, the [[nearestFromPairs]]
+    * convention. */
+  def nearestFromPairsDirected(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("a").as("id"))
+      .agg(min(struct((-col("cosine")).as("__negc"), col("b"))).as("__m"))
+      .select(col("id"), col("__m.b").as("nn"),
+              (-col("__m.__negc")).as("cosine"))
+
   /** The query's bucket and its single-bit-flip neighbors. The bucket
     * id is computed DRIVER-SIDE by the expression's local twin
     * ([[graft] VectorLshBucket.evalLocal] — same constants, parity

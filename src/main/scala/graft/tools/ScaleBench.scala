@@ -34,7 +34,7 @@ object ScaleBench {
     // events.parquet carries ns timestamps (see TestData.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val done = new org.apache.hadoop.fs.Path(dst, "_DONE5")
+    val done = new org.apache.hadoop.fs.Path(dst, "_DONE6")
     val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(done)) {
       def t(n: String): DataFrame = spark.read.parquet(s"$src/$n.parquet")
@@ -48,19 +48,31 @@ object ScaleBench {
         .withColumn("l_orderkey", col("l_orderkey") + col("__i") * maxOrder)
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-      // documents scale with a per-copy VOCABULARY REMAP: every token
-      // maps deterministically to a real corpus word,
-      // vocab[xxhash64(tok, copy) mod W]. Three properties at once:
+      // documents scale with a per-copy VOCABULARY REMAP: stopwords
+      // pass through unchanged; every other token maps to a real
+      // corpus word vocab[xxhash64(tok) mod W] carrying a copy suffix
+      // ("…q<copy>"). Four properties at once:
       //  - within-copy duplicate structure is preserved (the map is a
-      //    pure function of the token, so identical/overlapping token
-      //    sets stay identical/overlapping) → dedup output grows
-      //    ×factor, not ×factor² (identical-text replication would
-      //    merge every dup group across copies);
-      //  - copies are mutually dissimilar (different copy seeds give
-      //    near-disjoint images; expected cross-copy jaccard ≈
-      //    |doc|²/W ≪ any pair threshold);
-      //  - the text stays STATISTICALLY NATURAL — tokens are real
-      //    corpus words, so quality scoring, stopword ratios, and
+      //    pure function of the token within a copy, so identical/
+      //    overlapping token sets stay identical/overlapping) → dedup
+      //    output grows ×factor, not ×factor² (identical-text
+      //    replication would merge every dup group across copies);
+      //  - copies are mutually dissimilar (content-word images are
+      //    DISJOINT across copies — only the ~10 shared stopwords
+      //    overlap, cross-copy jaccard ≈ 0.03 ≪ any pair threshold);
+      //  - VOCABULARY GROWS WITH THE CORPUS (Heaps-style: ×factor
+      //    content vocabulary) and per-word document frequency stays
+      //    at its base-corpus level, so the Zipf tail that rare-first
+      //    prefix filtering (PPJoin j01/j02/d11) depends on survives
+      //    the scale-up. The earlier copy-seeded remap collapsed the
+      //    whole ×100 corpus onto ONE 2000-word vocabulary — every
+      //    token common, every prefix bucket hot — which measures the
+      //    operators against a vocabulary pathology no natural corpus
+      //    (Heaps' law) exhibits; that ceiling is kept in BENCH_NOTES
+      //    as an adversarial stress row, not as the scaling number;
+      //  - the text stays STATISTICALLY NATURAL — stopword mass is
+      //    untouched and content tokens are real corpus words (plus a
+      //    short suffix), so quality scoring, stopword ratios, and
       //    char-n-gram language ID behave as on real data and the
       //    curation pipelines (c01/c02/c06) keep their selectivity
       //    (the earlier tag-prefix transform zeroed the stopword
@@ -71,13 +83,18 @@ object ScaleBench {
         .groupBy("__t").count().orderBy(desc("count"), asc("__t")).limit(2000)
         .collect().map(_.getString(0))
       val vocabLit = array(vocab.toIndexedSeq.map(lit): _*)
+      val stopLit = array(
+        graft.text.TextFunctions.EnglishStopwords.map(lit): _*)
       t("documents").withColumn("__i", copies)
         .withColumn("doc_id", col("doc_id") + col("__i") * maxDoc)
         .withColumn("text", array_join(
           transform(split(col("text"), "\\s+"), tok =>
-            element_at(vocabLit,
-              (pmod(xxhash64(tok, col("__i")), lit(vocab.length)) + 1)
-                .cast("int"))), " "))
+            when(array_contains(stopLit, lower(tok)), tok)
+              .otherwise(concat(
+                element_at(vocabLit,
+                  (pmod(xxhash64(tok), lit(vocab.length)) + 1)
+                    .cast("int")),
+                lit("q"), col("__i")))), " "))
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
       // customer scales with COPY-ISOLATED names: each copy's names are

@@ -103,4 +103,51 @@ class FeatureHashSpec extends AnyFunSuite {
     assert(expected.count(_._3 > 1L) >= 2, "planting produced no dups")
     assert(got.filter(_._1 >= 1000000L).forall(r => r._2 == r._1 - 1000000L))
   }
+
+  test("m04 mutation→source retrieval ≡ planted mapping; argmax margin real") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = Queries.all("m04_embed_mutation_source")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.collect { case (id, _) if id % 37 == 0 =>
+      (id + 2000000L, id) }.sortBy(_._1)
+    assert(expected.nonEmpty)
+    assert(got.sameElements(expected))
+    // NEAR-dup retrieval margin, brute force: a 1-byte-mutated query
+    // still argmax-resolves to its source ahead of every natural
+    // near-dup. This pins the capability the oracle-checked exact
+    // form doesn't: the margin is a statistic of the CURRENT corpus
+    // (closest natural byte-cosine pair ≈ 0.97), so it is spec-gated
+    // here (measured 0.011 at sf0.001) rather than driver-oracled.
+    val corpus = docs.map { case (id, t) => id -> vec(t) }
+    var worstMargin = Double.MaxValue
+    for ((srcId, text) <- docs if srcId % 37 == 0) {
+      val q = vec(text + "~")
+      val toSource = cosine(q, corpus.find(_._1 == srcId).get._2)
+      val bestOther = corpus.collect {
+        case (id, v) if id != srcId => cosine(q, v) }.max
+      worstMargin = math.min(worstMargin, toSource - bestOther)
+    }
+    assert(worstMargin > 0.005, s"argmax margin too thin: $worstMargin")
+  }
+
+  test("cosineJoinMulti: subset-of-exact, and complete on the fixture") {
+    val sfDir = "/root/testdata/sf0.001"
+    import graft.similarity.Similarity
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    val emb = docs.select(col("doc_id").as("id"),
+      graft.functions.images.byte_ngram_features(
+        to_binary(col("text"), lit("utf-8")), 64, 8).as("v"))
+    val shifted = emb.select((col("id") + 5000L).as("id"), col("v"))
+    val got = Similarity.cosineJoinMulti(emb, "id", shifted, "id", "v",
+        threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // exact: each left vector matches exactly its own shifted twin at
+    // cosine 1 (vectors injective on the corpus — the m03 property)
+    val expected = emb.select("id").collect().map(_.getLong(0))
+      .map(id => (id, id + 5000L)).sorted
+    assert(got.sameElements(expected))
+  }
 }
