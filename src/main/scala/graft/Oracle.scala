@@ -1442,6 +1442,21 @@ FROM a JOIN g USING (h) ORDER BY asset_id"""),
 SELECT doc_id + 2000000 AS query_id, doc_id AS src_id
 FROM documents WHERE doc_id % 37 = 0 ORDER BY query_id"""),
 
+    // d13's embedding-space decontamination: brute-force cross cosine
+    // between the held-out benchmark slice and the rest, same rounding
+    // discipline as e03.
+    "d13_embed_decontaminate" -> ("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT c.vec_id,
+         ROUND(list_dot_product(b.v, c.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+  FROM e b, e c
+  WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0)
+SELECT vec_id, COUNT(*) AS n_bench_hits, MAX(cosine) AS max_cosine
+FROM p WHERE cosine >= 0.4 GROUP BY vec_id ORDER BY vec_id"""),
+
     // Multi-way TPC-H-style joins. Revenue mirrors the Spark side's
     // integer domain: cents(extendedprice) × (100 − discount%) summed
     // exactly, one division at the end. DuckDB widens BIGINT sums to

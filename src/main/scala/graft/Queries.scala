@@ -1451,6 +1451,29 @@ object Queries {
         .orderBy("query_id")
     }),
 
+    // EMBEDDING-SPACE decontamination: flag every training vector
+    // semantically close (cosine ≥ 0.4 — this corpus's near-dup
+    // band, see e03) to a held-out benchmark slice (vec_id ≡ 0 mod
+    // 10), via the cross-table multi-LSH cosine join with full
+    // flip-meets-flip reach (expandRight — the background cosine
+    // mass sits AT the threshold here, e03's worst-case regime,
+    // where the 20-table construction is measured at 100% recall).
+    // The semantic sibling of d04's n-gram decontamination: the
+    // benchmark side is small and probes; the corpus never
+    // self-joins. Brute-force cross-cosine SQL is the full oracle.
+    "d13_embed_decontaminate" -> ((s, d) => {
+      val emb = TestData.table(s, d, "embeddings")
+      val pairs = Similarity.cosineJoinMulti(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id",
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
+        "embedding", threshold = Similarity.PairThreshold,
+        tables = Similarity.PairTables, expandRight = true)
+      pairs.groupBy(col("b").as("vec_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+             max(col("cosine")).as("max_cosine"))
+        .orderBy("vec_id")
+    }),
+
     // ----- Multi-way join analytics on the raw TPC-H tables ---------
     // These exercise Catalyst's join planning directly: a 6-table
     // star/snowflake chain where the two big inputs (lineitem, orders)

@@ -375,9 +375,15 @@ object Similarity {
     * query vectors against a corpus (near-dup lookup, embedding-space
     * decontamination, cross-store asset matching). Same recall
     * construction as the self form (OR over `tables` independent
-    * plane sets), with the 1-bit probe expansion on the LEFT side
-    * only — left∧right both expanding would square the probe volume
-    * for the same 1-bit reach.
+    * plane sets), with the 1-bit probe expansion on the LEFT side by
+    * default — duplicate-grade retrieval (hamming-0 bucket hits)
+    * never needs more, and expanding both sides multiplies probe
+    * volume. `expandRight = true` restores the self form's full
+    * flip-meets-flip reach (effective hamming-2) for THRESHOLD-grade
+    * joins on hard corpora — the regime where
+    * [[cosineNearDuplicatesMulti]]'s measured-100% recall was
+    * established; use it when the background cosine mass sits near
+    * the threshold (e.g. embedding-space decontamination).
     *
     * Scale shape: candidate generation ships (table, bucket, id)
     * longs for both sides, one hash-agg groups a bucket's two id
@@ -391,20 +397,23 @@ object Similarity {
                       right: DataFrame, rightId: String, vecCol: String,
                       threshold: Double, numPlanes: Int = 8,
                       tables: Int = 16, seed: Long = 42L,
-                      maxBucket: Int = 4000): DataFrame = {
+                      maxBucket: Int = 4000,
+                      expandRight: Boolean = false): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val tableSeeds = Seq.tabulate(tables)(t => tableSeed(seed, t))
     def homes(df: DataFrame, id: String) = {
       val hs = array(tableSeeds.map(s => lshBucket(col(vecCol), numPlanes, s)): _*)
       df.select(col(id).as("__id"), posexplode(hs).as(Seq("__t", "__b")))
     }
-    val lp = homes(left, leftId)
+    def expanded(base: DataFrame) = base
       .select(col("__id"), col("__t"),
         explode(array(col("__b") +: Seq.tabulate(numPlanes)(p =>
           col("__b").bitwiseXOR(lit(1L << p))): _*)).as("__bk"))
-      .withColumn("__s", lit(0))
-    val rp = homes(right, rightId)
-      .select(col("__id"), col("__t"), col("__b").as("__bk"))
+    val lp = expanded(homes(left, leftId)).withColumn("__s", lit(0))
+    val rpBase = homes(right, rightId)
+    val rp = (if (expandRight) expanded(rpBase)
+              else rpBase.select(col("__id"), col("__t"),
+                col("__b").as("__bk")))
       .withColumn("__s", lit(1))
     val cand = lp.unionByName(rp).groupBy("__t", "__bk")
       .agg(collect_list(when(col("__s") === 0, col("__id"))).as("__la"),
