@@ -76,11 +76,19 @@ object Bench {
           ()
         }
       })
+    // Timing forces FULL materialization of the query's own plan
+    // (queryExecution.toRdd — every output column computed), not
+    // count(): a count on top lets Catalyst prune computed columns
+    // that don't affect cardinality (window/scoring projections), so
+    // count-based timings under-measure projection-heavy queries.
+    // This is what the driver's Verify parquet write pays too, so
+    // bench and correctness now measure the same work.
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = Seq.fill(math.max(1, repeats)) {
         val c0 = cpuNs.get
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         ((System.nanoTime() - t0) / 1e9, (cpuNs.get - c0) / 1e9)
       }.sortBy(_._1)
       name -> times

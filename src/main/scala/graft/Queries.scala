@@ -1444,8 +1444,12 @@ object Queries {
         Multimodal.assetsFromDocuments(df)
           .select(col("asset_id"),
             Multimodal.featureEmbed(col("content"), 64).as("__v"))
+      // 16 planes / 8 tables: exact-copy recall is plane-count-immune
+      // (identical vectors share every bucket), and the finer buckets
+      // keep candidate volume linear on byte-correlated corpora
       val pairs = Similarity.cosineJoinMulti(emb(mutated), "asset_id",
-        emb(docs), "asset_id", "__v", threshold = 0.8)
+        emb(docs), "asset_id", "__v", threshold = 0.8,
+        numPlanes = 16, tables = 8, center = true)
       Similarity.nearestFromPairsDirected(pairs)
         .select(col("id").as("query_id"), col("nn").as("src_id"))
         .orderBy("query_id")

@@ -398,11 +398,32 @@ object Similarity {
                       threshold: Double, numPlanes: Int = 8,
                       tables: Int = 16, seed: Long = 42L,
                       maxBucket: Int = 4000,
-                      expandRight: Boolean = false): DataFrame = {
+                      expandRight: Boolean = false,
+                      center: Boolean = false): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val tableSeeds = Seq.tabulate(tables)(t => tableSeed(seed, t))
+    // `center = true`: subtract the RIGHT (corpus) mean vector before
+    // hyperplane bucketing — verification still runs on the RAW
+    // cosine, so results are unchanged in definition; only candidate
+    // generation changes. Natural-content embeddings (byte-n-gram
+    // profiles, TF-style vectors) share a large common component, so
+    // origin-through hyperplane signs correlate and a handful of
+    // bucket patterns swallow the corpus: candidate volume grows
+    // super-linearly (measured on m04: ×95 shuffle at ×10 corpus).
+    // Mean-centering decorrelates the signs and restores ~uniform
+    // bucket occupancy — the standard remedy. The mean is one
+    // map-side-combined aggregation, dim-bounded at the driver.
+    val adjust: Column => Column = if (!center) identity else {
+      val mean = right
+        .select(posexplode(col(vecCol)).as(Seq("__p", "__x")))
+        .groupBy("__p").agg(avg(col("__x")).as("__m"))
+        .orderBy("__p").collect().map(_.getDouble(1))
+      val meanLit = array(mean.toIndexedSeq.map(m => lit(m.toFloat)): _*)
+      v => zip_with(v, meanLit, (x, m) => x - m)
+    }
     def homes(df: DataFrame, id: String) = {
-      val hs = array(tableSeeds.map(s => lshBucket(col(vecCol), numPlanes, s)): _*)
+      val hs = array(tableSeeds.map(s =>
+        lshBucket(adjust(col(vecCol)), numPlanes, s)): _*)
       df.select(col(id).as("__id"), posexplode(hs).as(Seq("__t", "__b")))
     }
     def expanded(base: DataFrame) = base

@@ -60,6 +60,21 @@ class JoinPlanShapeSpec extends AnyFunSuite {
       s"vocabulary ranking funnels through one task:\n$plan")
   }
 
+  test("m04/d13: LSH cosine joins plan no quadratic join") {
+    // the cross-table retrieval/decontamination queries must stay
+    // bucket-join shaped end to end — a CartesianProduct or
+    // BroadcastNestedLoopJoin here means the LSH candidate path
+    // collapsed to all-pairs and would never survive a 100× scale-up
+    Seq("m04_embed_mutation_source", "d13_embed_decontaminate")
+      .foreach { name =>
+        val quadratic = executed(name).collect {
+          case j: BroadcastNestedLoopJoinExec => j
+          case j: CartesianProductExec => j
+        }
+        assert(quadratic.isEmpty, s"$name planned a quadratic join")
+      }
+  }
+
   test("q55: the returnflag filter reaches the lineitem scan") {
     val scans = executed("q55_returned_revenue").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
