@@ -25,7 +25,11 @@ object ProfileQueries {
     spark.sparkContext.setLogLevel("ERROR")
     for (r <- 1 to repeats; name <- names) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+      // Full materialization (toRdd), matching graft.Bench — count()
+      // lets Catalyst prune computed columns and under-measures
+      // projection-heavy queries.
+      val n = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.toRdd.count()
       println(f"[profile] run$r $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
