@@ -1801,6 +1801,32 @@ SELECT c_custkey, t3 AS redacted_name,
 FROM s3 ORDER BY c_custkey"""
     },
 
+    // Full-strength BPE oracle: the IDENTICAL rank-ordered replace
+    // chain over the piped symbol representation (see graft.text.Bpe
+    // for why chained literal replace == greedy left-to-right BPE
+    // merge application), built from the same frozen merge table the
+    // Spark entry uses. md5 of the final state checks the entire
+    // tokenization, not just the count.
+    "t15_bpe_encode" -> {
+      val start =
+        """regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '(.)', '|\1|', 'g')"""
+      val chain = graft.text.Bpe.DefaultMerges.foldLeft(start) {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""
+WITH enc AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         $chain AS e
+  FROM documents)
+SELECT doc_id,
+       CAST((length(e) - length(replace(e, '|', ''))) // 2
+            - (length(norm) - length(replace(norm, ' ', ''))) AS BIGINT)
+         AS n_bpe_tokens,
+       md5(e) AS bpe_hash
+FROM enc ORDER BY doc_id"""
+    },
+
     // d08 = A-ES weighted sampling on the shared integer grid: u from
     // the first 8 md5 hex chars, -ln(u) quantized to 1e-9 before an
     // exact integer divide by the token-count weight (see

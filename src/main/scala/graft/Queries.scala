@@ -10,7 +10,7 @@ import graft.functions.money._
 import graft.dedup.{ConnectedComponents, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Mixture, TextFunctions}
+import graft.text.{Bpe, Mixture, TextFunctions}
 
 /** The engine's query catalog — one named query per operator of
   * `SURVEY.md` §2, each runnable over a testdata scale-factor directory
@@ -1943,6 +1943,24 @@ object Queries {
         .select(col("c_custkey"), col("__r.redacted").as("redacted_name"),
           col("__r.n_redacted").as("n_redacted"))
         .orderBy("c_custkey")
+    }),
+
+    // REAL BPE tokenization (not the t01 subword proxy): the frozen
+    // 24-rank merge table applied via the piped-representation encode
+    // (graft.text.Bpe) — 24 chained codegen StringReplace expressions,
+    // scan-local, shuffle-free. The md5 of the final tokenization
+    // state pins symbol identity AND order, so the DuckDB oracle
+    // (the identical replace chain in ANSI SQL) checks the entire
+    // encoding, not just the count. Training the table is `Bpe.train`
+    // (vocabulary-side Sennrich), spec-covered in BpeSpec.
+    "t15_bpe_encode" -> ((s, d) => {
+      val norm = Bpe.normalize(col("text"))
+      val enc = Bpe.encode(col("text"))
+      documents(s, d)
+        .select(col("doc_id"),
+          Bpe.tokenCount(enc, norm).as("n_bpe_tokens"),
+          Bpe.encodingHash(enc).as("bpe_hash"))
+        .orderBy("doc_id")
     }),
 
     // Deterministic stratified sampling: k docs per source, picked by
