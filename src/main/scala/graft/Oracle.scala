@@ -1801,6 +1801,32 @@ SELECT c_custkey, t3 AS redacted_name,
 FROM s3 ORDER BY c_custkey"""
     },
 
+    // Bigram LM scoring: bigrams via the t05 list derivation
+    // (NON-distinct), add-1 smoothing over the distinct-unigram
+    // vocabulary, per-term 1e-6 grid rounding like t11.
+    "t16_bigram_logprob" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM t),
+ucnt AS (SELECT t, COUNT(*) AS ca FROM tok GROUP BY t),
+v AS (SELECT COUNT(*) AS v FROM ucnt),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+bcnt AS (SELECT bg, COUNT(*) AS cb FROM bgw GROUP BY bg),
+scored AS (
+  SELECT bgw.doc_id,
+         CAST(ROUND(-ln((bcnt.cb + 1.0) / (ucnt.ca + v.v)) * 1000000)
+              AS BIGINT) AS m
+  FROM bgw JOIN bcnt USING (bg) JOIN ucnt ON ucnt.t = bgw.w1 CROSS JOIN v)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+
     // Full-strength BPE oracle: the IDENTICAL rank-ordered replace
     // chain over the piped symbol representation (see graft.text.Bpe
     // for why chained literal replace == greedy left-to-right BPE

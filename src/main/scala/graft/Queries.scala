@@ -1945,6 +1945,41 @@ object Queries {
         .orderBy("c_custkey")
     }),
 
+    // Corpus bigram language model with add-1 smoothing, scoring each
+    // doc by the mean negative log-likelihood of its bigram
+    // occurrences (t11's unigram LM extended one order — the
+    // perplexity-filter shape of a real curation stack). Bigram
+    // occurrences come from one codegen regex pass (the t05 shingle
+    // lookahead, NON-distinct); model counts are two map-side-combined
+    // aggregations; scoring is two hash joins on the count tables.
+    // Floats follow t11's cross-engine discipline: each term rounded
+    // on the 1e-6 grid as BIGINT before the per-doc mean. Docs with
+    // fewer than two tokens have no bigrams and drop out, as in the
+    // oracle.
+    "t16_bigram_logprob" -> ((s, d) => {
+      val docs = documents(s, d)
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
+      val tok = docs.select(
+        explode(TextFunctions.tokens(col("text"))).as("t"))
+      val ucnt = tok.groupBy("t").agg(count(lit(1)).as("ca"))
+      val v = ucnt.count()
+      val bg = docs.select(col("doc_id"),
+          explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
+        .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      val bcnt = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+      bg.join(bcnt, "bg")
+        .join(ucnt.withColumnRenamed("t", "w1"), "w1")
+        .withColumn("__m",
+          round(-log((col("cb") + 1.0) / (col("ca") + v.toDouble)) * 1e6)
+            .cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
+               .as("mean_nll"))
+        .orderBy("doc_id")
+    }),
+
     // REAL BPE tokenization (not the t01 subword proxy): the frozen
     // 24-rank merge table applied via the piped-representation encode
     // (graft.text.Bpe) — 24 chained codegen StringReplace expressions,
