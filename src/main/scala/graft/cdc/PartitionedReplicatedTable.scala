@@ -46,7 +46,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 final class PartitionedReplicatedTable(spark: SparkSession, path: String,
                                        val keys: Seq[String],
-                                       val partitionCol: String)
+                                       val partitionCol: String,
+                                       val statsCols: Seq[String] = Nil)
     extends KeyedTable {
 
   private val root = new Path(path)
@@ -87,19 +88,26 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
 
   def isSnapshotDone: Boolean = fs.exists(head)
 
-  /** The committed manifest: encoded partition value → "v=N" | EMPTY. */
-  private def manifest(): Map[String, String] =
+  /** One committed manifest row: the partition's version dir ("v=N" |
+    * EMPTY) plus its optional zone-map stats string. */
+  private case class Entry(ver: String, stats: Option[String])
+
+  /** The committed manifest: encoded partition value → entry. Lines
+    * are `enc \t ver [\t stats]` — the 2-field form (pre-zone-map
+    * manifests) still parses, so stats adoption needs no migration. */
+  private def manifest(): Map[String, Entry] =
     if (!isSnapshotDone) Map.empty
     else readSmall(new Path(root, s"m=${readSmall(head)}"))
       .linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(e, v) = line.split('\t'); e -> v
+        val f = line.split('\t')
+        f(0) -> Entry(f(1), f.lift(2).filter(_.nonEmpty))
       }.toMap
 
-  private def read(m: Map[String, String], parts: Seq[String]): DataFrame = {
+  private def read(m: Map[String, Entry], parts: Seq[String]): DataFrame = {
     // pair each requested partition with ITS OWN manifest entry —
     // partitions absent from the manifest (new in this batch) or EMPTY
     // contribute no dir
-    val dirs = parts.flatMap(e => m.get(e).collect {
+    val dirs = parts.flatMap(e => m.get(e).map(_.ver).collect {
       case v if v != Empty => new Path(partDir(e), v).toString
     })
     if (dirs.isEmpty) spark.createDataFrame(
@@ -158,9 +166,14 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
 
   /** One staged partitioned write, per-partition version renames, then
     * a single manifest publish as the batch's commit point. A partition
-    * absent from the staged output became empty. */
+    * absent from the staged output became empty. With statsCols set,
+    * zone-map stats for the installed partitions are computed BETWEEN
+    * install and publish — one scan of the just-written (page-cache
+    * warm) parquet, never a recompute of the merge lineage — and ride
+    * the same manifest commit; untouched partitions carry their stats
+    * forward. */
   private def stageAndInstall(df: DataFrame, affected: Seq[String],
-                              prev: Map[String, String],
+                              prev: Map[String, Entry],
                               manifestV: Int): Unit = {
     val stage = new Path(root, s"_stage-${System.nanoTime()}")
     df.withColumn("__p", encExpr)
@@ -184,17 +197,119 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
         e -> s"v=$next"
       } else e -> Empty
     }
-    val next = prev ++ updates
+    val stats = computeStats(updates.collect {
+      case (e, v) if v != Empty => new Path(partDir(e), v)
+    })
+    val next = prev ++ updates.map { case (e, v) =>
+      e -> Entry(v, if (v == Empty) None else stats.get(e))
+    }
     writeSmall(new Path(root, s"m=$manifestV"),
-      next.map { case (e, v) => s"$e\t$v" }.mkString("\n"))
+      next.map { case (e, en) =>
+        s"$e\t${en.ver}" + en.stats.fold("")("\t" + _)
+      }.mkString("\n"))
     writeSmall(head, manifestV.toString) // the commit point
     fs.delete(stage, true)
+  }
+
+  // ---- zone maps -------------------------------------------------------
+
+  /** Per-partition min/max of every stats column over the given
+    * installed version dirs, as one Spark job (the partition key is
+    * recovered from the file path). Values are hex-encoded with [[enc]]
+    * so the manifest line stays tab/newline-free; an all-null column is
+    * recorded as `-`. */
+  private def computeStats(installed: Seq[Path]): Map[String, String] = {
+    if (statsCols.isEmpty || installed.isEmpty) return Map.empty
+    val base = spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .parquet(installed.map(_.toString): _*)
+      .withColumn("__e",
+        regexp_extract(input_file_name(), "p=([^/]+)/v=", 1))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    base.groupBy("__e").agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val e = r.getString(0)
+        val s = statsCols.map { c =>
+          val mn = Option(r.getAs[String](s"__mn_$c")).map(enc).getOrElse("-")
+          val mx = Option(r.getAs[String](s"__mx_$c")).map(enc).getOrElse("-")
+          s"$c,$mn,$mx"
+        }.mkString("|")
+        e -> s
+      }.toMap
+  }
+
+  private def decHex(s: String): String =
+    new String(s.stripPrefix("x").grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray,
+      StandardCharsets.UTF_8)
+
+  /** Zone-map interval of `column` in a stats string: None = stats
+    * absent (cannot prune), Some(None) = all rows null (range
+    * predicates match nothing), Some(Some((min, max))) otherwise. */
+  private def zoneOf(stats: Option[String], column: String)
+      : Option[Option[(String, String)]] =
+    stats.flatMap(_.split('|').iterator.map(_.split(','))
+      .collectFirst { case Array(c, mn, mx) if c == column =>
+        if (mn == "-" || mx == "-") None
+        else Some((decHex(mn), decHex(mx)))
+      })
+
+  /** Ordering on the stored string representation, typed off the
+    * schema: numerics compare as decimals (scientific notation
+    * included), dates/timestamps/strings lexicographically (ISO forms
+    * order chronologically). */
+  private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** Encoded partition keys whose zone intersects [lo, hi] (null =
+    * unbounded). Partitions without stats for `column` are kept —
+    * pruning is only ever a superset filter. */
+  private def survivors(m: Map[String, Entry], column: String,
+                        lo: Any, hi: Any): Seq[String] = {
+    val dt = schema(column).dataType
+    m.toSeq.collect {
+      case (e, en) if en.ver != Empty &&
+        zoneOf(en.stats, column).forall(_.exists { case (mn, mx) =>
+          (lo == null || cmp(dt, mx, String.valueOf(lo)) >= 0) &&
+          (hi == null || cmp(dt, mn, String.valueOf(hi)) <= 0)
+        }) => e
+    }
+  }
+
+  /** Zone-map pruned read: partitions whose recorded [min, max] for
+    * `column` cannot intersect [lo, hi] are skipped from the manifest
+    * alone — no file listing, no parquet footer reads. This is the
+    * manifest-level data skipping that makes a selective range query
+    * O(matching partitions) on a table whose partition COLUMN is
+    * something else entirely (e.g. amount ranges over a date-
+    * partitioned fact). The read is a superset by contract: callers
+    * apply the precise predicate on top (here as a pushed filter).
+    * Requires the column in `statsCols`; partitions committed before
+    * stats were enabled are conservatively kept. */
+  def currentRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val m = manifest()
+    var df = read(m, survivors(m, column, lo, hi))
+    if (lo != null) df = df.filter(col(column) >= lit(lo))
+    if (hi != null) df = df.filter(col(column) <= lit(hi))
+    df
+  }
+
+  /** Pruning diagnostics for tests/monitoring: (surviving, total)
+    * non-empty partition counts for the range. */
+  def pruneStats(column: String, lo: Any, hi: Any): (Int, Int) = {
+    val m = manifest()
+    (survivors(m, column, lo, hi).size, m.count(_._2.ver != Empty))
   }
 
   /** Version of one partition value (None = no such partition,
     * Some(EMPTY) = all rows deleted). Exposed for tests/monitoring. */
   def partitionVersion(value: Any): Option[String] =
-    manifest().get(enc(value))
+    manifest().get(enc(value)).map(_.ver)
 
   /** Table maintenance — the VACUUM analog this layout needs at a
     * 1-minute lag cadence (every touched partition leaves its previous
@@ -219,7 +334,7 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
       val p = new Path(root, s"m=$v")
       if (!fs.exists(p)) Nil
       else readSmall(p).linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(e, ver) = line.split('\t'); (e, ver)
+        val f = line.split('\t'); (f(0), f(1))
       }.toSeq
     }.filter(_._2 != Empty).toSet
     // sweep unreferenced partition versions

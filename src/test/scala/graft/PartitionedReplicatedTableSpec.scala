@@ -12,6 +12,9 @@ import graft.sources.ReferenceCsv
 case class PKv(k: Int, day: String, v: String)
 case class PKvChange(k: Int, day: String, v: String,
                      _op: String, _lsn: Long, _commit_ts: Timestamp)
+case class ZKv(k: Int, day: String, amt: Option[Long], tag: String)
+case class ZKvChange(k: Int, day: String, amt: Option[Long], tag: String,
+                     _op: String, _lsn: Long, _commit_ts: Timestamp)
 
 class PartitionedReplicatedTableSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -226,5 +229,75 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
     // pruned read only scans the touched partition
     assert(part.currentForValues(Seq(Date.valueOf("2025-01-01"))).count() == 300)
+  }
+
+  test("zone maps: range reads prune partitions and stay exact") {
+    val dir = Files.createTempDirectory("graft-zmap").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day",
+      statsCols = Seq("amt", "tag"))
+
+    // four date partitions with disjoint amt ranges
+    t.snapshot(Seq(
+      ZKv(1, "2024-01-01", Some(10L), "alpha"),
+      ZKv(2, "2024-01-01", Some(19L), "beta"),
+      ZKv(3, "2024-01-02", Some(100L), "gamma"),
+      ZKv(4, "2024-01-02", Some(150L), "delta"),
+      ZKv(5, "2024-01-03", Some(1000L), "epsilon"),
+      ZKv(6, "2024-01-04", None, "zeta")).toDF())
+
+    // a selective range on the NON-partition column skips 3 of 4
+    // partitions from the manifest alone, and the result equals the
+    // full-scan filter
+    assert(t.pruneStats("amt", 90L, 200L) == (1, 4))
+    val got = t.currentRange("amt", 90L, 200L)
+      .as[ZKv].collect().map(_.k).sorted.toSeq
+    assert(got == Seq(3, 4))
+
+    // all-null partition: range predicates can never match it → pruned
+    assert(t.pruneStats("amt", 0L, Long.MaxValue) == (3, 4))
+    // unbounded side works
+    assert(t.currentRange("amt", 500L, null).as[ZKv]
+      .collect().map(_.k).toSeq == Seq(5))
+    // string column zones prune too (lexicographic)
+    assert(t.pruneStats("tag", "a", "b") == (1, 4))
+
+    // an apply that widens one partition's range refreshes ITS zone
+    // and carries the others forward
+    t.applyChanges(Seq(
+      ZKvChange(7, "2024-01-01", Some(9999L), "eta",
+        CdcApply.Insert, 1, ts(1))).toDF())
+    assert(t.pruneStats("amt", 5000L, null) == (1, 4))
+    assert(t.currentRange("amt", 5000L, null).as[ZKv]
+      .collect().map(_.k).toSeq == Seq(7))
+    // untouched partitions still prune on carried-forward stats
+    assert(t.currentRange("amt", 90L, 200L).as[ZKv]
+      .collect().map(_.k).sorted.toSeq == Seq(3, 4))
+  }
+
+  test("zone maps: pre-stats manifests are conservatively kept") {
+    val dir = Files.createTempDirectory("graft-zmap2").toString
+    // written WITHOUT stats...
+    val bare = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    bare.snapshot(Seq(
+      ZKv(1, "2024-01-01", Some(10L), "a"),
+      ZKv(2, "2024-01-02", Some(100L), "b")).toDF())
+
+    // ...reopened WITH stats: no zones exist yet, so nothing is pruned
+    // (superset contract) but results stay exact
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day",
+      statsCols = Seq("amt"))
+    assert(t.pruneStats("amt", 0L, 50L) == (2, 2))
+    assert(t.currentRange("amt", 0L, 50L).as[ZKv]
+      .collect().map(_.k).toSeq == Seq(1))
+
+    // the first stats-enabled apply zones the touched partition;
+    // the untouched one stays conservative
+    t.applyChanges(Seq(
+      ZKvChange(3, "2024-01-01", Some(20L), "c",
+        CdcApply.Insert, 1, ts(1))).toDF())
+    assert(t.pruneStats("amt", 0L, 50L) == (2, 2)) // day2 has no zone yet
+    assert(t.pruneStats("amt", 500L, null) == (1, 2)) // day1 zone prunes it
+    assert(t.currentRange("amt", 0L, 50L).as[ZKv]
+      .collect().map(_.k).sorted.toSeq == Seq(1, 3))
   }
 }
