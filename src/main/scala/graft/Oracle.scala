@@ -1104,6 +1104,32 @@ FROM p GROUP BY a ORDER BY doc_id"""),
     // so brute force is a FULL pair-level oracle for the minhash
     // operator. The token join replaces the cross join: tokens are
     // cluster-disjoint by construction, so only true candidates meet.
+    // Passage dedup: 10-token segments, first-occurrence keep
+    // (min doc_id, seg_idx), docs reassembled in segment order.
+    // DuckDB list slices are 1-based inclusive; string_agg skips the
+    // NULLed dropped segments and orders within the group.
+    "d14_segment_dedup" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS seg
+  FROM t, UNNEST(range(((len(toks)-1)//10) + 1)) AS u(i)),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs),
+reb AS (
+  SELECT doc_id, COUNT(*) AS n_segs,
+         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+         string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx)
+           AS t2
+  FROM ranked GROUP BY doc_id)
+SELECT doc_id, n_segs, n_dropped, md5(COALESCE(t2, '')) AS text_hash
+FROM reb ORDER BY doc_id"""),
+
     "d12_minhash_planted" -> ("""
 WITH ids AS (SELECT DISTINCT doc_id FROM documents),
 corpus AS (
