@@ -311,6 +311,35 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
   def partitionVersion(value: Any): Option[String] =
     manifest().get(enc(value)).map(_.ver)
 
+  /** OPTIMIZE — clustered compaction. Rewrites the selected
+    * partitions (all non-empty ones by default) range-partitioned and
+    * sorted on `clusterBy`, so every output file covers a disjoint
+    * range of the cluster key: parquet row-group min/max pushdown and
+    * the manifest zone maps both get tight, and the many small files
+    * a fine-grained CDC cadence leaves behind collapse into
+    * `tasks`-bounded sorted runs. The row multiset is unchanged —
+    * this is a layout-only rewrite riding the exact stage / install /
+    * manifest-commit machinery of applyChanges, so it is crash-safe
+    * and invisible to readers until the single pointer swap (and the
+    * superseded versions are VACUUM's business, as ever). Run it like
+    * vacuum: single writer, between applies. */
+  def optimize(clusterBy: Seq[String], tasks: Int = 0): Unit = {
+    require(isSnapshotDone, s"cannot optimize before snapshot: $path")
+    val m = manifest()
+    val affected = m.collect {
+      case (e, en) if en.ver != Empty => e
+    }.toSeq
+    if (affected.isEmpty) return
+    val cur = read(m, affected)
+    val ks = (partitionCol +: clusterBy).map(col)
+    val clustered =
+      if (tasks > 0) cur.repartitionByRange(tasks, ks: _*)
+        .sortWithinPartitions(ks: _*)
+      else cur.repartitionByRange(ks: _*)
+        .sortWithinPartitions(ks: _*)
+    stageAndInstall(clustered, affected, m, readSmall(head).toInt + 1)
+  }
+
   /** Table maintenance — the VACUUM analog this layout needs at a
     * 1-minute lag cadence (every touched partition leaves its previous
     * version dir behind; 1 440 manifests/day accumulate): delete every

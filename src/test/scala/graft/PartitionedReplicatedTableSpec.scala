@@ -274,6 +274,49 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
       .collect().map(_.k).sorted.toSeq == Seq(3, 4))
   }
 
+  test("optimize: clustered compaction preserves rows, disjoins file ranges, refreshes zones") {
+    val dir = Files.createTempDirectory("graft-opt").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day",
+      statsCols = Seq("amt"))
+
+    // interleaved amt values so the unoptimized layout has no
+    // clustering to speak of
+    val rows = (0 until 400).map(i =>
+      ZKv(i, if (i % 2 == 0) "2024-01-01" else "2024-01-02",
+        Some(((i * 7919) % 1000).toLong), s"t$i"))
+    t.snapshot(rows.toDF().repartition(8))
+    val before = t.current().as[ZKv].collect().toSet
+
+    t.optimize(clusterBy = Seq("amt"), tasks = 8)
+
+    // layout-only: identical row multiset, versions bumped
+    assert(t.current().as[ZKv].collect().toSet == before)
+    assert(t.partitionVersion("2024-01-01").contains("v=1"))
+
+    // every parquet file in a partition covers a DISJOINT amt range
+    val p1 = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = p1.getFileSystem(spark.sessionState.newHadoopConf())
+    val vdirs = fs.listStatus(p1).map(_.getPath)
+      .filter(_.getName.startsWith("p=")).flatMap(pd =>
+        fs.listStatus(pd).map(_.getPath).filter(_.getName == "v=1"))
+    for (vd <- vdirs) {
+      val files = fs.listStatus(vd).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet"))
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min($"amt"), max($"amt")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      for (Seq(a, b) <- ranges.toSeq.sliding(2) if ranges.length > 1)
+        assert(a._2 <= b._1, s"overlapping clustered files in $vd")
+    }
+
+    // zone maps were recomputed on the optimized layout
+    assert(t.pruneStats("amt", 0L, 999L) == (2, 2))
+    assert(t.currentRange("amt", 10L, 20L).as[ZKv].collect().map(_.k).toSet
+      == rows.filter(r => r.amt.exists(a => a >= 10 && a <= 20)).map(_.k).toSet)
+  }
+
   test("zone maps: pre-stats manifests are conservatively kept") {
     val dir = Files.createTempDirectory("graft-zmap2").toString
     // written WITHOUT stats...
