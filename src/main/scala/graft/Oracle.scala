@@ -1827,6 +1827,33 @@ SELECT c_custkey, t3 AS redacted_name,
 FROM s3 ORDER BY c_custkey"""
     },
 
+    // Frozen hashed-BoW logistic classifier: the same micro-unit
+    // integer weights the Spark entry uses (shared source of truth),
+    // margin as an exact BIGINT sum over md5-bucketed tokens.
+    "t17_quality_classifier" -> {
+      val w = graft.text.TextClassifier.DefaultWeightsMicro
+        .mkString("[", ", ", "]")
+      val b = graft.text.TextClassifier.DefaultBiasMicro
+      s"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         (ascii(substr(md5(t), 1, 1)) * 1000
+          + ascii(substr(md5(t), 2, 1)) * 100
+          + ascii(substr(md5(t), 3, 1)) * 10
+          + ascii(substr(md5(t), 4, 1))) % 64 AS h
+  FROM tok),
+m AS (
+  SELECT doc_id, SUM(($w)[h + 1]) + ($b) AS mi FROM h GROUP BY doc_id)
+SELECT doc_id, CAST(mi AS BIGINT) AS score_micro,
+       CAST(mi > 0 AS BIGINT) AS pred,
+       ROUND(1.0 / (1.0 + exp(-(CAST(mi AS DOUBLE) / 1000000.0))), 4)
+         AS q_prob
+FROM m ORDER BY doc_id"""
+    },
+
     // Bigram LM scoring: bigrams via the t05 list derivation
     // (NON-distinct), add-1 smoothing over the distinct-unigram
     // vocabulary, per-term 1e-6 grid rounding like t11.

@@ -10,7 +10,7 @@ import graft.functions.money._
 import graft.dedup.{ConnectedComponents, Dedup}
 import graft.multimodal.Multimodal
 import graft.similarity.Similarity
-import graft.text.{Bpe, Mixture, TextFunctions}
+import graft.text.{Bpe, Mixture, TextClassifier, TextFunctions}
 
 /** The engine's query catalog — one named query per operator of
   * `SURVEY.md` §2, each runnable over a testdata scale-factor directory
@@ -1944,6 +1944,22 @@ object Queries {
           col("__r.n_redacted").as("n_redacted"))
         .orderBy("c_custkey")
     }),
+
+    // Learned quality classifier (fastText-shaped): logistic
+    // regression over md5-hashed bag-of-words features, TRAINED in the
+    // engine against the t02 heuristic gate (TextClassifier.train —
+    // batch GD as Spark aggregations; 93.4% training accuracy at
+    // sf0.01) and frozen as micro-unit integer weights. The margin is
+    // an exact addition-order-free BIGINT sum, so the entire scoring
+    // pipeline (including the prediction) is oracle-checkable
+    // bit-for-bit; only the reported probability touches doubles.
+    "t17_quality_classifier" -> ((s, d) =>
+      TextClassifier.marginMicro(documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("score_micro"),
+          (col("score_micro") > 0).cast("long").as("pred"),
+          round(lit(1.0) / (lit(1.0) + exp(-(col("score_micro") / 1e6))), 4)
+            .as("q_prob"))
+        .orderBy("doc_id")),
 
     // Corpus bigram language model with add-1 smoothing, scoring each
     // doc by the mean negative log-likelihood of its bigram
