@@ -2087,29 +2087,9 @@ object Queries {
     // the segment text, one doc_id regroup — both map-side combined;
     // per-doc state is bounded by doc length. text_hash pins the
     // reassembled content exactly.
-    "d14_segment_dedup" -> ((s, d) => {
-      val SegLen = 10
-      val toks = TextFunctions.tokens(col("text"))
-      val nSegs = ((size(toks) - 1) / lit(SegLen)).cast("int")
-      val segs = documents(s, d).select(col("doc_id"),
-          explode(transform(sequence(lit(0), nSegs),
-            i => struct(i.as("seg_idx"),
-              concat_ws(" ", slice(toks, i * SegLen + 1, lit(SegLen)))
-                .as("seg")))).as("x"))
-        .select(col("doc_id"), col("x.seg_idx"), col("x.seg"))
-      val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
-      segs.withColumn("rn", row_number().over(w))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_segs"),
-             sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dropped"),
-             concat_ws(" ", transform(
-               array_sort(collect_list(when(col("rn") === 1,
-                 struct(col("seg_idx"), col("seg"))))),
-               x => x.getField("seg"))).as("__t"))
-        .select(col("doc_id"), col("n_segs"), col("n_dropped"),
-                md5(to_binary(col("__t"), lit("utf-8"))).as("text_hash"))
-        .orderBy("doc_id")
-    }),
+    "d14_segment_dedup" -> ((s, d) =>
+      Dedup.segmentDedup(documents(s, d), "doc_id", "text", 10)
+        .orderBy("doc_id")),
 
     // PLANTED minhash near-dup: d02's operator (same code path —
     // Dedup.nearDuplicates: codegen signatures, banded LSH buckets,

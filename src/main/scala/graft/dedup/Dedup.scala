@@ -741,4 +741,53 @@ object Dedup {
       .distinct()
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
+
+  /** Consecutive fixed-width token segments of each doc:
+    * (idCol, seg_idx, seg). The passage unit of [[segmentDedup]] —
+    * scan-local (one explode, no shuffle). */
+  def segments(docs: DataFrame, idCol: String, textCol: String,
+               segLen: Int): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val lastIdx = ((size(toks) - 1) / lit(segLen)).cast("int")
+    docs.select(col(idCol),
+        explode(transform(sequence(lit(0), lastIdx),
+          i => struct(i.as("seg_idx"),
+            concat_ws(" ", slice(toks, i * segLen + 1, lit(segLen)))
+              .as("seg")))).as("__x"))
+      .select(col(idCol), col("__x.seg_idx"), col("__x.seg"))
+  }
+
+  /** Reassemble per-doc output from segment rows carrying a 0/1
+    * `__kept` flag: (idCol, n_segs, n_dropped, text_hash) where
+    * text_hash pins the kept-segments-in-order content. */
+  private[graft] def rebuildDocs(marked: DataFrame,
+                                 idCol: String): DataFrame =
+    marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+           sum(when(col("__kept") === 1, 0L).otherwise(1L)).as("n_dropped"),
+           concat_ws(" ", transform(
+             array_sort(collect_list(when(col("__kept") === 1,
+               struct(col("seg_idx"), col("seg"))))),
+             x => x.getField("seg"))).as("__t"))
+      .select(col(idCol), col("n_segs"), col("n_dropped"),
+              md5(to_binary(col("__t"), lit("utf-8"))).as("text_hash"))
+
+  /** Passage-level exact dedup with document reassembly (the
+    * C4/RefinedWeb line-dedup shape on fixed-width token segments): a
+    * segment duplicated anywhere in the corpus survives only at its
+    * first (id, seg_idx) occurrence; every doc is rebuilt from its
+    * kept segments in order. Two shuffles — one hash-partitioned
+    * window on the segment text, one id regroup; per-doc state is
+    * bounded by doc length. [[graft.streaming.IncrementalSegmentDedup]]
+    * maintains the same output under arrivals. */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
+    rebuildDocs(
+      segments(docs, idCol, textCol, segLen)
+        .withColumn("__kept",
+          when(row_number().over(w) === 1, 1).otherwise(0)),
+      idCol)
+  }
 }
