@@ -1854,6 +1854,33 @@ SELECT doc_id, CAST(mi AS BIGINT) AS score_micro,
 FROM m ORDER BY doc_id"""
     },
 
+    // Per-source BPE compression under the same frozen replace chain
+    // as t15.
+    "t18_bpe_source_stats" -> {
+      val start =
+        """regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '(.)', '|\1|', 'g')"""
+      val chain = graft.text.Bpe.DefaultMerges.foldLeft(start) {
+        case (acc, (a, b)) => s"replace($acc, '|$a||$b|', '|$a$b|')"
+      }
+      s"""
+WITH enc AS (
+  SELECT source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         $chain AS e
+  FROM documents),
+per AS (
+  SELECT source,
+         length(norm) - length(replace(norm, ' ', '')) AS chars,
+         (length(e) - length(replace(e, '|', ''))) // 2
+           - (length(norm) - length(replace(norm, ' ', ''))) AS toks
+  FROM enc)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(toks) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / SUM(toks), 4) AS chars_per_token
+FROM per GROUP BY source ORDER BY source"""
+    },
+
     // Bigram LM scoring: bigrams via the t05 list derivation
     // (NON-distinct), add-1 smoothing over the distinct-unigram
     // vocabulary, per-term 1e-6 grid rounding like t11.

@@ -1961,6 +1961,26 @@ object Queries {
             .as("q_prob"))
         .orderBy("doc_id")),
 
+    // Tokenizer efficiency by source: corpus-level BPE compression
+    // (non-space chars per emitted token) under the frozen t15 merge
+    // table — the per-source fertility report a tokenizer rollout
+    // reads. Scan-local encode, one tiny aggregation.
+    "t18_bpe_source_stats" -> ((s, d) => {
+      val norm = Bpe.normalize(col("text"))
+      val enc = Bpe.encode(col("text"))
+      documents(s, d)
+        .select(col("source"),
+          (length(norm) - length(replace(norm, lit(" ")))).as("__chars"),
+          Bpe.tokenCount(enc, norm).as("__toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("__chars")).cast("long").as("total_chars"),
+             sum(col("__toks")).cast("long").as("total_bpe_tokens"),
+             round(sum(col("__chars")).cast("double")
+               / sum(col("__toks")), 4).as("chars_per_token"))
+        .orderBy("source")
+    }),
+
     // Corpus bigram language model with add-1 smoothing, scoring each
     // doc by the mean negative log-likelihood of its bigram
     // occurrences (t11's unigram LM extended one order — the
