@@ -1966,12 +1966,13 @@ object Queries {
     // table — the per-source fertility report a tokenizer rollout
     // reads. Scan-local encode, one tiny aggregation.
     "t18_bpe_source_stats" -> ((s, d) => {
-      val norm = Bpe.normalize(col("text"))
-      val enc = Bpe.encode(col("text"))
       documents(s, d)
+        .select(col("source"), Bpe.normalize(col("text")).as("__n"),
+          Bpe.encodeKernel(col("text")).as("__e"))
         .select(col("source"),
-          (length(norm) - length(replace(norm, lit(" ")))).as("__chars"),
-          Bpe.tokenCount(enc, norm).as("__toks"))
+          (length(col("__n")) - length(replace(col("__n"), lit(" "))))
+            .as("__chars"),
+          Bpe.tokenCount(col("__e"), col("__n")).as("__toks"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
              sum(col("__chars")).cast("long").as("total_chars"),
@@ -2024,15 +2025,14 @@ object Queries {
     // (the identical replace chain in ANSI SQL) checks the entire
     // encoding, not just the count. Training the table is `Bpe.train`
     // (vocabulary-side Sennrich), spec-covered in BpeSpec.
-    "t15_bpe_encode" -> ((s, d) => {
-      val norm = Bpe.normalize(col("text"))
-      val enc = Bpe.encode(col("text"))
+    "t15_bpe_encode" -> ((s, d) =>
       documents(s, d)
+        .select(col("doc_id"), Bpe.normalize(col("text")).as("__n"),
+          Bpe.encodeKernel(col("text")).as("__e"))
         .select(col("doc_id"),
-          Bpe.tokenCount(enc, norm).as("n_bpe_tokens"),
-          Bpe.encodingHash(enc).as("bpe_hash"))
-        .orderBy("doc_id")
-    }),
+          Bpe.tokenCount(col("__e"), col("__n")).as("n_bpe_tokens"),
+          Bpe.encodingHash(col("__e")).as("bpe_hash"))
+        .orderBy("doc_id")),
 
     // Deterministic stratified sampling: k docs per source, picked by
     // md5(doc_id) order — a pure function of the key, so the sample is

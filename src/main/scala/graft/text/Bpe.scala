@@ -59,10 +59,21 @@ object Bpe {
       replace(c, lit("|" + a + "||" + b + "|"), lit("|" + a + b + "|"))
     }
 
-  /** Full encode: normalized text -> final piped tokenization. */
+  /** Full encode: normalized text -> final piped tokenization, as M
+    * chained codegen StringReplace expressions. The composable
+    * formulation — and the one the DuckDB oracle mirrors verbatim. */
   def encode(text: Column,
              merges: Seq[(String, String)] = DefaultMerges): Column =
     applyMerges(piped(text), merges)
+
+  /** [[encode]] as ONE native Catalyst expression: normalization and
+    * the whole merge chain in a single pass over the text (kernel:
+    * [[BpeKernel.encodePiped]]) instead of M intermediate document
+    * copies — bit-identical output (spec-pinned), ~10× less
+    * allocation. The hot-path form the catalog entries use. */
+  def encodeKernel(text: Column,
+                   merges: Seq[(String, String)] = DefaultMerges): Column =
+    org.apache.spark.sql.graft.BpeExprs.encodePiped(text, merges)
 
   /** BPE token count of an encoded state: pipe chars / 2 is the total
     * unit count; the space units (one per word gap) are separators,

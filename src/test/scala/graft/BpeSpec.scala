@@ -59,6 +59,22 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("single-pass kernel encode is bit-identical to the replace chain") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "aaabccehijnorstuw "
+    val texts = Seq("", " ", "  leading  inner  trailing ", "x",
+      "jojoin inin atcatch", "ThE MiXeD CaSe") ++
+      Seq.fill(300)(
+        (0 until (1 + rnd.nextInt(60)))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val r = texts.toDF("text")
+      .select(Bpe.encode(col("text")).as("chain"),
+              Bpe.encodeKernel(col("text")).as("kernel"))
+      .as[(String, String)].collect()
+    for (((c, k), t) <- r.zip(texts))
+      assert(c == k, s"kernel diverged from chain on '$t'")
+  }
+
   test("token count: merges only ever shrink it; zero merges = non-space chars") {
     val texts = Seq("join the batch", "scan scan scan", "q w e r t y", "")
     val df = texts.toDF("text")
