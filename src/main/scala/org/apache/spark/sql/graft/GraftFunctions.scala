@@ -70,7 +70,20 @@ object GraftFunctions {
       "bloom_might_contain" ->
         (exprs => BloomMightContain(exprs(0), exprs(1), exprs(2))),
       // A-ES weighted-sampling priority (see Mixture.weightedPriority)
-      "weighted_priority" -> col2(graft.text.Mixture.weightedPriority))
+      "weighted_priority" -> col2(graft.text.Mixture.weightedPriority),
+      // single-pass BPE encode under the frozen default merge table
+      // (graft.text.Bpe) — piped tokenization state out
+      "bpe_encode" -> (exprs => BpeEncodePiped(exprs.head,
+        graft.text.Bpe.DefaultMerges.map(_._1).toArray,
+        graft.text.Bpe.DefaultMerges.map(_._2).toArray)),
+      // frozen quality-classifier margin in micro-units (exact BIGINT;
+      // > 0 means predicted-good) for one already-bucketed token — SQL
+      // callers compose per-doc sums; the per-doc form is
+      // TextClassifier.marginMicro
+      "quality_margin_weight" -> col1(h => org.apache.spark.sql
+        .functions.element_at(org.apache.spark.sql.functions.array(
+          graft.text.TextClassifier.DefaultWeightsMicro
+            .map(org.apache.spark.sql.functions.lit): _*), h + 1)))
   }
 
   def registerAll(spark: SparkSession): Unit = {

@@ -37,11 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
                 token_count('a b  c') AS tc,
                 sorted_intersect_size(array(1, 2, 5), array(2, 5, 9)) AS si,
                 image_meta(CAST('not an image' AS BINARY)) AS im,
-                audio_meta(CAST('not audio' AS BINARY)) AS am
+                audio_meta(CAST('not audio' AS BINARY)) AS am,
+                bpe_encode('join the scan') AS bpe
       """).head()
     assert(row.getDouble(0) == 11.0)
     assert(row.getInt(1) == 3)
     assert(row.getInt(2) == 2)
     assert(row.isNullAt(3) && row.isNullAt(4))
+    // matches Bpe.encodeKernel over the frozen table
+    assert(row.getString(5) ==
+      "|join|| ||t||h||e|| ||scan|")
   }
 }
