@@ -1870,7 +1870,7 @@ WITH enc AS (
   FROM documents),
 per AS (
   SELECT source,
-         length(norm) - length(replace(norm, ' ', '')) AS chars,
+         length(replace(norm, ' ', '')) AS chars,
          (length(e) - length(replace(e, '|', ''))) // 2
            - (length(norm) - length(replace(norm, ' ', ''))) AS toks
   FROM enc)

@@ -1970,8 +1970,7 @@ object Queries {
         .select(col("source"), Bpe.normalize(col("text")).as("__n"),
           Bpe.encodeKernel(col("text")).as("__e"))
         .select(col("source"),
-          (length(col("__n")) - length(replace(col("__n"), lit(" "))))
-            .as("__chars"),
+          length(replace(col("__n"), lit(" "))).as("__chars"),
           Bpe.tokenCount(col("__e"), col("__n")).as("__toks"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

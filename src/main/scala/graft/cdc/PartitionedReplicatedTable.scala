@@ -257,26 +257,50 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
       })
 
   /** Ordering on the stored string representation, typed off the
-    * schema: numerics compare as decimals (scientific notation
-    * included), dates/timestamps/strings lexicographically (ISO forms
-    * order chronologically). */
+    * schema. Floating types parse as doubles (NaN/Infinity included —
+    * BigDecimal would throw on a NaN zone); other numerics as
+    * decimals; timestamps re-parse on BOTH sides because the stored
+    * form (Spark cast: no fractional part at .0) and a probe's
+    * String.valueOf(java.sql.Timestamp) (always ".0") differ textually
+    * at equal instants — a lexicographic compare would silently prune
+    * boundary-matching partitions; dates/strings compare
+    * lexicographically (ISO order = chronological). */
   private def cmp(dt: DataType, a: String, b: String): Int = dt match {
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
     case _: org.apache.spark.sql.types.NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
     case _ => a.compareTo(b)
+  }
+
+  /** Render a probe bound the way [[cmp]] expects for the column's
+    * type (timestamps normalize through java.sql.Timestamp so either
+    * a Timestamp or a "yyyy-mm-dd hh:mm:ss[.f]" string works). */
+  private def boundRepr(dt: DataType, v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toString
+    case other => String.valueOf(other)
   }
 
   /** Encoded partition keys whose zone intersects [lo, hi] (null =
     * unbounded). Partitions without stats for `column` are kept —
-    * pruning is only ever a superset filter. */
+    * pruning is only ever a superset filter. With BOTH bounds null
+    * there is no range predicate at all, so nothing is pruned — not
+    * even all-null zones (a doubly-unbounded read must equal
+    * `current()`, null rows included). */
   private def survivors(m: Map[String, Entry], column: String,
                         lo: Any, hi: Any): Seq[String] = {
+    val nonEmpty = m.toSeq.collect { case (e, en) if en.ver != Empty => (e, en) }
+    if (lo == null && hi == null) return nonEmpty.map(_._1)
     val dt = schema(column).dataType
-    m.toSeq.collect {
-      case (e, en) if en.ver != Empty &&
+    nonEmpty.collect {
+      case (e, en) if
         zoneOf(en.stats, column).forall(_.exists { case (mn, mx) =>
-          (lo == null || cmp(dt, mx, String.valueOf(lo)) >= 0) &&
-          (hi == null || cmp(dt, mn, String.valueOf(hi)) <= 0)
+          (lo == null || cmp(dt, mx, boundRepr(dt, lo)) >= 0) &&
+          (hi == null || cmp(dt, mn, boundRepr(dt, hi)) <= 0)
         }) => e
     }
   }

@@ -46,29 +46,47 @@ object IncrementalSegmentDedup {
     val w = Window.partitionBy("seg").orderBy(col(idCol), col("seg_idx"))
     val winners = segs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    // ...claims a segment only if no earlier batch already did.
+    // ...keeps a segment if no earlier batch claimed it, OR if the
+    // stored claimant is THIS (id, seg_idx) — ownership matters for
+    // crash recovery: claims are committed BEFORE results (below), so
+    // a crash between the writes replays the batch with its own
+    // claims already in the store, and without the ownership check
+    // every replayed segment would look foreign and be dropped.
+    // `__new` marks genuinely new claims (the only rows appended, so
+    // the replay appends nothing — idempotent).
+    //
     // Materialized EAGERLY with a lineage-severing localCheckpoint:
     // both store writes below refresh any cached plan that references
-    // their path, and `claimed`'s lineage reaches BOTH stores (results
-    // through `fresh`'s anti-join, claims through its own) — a lazy
-    // (even cache()d) plan would be silently re-evaluated against the
-    // post-write listings and collapse to empty between the two
+    // their path, and this frame's lineage reaches BOTH stores
+    // (results through `fresh`'s anti-join, claims through its own) —
+    // a lazy (even cache()d) plan would be silently re-evaluated
+    // against the post-write listings and collapse between the
     // writes.
     val claimed = (claims(spark, statePath) match {
-      case Some(c) => winners.join(c.select("seg"), Seq("seg"), "left_anti")
-      case None => winners
+      case Some(c) => winners.join(
+          c.select(col("seg"), col(idCol).as("__cid"),
+            col("seg_idx").as("__cidx")),
+          Seq("seg"), "left")
+        .filter(col("__cid").isNull ||
+          (col("__cid") === col(idCol) && col("__cidx") === col("seg_idx")))
+        .withColumn("__new", col("__cid").isNull)
+        .drop("__cid", "__cidx")
+      case None => winners.withColumn("__new", lit(true))
     }).localCheckpoint(true)
+    // claims FIRST: a crash after this write replays into the
+    // ownership path above; the reverse order would lose the claims
+    // forever (results' doc anti-join would skip the docs for good)
+    val newClaims = claimed.filter(col("__new"))
+      .select(col("seg"), col(idCol), col("seg_idx"))
+    if (!newClaims.isEmpty)
+      newClaims.write.mode("append")
+        .parquet(IndexDirs.prepareAppend(spark, claimsPath(statePath)))
     val marked = segs.join(
       claimed.select(col(idCol), col("seg_idx"), lit(1).as("__kept")),
       Seq(idCol, "seg_idx"), "left")
       .withColumn("__kept", coalesce(col("__kept"), lit(0)))
-    val out = Dedup.rebuildDocs(marked, idCol)
-    out.write.mode("append")
+    Dedup.rebuildDocs(marked, idCol).write.mode("append")
       .parquet(IndexDirs.prepareAppend(spark, resultsPath(statePath)))
-    if (!claimed.isEmpty)
-      claimed.select(col("seg"), col(idCol), col("seg_idx"))
-        .write.mode("append")
-        .parquet(IndexDirs.prepareAppend(spark, claimsPath(statePath)))
   }
 
   /** Attach to a streaming document source: one [[processBatch]] per

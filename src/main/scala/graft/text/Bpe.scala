@@ -43,9 +43,21 @@ object Bpe {
     "c" -> "an", "s" -> "can", "c" -> "o", "c" -> "u")
 
   /** Lowercased, trimmed, whitespace-collapsed text — the
-    * normalization both engines share. */
+    * normalization both engines share.
+    *
+    * DOMAIN NOTE: the piped representation reserves '|' as its
+    * framing character, so documents containing a literal '|' are
+    * outside the encoder's domain (the frame becomes ambiguous and
+    * token counts / merges silently corrupt — consistently in both
+    * engines, so the oracle cannot catch it). Callers with untrusted
+    * text should pass it through [[sanitize]] first; the shipped
+    * corpora are pipe-free (checked). */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Strip the reserved framing character — the upstream guard for
+    * text that may contain literal pipes. */
+  def sanitize(text: Column): Column = translate(text, "|", "")
 
   /** Character-level piped start state over normalized text. Spaces
     * become their own "| |" unit; merge pairs never contain a space,

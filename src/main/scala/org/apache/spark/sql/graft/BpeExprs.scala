@@ -16,11 +16,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * same static method). Bit-identical to the M-chained-StringReplace
   * formulation (spec-pinned) without its M intermediate copies of the
   * document. */
-case class BpeEncodePiped(child: Expression, mergesA: Array[String],
-                          mergesB: Array[String])
+case class BpeEncodePiped(child: Expression, merges: Seq[(String, String)])
     extends UnaryExpression with ExpectsInputTypes {
 
-  require(mergesA.length == mergesB.length, "merge halves must align")
+  // Seq fields keep case-class equality STRUCTURAL, so two
+  // independently built bpe_encode calls over the same input are
+  // semanticEquals and subexpression elimination can share them
+  // (Array fields would compare by reference and defeat it — the
+  // exact cost this expression exists to avoid).
+  @transient private lazy val mergesA: Array[String] =
+    merges.map(_._1).toArray
+  @transient private lazy val mergesB: Array[String] =
+    merges.map(_._2).toArray
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
@@ -45,6 +52,5 @@ case class BpeEncodePiped(child: Expression, mergesA: Array[String],
 object BpeExprs {
   def encodePiped(text: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeEncodePiped(
-      ExpressionUtils.expression(text),
-      merges.map(_._1).toArray, merges.map(_._2).toArray))
+      ExpressionUtils.expression(text), merges))
 }

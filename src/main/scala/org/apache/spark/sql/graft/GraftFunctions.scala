@@ -73,9 +73,8 @@ object GraftFunctions {
       "weighted_priority" -> col2(graft.text.Mixture.weightedPriority),
       // single-pass BPE encode under the frozen default merge table
       // (graft.text.Bpe) — piped tokenization state out
-      "bpe_encode" -> (exprs => BpeEncodePiped(exprs.head,
-        graft.text.Bpe.DefaultMerges.map(_._1).toArray,
-        graft.text.Bpe.DefaultMerges.map(_._2).toArray)),
+      "bpe_encode" -> (exprs =>
+        BpeEncodePiped(exprs.head, graft.text.Bpe.DefaultMerges)),
       // frozen quality-classifier margin in micro-units (exact BIGINT;
       // > 0 means predicted-good) for one already-bucketed token — SQL
       // callers compose per-doc sums; the per-doc form is

@@ -13,6 +13,8 @@ case class PKv(k: Int, day: String, v: String)
 case class PKvChange(k: Int, day: String, v: String,
                      _op: String, _lsn: Long, _commit_ts: Timestamp)
 case class ZKv(k: Int, day: String, amt: Option[Long], tag: String)
+case class TKv(k: Int, day: String, ts: Timestamp, x: Double,
+               amt: Option[Long])
 case class ZKvChange(k: Int, day: String, amt: Option[Long], tag: String,
                      _op: String, _lsn: Long, _commit_ts: Timestamp)
 
@@ -315,6 +317,33 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(t.pruneStats("amt", 0L, 999L) == (2, 2))
     assert(t.currentRange("amt", 10L, 20L).as[ZKv].collect().map(_.k).toSet
       == rows.filter(r => r.amt.exists(a => a >= 10 && a <= 20)).map(_.k).toSet)
+  }
+
+  test("zone maps: timestamp bounds, doubly-unbounded reads, NaN zones") {
+    val dir = Files.createTempDirectory("graft-zmap3").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day",
+      statsCols = Seq("ts", "x", "amt"))
+    t.snapshot(Seq(
+      TKv(1, "d1", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, Some(1L)),
+      TKv(2, "d2", Timestamp.valueOf("2024-02-01 12:30:45"), Double.NaN,
+        Some(2L)),
+      TKv(3, "d3", Timestamp.valueOf("2024-03-01 00:00:00"), 3.0, None))
+      .toDF())
+
+    // a probe EQUAL to a partition's max instant must keep it: the
+    // stored form has no fractional second, Timestamp.toString always
+    // does — lexicographic comparison would prune the boundary match
+    val got = t.currentRange("ts",
+        Timestamp.valueOf("2024-01-01 00:00:00"),
+        Timestamp.valueOf("2024-01-31 00:00:00"))
+      .as[TKv].collect().map(_.k).toSeq
+    assert(got == Seq(1), s"timestamp boundary pruned: $got")
+
+    // doubly-unbounded range == current(), all-null zones included
+    assert(t.currentRange("amt", null, null).count() == t.current().count())
+
+    // a NaN zone must not crash range reads on the double column
+    assert(t.currentRange("x", 0.5, 2.5).as[TKv].collect().map(_.k).nonEmpty)
   }
 
   test("zone maps: pre-stats manifests are conservatively kept") {

@@ -69,4 +69,41 @@ class StreamingSegmentDedupSpec extends AnyFunSuite {
       .find(_._1 == probeId).get
     assert(probe._3 == probe._2, "probe doc's segments should all drop")
   }
+
+  test("crash between claims and results commits: replay reconstructs exactly") {
+    val statePath = Files.createTempDirectory("graft-segcrash").toString
+    val b1 = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+    val b2 = Seq((3L, "alpha beta gamma delta"), (4L, "unrelated words here"))
+    def run(b: Seq[(Long, String)]): Unit =
+      IncrementalSegmentDedup.processBatch(
+        b.toDF("doc_id", "text"), "doc_id", "text", statePath, 3)
+    def rows() = IncrementalSegmentDedup.results(spark, statePath).get
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+
+    run(b1)
+    val afterB1 = rows()
+    // simulate the crash window: claims landed, results did not —
+    // delete the results store and replay the SAME batch. Ownership
+    // resolution must let the replay keep its own stored claims
+    // instead of treating them as foreign and dropping everything.
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$statePath/results"))
+    val claimsBefore = IncrementalSegmentDedup.claims(spark, statePath)
+      .get.count()
+    run(b1)
+    assert(rows() == afterB1, "replay after crash window diverged")
+    assert(IncrementalSegmentDedup.claims(spark, statePath).get.count()
+      == claimsBefore, "replay must append no duplicate claims")
+
+    // and the stream continues correctly past the recovered batch
+    run(b2)
+    val oneShot = graft.dedup.Dedup.segmentDedup(
+      (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(rows() == oneShot)
+  }
 }
