@@ -1854,6 +1854,29 @@ SELECT doc_id, CAST(mi AS BIGINT) AS score_micro,
 FROM m ORDER BY doc_id"""
     },
 
+    // Temperature mixing: shares/budgets on the exact integer grid
+    // (sqrt is correctly rounded IEEE; the budget is one integer
+    // multiply + integer divide, so both engines agree bit-for-bit).
+    "c09_temperature_mixture" -> {
+      val t = graft.text.Mixture.TemperatureBudget
+      s"""
+WITH tot AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(lower(trim(text)), '\\s+')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_tokens,
+         CAST(ROUND(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+           AS w_micro
+  FROM tot),
+s AS (SELECT SUM(w_micro) AS sw FROM w)
+SELECT source, n_tokens, w_micro,
+       ROUND(CAST(w_micro AS DOUBLE) / sw, 6) AS sample_share,
+       CAST(w_micro * $t // sw AS BIGINT) AS budget_tokens
+FROM w CROSS JOIN s ORDER BY source"""
+    },
+
     // Per-source BPE compression under the same frozen replace chain
     // as t15.
     "t18_bpe_source_stats" -> {

@@ -1277,6 +1277,33 @@ object Queries {
         .orderBy("shard_id")
     }),
 
+    // TEMPERATURE source mixing (the multilingual-training standard:
+    // sample share ∝ tokens^α, here α = 1/2): up-weights small
+    // sources, down-weights giants, without the hand-set per-source
+    // budgets of c04. Everything after the per-source token totals
+    // runs on an EXACT integer grid — sqrt is IEEE-correctly-rounded
+    // (unlike pow), its micro-quantization is a BIGINT, and each
+    // budget is one integer multiply-divide — so shares and budgets
+    // are bit-identical across engines, no float-boundary risk.
+    "c09_temperature_mixture" -> ((s, d) => {
+      val totals = documents(s, d)
+        .select(col("source"), TextFunctions.tokenCount(col("text"))
+          .cast("long").as("__t"))
+        .groupBy("source")
+        .agg(sum(col("__t")).as("n_tokens"))
+        .withColumn("w_micro",
+          round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      val sumW = totals.agg(sum("w_micro")).collect()(0).getLong(0)
+      totals
+        .withColumn("sample_share",
+          round(col("w_micro").cast("double") / sumW.toDouble, 6))
+        .withColumn("budget_tokens",
+          expr(s"w_micro * ${Mixture.TemperatureBudget}L div ${sumW}L"))
+        .select("source", "n_tokens", "w_micro", "sample_share",
+                "budget_tokens")
+        .orderBy("source")
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     // Data mixing — the stage after curation: compose the training

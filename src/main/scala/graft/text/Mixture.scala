@@ -188,4 +188,8 @@ object Mixture {
   val ExportBudgets: Seq[(String, Long)] =
     Seq.tabulate(20)(i => (s"src$i", if (i % 2 == 0) 150L else 1000000L))
   val ExportSeqTokens: Long = 256L
+
+  /** Global token budget the c09 temperature mixture distributes
+    * across sources ∝ sqrt(source tokens). */
+  val TemperatureBudget: Long = 1000000L
 }
