@@ -691,6 +691,39 @@ ORDER BY q.doc_id"""),
 SELECT doc_id, source, n_tokens, quality_score, lang_pred, split
 FROM surv ORDER BY doc_id"""),
 
+    // c07 = the funnel report over c03's CTE chain: per source, the
+    // cumulative survivor counts of each curation stage (fixed stage
+    // order: admission -> lexical keep -> semantic keep -> bench
+    // exclusion -> decontamination) plus final token volume. cc covers
+    // every document; ecc only embedded docs, hence the LEFT join with
+    // a null-safe semantic flag (matching the Spark side's left join +
+    // isNotNull).
+    "c07_curation_funnel" -> (semanticCurationCtes + """
+, fl AS (
+  SELECT q.source, q.n_tokens,
+         CASE WHEN q.quality_score >= 0.72 AND q.lang_pred <> 'und'
+                   AND q.n_tokens >= 3 THEN 1 ELSE 0 END AS s1,
+         CASE WHEN cc.cluster_id = q.doc_id THEN 1 ELSE 0 END AS lex,
+         CASE WHEN ecc.cluster_id IS NOT NULL
+                   AND ecc.cluster_id = q.doc_id THEN 1 ELSE 0 END AS sem,
+         CASE WHEN q.source IN ('src0', 'src1') THEN 1 ELSE 0 END AS bench,
+         CASE WHEN q.doc_id IN (SELECT doc_id FROM contam)
+              THEN 1 ELSE 0 END AS con
+  FROM q
+  JOIN cc ON q.doc_id = cc.node
+  LEFT JOIN ecc ON q.doc_id = ecc.node)
+SELECT source,
+       COUNT(*) AS n_raw,
+       CAST(SUM(s1) AS BIGINT) AS n_admitted,
+       CAST(SUM(s1 * lex) AS BIGINT) AS n_lexical_kept,
+       CAST(SUM(s1 * lex * sem) AS BIGINT) AS n_semantic_kept,
+       CAST(SUM(s1 * lex * sem * (1 - bench)) AS BIGINT) AS n_unbenched,
+       CAST(SUM(s1 * lex * sem * (1 - bench) * (1 - con)) AS BIGINT)
+         AS n_final,
+       CAST(SUM(n_tokens * s1 * lex * sem * (1 - bench) * (1 - con))
+            AS BIGINT) AS final_tokens
+FROM fl GROUP BY source ORDER BY source"""),
+
     // c06 = the complete export: train-split survivors -> token-budget
     // mixture on survivor volumes -> fixed-length sequence packing.
     // Budget VALUES and the sequence length come from the SAME

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1253,6 +1253,54 @@ object Queries {
     // the oracle via Mixture.ExportBudgets / ExportSeqTokens.
     "c06_export_packed" -> ((s, d) =>
       exportPackedSeqs(s, d).orderBy("source", "seq_id")),
+
+    // The curation FUNNEL report — the "data card" every large
+    // pipeline publishes next to its export: per source, how many
+    // docs survive each cumulative stage of the c03 pipeline
+    // (raw → admission gates → lexical-dedup keep → semantic-dedup
+    // keep → benchmark exclusion → decontamination) plus the final
+    // token volume. Stage flags are conjunctive ints over the SAME
+    // shared cached stages c01-c03 read (scores, both cluster maps,
+    // contamination verdicts), so the whole report costs three
+    // broadcast-able left joins + one map-side-combined |sources|-row
+    // aggregate — at 100 TB the only shuffle is the per-source
+    // partial-aggregate merge. n_final per source ≡ c03's per-source
+    // survivor count by construction (same conjunction, fixed order).
+    "c07_curation_funnel" -> ((s, d) => {
+      val admitted = col("quality_score") >= 0.72 &&
+        col("lang_pred") =!= "und" && col("n_tokens") >= 3
+      val lex = dupClusters(s, d)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"), lit(1).as("__lex"))
+      val sem = embClusters(s, d)
+        .filter(col("vec_id") === col("cluster_id"))
+        .select(col("vec_id").as("doc_id"), lit(1).as("__sem"))
+      val con = contaminatedIds(s, d).withColumn("__con", lit(1))
+      val flag = (c: Column) => when(c, 1).otherwise(0)
+      scoredDocs(s, d)
+        .join(broadcast(lex), Seq("doc_id"), "left")
+        .join(broadcast(sem), Seq("doc_id"), "left")
+        .join(broadcast(con), Seq("doc_id"), "left")
+        .withColumn("__s1", flag(admitted))
+        .withColumn("__s2", flag(admitted && col("__lex").isNotNull))
+        .withColumn("__s3",
+          flag(admitted && col("__lex").isNotNull && col("__sem").isNotNull))
+        .withColumn("__s4", flag(admitted && col("__lex").isNotNull &&
+          col("__sem").isNotNull && !col("source").isin("src0", "src1")))
+        .withColumn("__s5", flag(admitted && col("__lex").isNotNull &&
+          col("__sem").isNotNull && !col("source").isin("src0", "src1") &&
+          col("__con").isNull))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+             sum(col("__s1")).cast("long").as("n_admitted"),
+             sum(col("__s2")).cast("long").as("n_lexical_kept"),
+             sum(col("__s3")).cast("long").as("n_semantic_kept"),
+             sum(col("__s4")).cast("long").as("n_unbenched"),
+             sum(col("__s5")).cast("long").as("n_final"),
+             sum(col("__s5") * col("n_tokens")).cast("long")
+               .as("final_tokens"))
+        .orderBy("source")
+    }),
 
     // The export FINALIZATION after c06: deterministic shuffle + shard
     // assignment. Each packed sequence lands in a shard by

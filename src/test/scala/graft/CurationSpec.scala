@@ -180,6 +180,32 @@ class CurationSpec extends AnyFunSuite {
     } finally { c06.unpersist(); c08.unpersist(); () }
   }
 
+  test("c07: funnel is monotone per stage and n_final matches c03 per source") {
+    val f = Queries.all("c07_curation_funnel")(spark, sf).cache()
+    val c03 = Queries.all("c03_curation_semantic")(spark, sf)
+      .groupBy("source").agg(count(lit(1)).as("n")).cache()
+    try {
+      // each cumulative stage can only lose docs
+      val bad = f.filter(!(col("n_raw") >= col("n_admitted") &&
+        col("n_admitted") >= col("n_lexical_kept") &&
+        col("n_lexical_kept") >= col("n_semantic_kept") &&
+        col("n_semantic_kept") >= col("n_unbenched") &&
+        col("n_unbenched") >= col("n_final") && col("n_final") >= 0))
+      assert(bad.count() == 0)
+      // the funnel's terminal count IS the c03 survivor count
+      val mismatch = f.join(c03, Seq("source"), "left")
+        .filter(col("n_final") =!= coalesce(col("n"), lit(0L)))
+      assert(mismatch.count() == 0)
+      // bench sources are fully excluded at the unbenched stage
+      val benchRows = f.filter(col("source").isin("src0", "src1"))
+      assert(benchRows.filter(col("n_unbenched") =!= 0).count() == 0)
+      // raw totals conserve the corpus
+      val totalRaw = f.agg(sum("n_raw")).head().getLong(0)
+      assert(totalRaw ==
+        TestData.table(spark, sf, "documents").count())
+    } finally { f.unpersist(); c03.unpersist(); () }
+  }
+
   test("m02: frame windows reassemble into the content prefix") {
     val docs = Queries.all("m02_multimodal_frames")(spark, sf)
     // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
