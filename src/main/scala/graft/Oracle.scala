@@ -1163,6 +1163,27 @@ reb AS (
 SELECT doc_id, n_segs, n_dropped, md5(COALESCE(t2, '')) AS text_hash
 FROM reb ORDER BY doc_id"""),
 
+    // d15 = per-doc share of DISTINCT 5-grams present in >= 1 other
+    // doc (a gram counts each containing doc once, so nd >= 2 means
+    // "in another document"); the d04 grams convention verbatim.
+    "d15_crossdoc_ngram_dup" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS g
+  FROM t WHERE len(toks) >= 5),
+c AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY g)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_grams,
+       ROUND(CAST(SUM(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_gram_ratio
+FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY g.doc_id"""),
+
     "d12_minhash_planted" -> ("""
 WITH ids AS (SELECT DISTINCT doc_id FROM documents),
 corpus AS (

@@ -2185,6 +2185,20 @@ object Queries {
       Dedup.segmentDedup(documents(s, d), "doc_id", "text", 10)
         .orderBy("doc_id")),
 
+    // Cross-document duplicate n-gram fraction — the inter-document
+    // repetition signal (boilerplate headers, licence blocks, mirrored
+    // articles) that intra-doc t08 and corpus-vs-benchmark d04 both
+    // miss: per doc, the share of its DISTINCT 5-gram windows that
+    // also occur in at least one OTHER document. One shingle explode
+    // (scan-local, distinct per doc so a gram counts each doc once),
+    // one map-side-combined gram-frequency aggregate, one gram-keyed
+    // join back — all linear in corpus grams, no pair enumeration;
+    // the d09 bloom-prefilter shape applies unchanged if the gram
+    // table ever outgrows the shuffle budget.
+    "d15_crossdoc_ngram_dup" -> ((s, d) =>
+      Dedup.crossDocGramStats(documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // PLANTED minhash near-dup: d02's operator (same code path —
     // Dedup.nearDuplicates: codegen signatures, banded LSH buckets,
     // verify-once exact-jaccard guard, skew caps) run over a

@@ -790,4 +790,32 @@ object Dedup {
           when(row_number().over(w) === 1, 1).otherwise(0)),
       idCol)
   }
+
+  /** Cross-document duplicate n-gram fraction — per doc, the share of
+    * its DISTINCT n-gram windows occurring in at least one OTHER
+    * document (the inter-document repetition signal: boilerplate
+    * headers, licence blocks, mirrored articles — invisible to
+    * intra-doc repetition stats and to corpus-vs-benchmark
+    * decontamination). A gram counts each containing doc once
+    * (shingles are per-doc distinct), so frequency >= 2 means "in
+    * another document". One scan-local shingle explode, one map-side-
+    * combined gram-frequency aggregate, one gram-keyed join back —
+    * linear in corpus grams, no pair enumeration; docs with fewer
+    * than n tokens have no windows and drop out. */
+  def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val g = docs
+      .filter(TextFunctions.tokenCount(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__g"))
+    val freq = g.groupBy("__g").agg(count(lit(1)).as("__nd"))
+    g.join(freq, "__g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+           sum(when(col("__nd") >= 2, 1).otherwise(0)).cast("long")
+             .as("n_shared_grams"),
+           round(sum(when(col("__nd") >= 2, 1).otherwise(0))
+               .cast("double") / count(lit(1)), 4)
+             .as("dup_gram_ratio"))
+  }
 }

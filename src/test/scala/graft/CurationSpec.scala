@@ -206,6 +206,27 @@ class CurationSpec extends AnyFunSuite {
     } finally { f.unpersist(); c03.unpersist(); () }
   }
 
+  test("d15: cross-doc gram sharing — planted boilerplate, copies, uniques, short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),  // grams {a b c d e, b c d e f}; fully copied by doc 4
+      (2L, "a b c d e x"),  // shares exactly one of its two grams
+      (3L, "p q r s t u"),  // fully unique
+      (4L, "a b c d e f"),  // exact copy of doc 1
+      (5L, "a b c")         // < 5 tokens: no windows, absent
+    ).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup
+      .crossDocGramStats(docs, "doc_id", "text", 5)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 1L, 0.5),
+      (3L, 2L, 0L, 0.0),
+      (4L, 2L, 2L, 1.0)))
+  }
+
   test("m02: frame windows reassemble into the content prefix") {
     val docs = Queries.all("m02_multimodal_frames")(spark, sf)
     // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
