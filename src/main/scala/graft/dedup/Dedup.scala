@@ -803,11 +803,19 @@ object Dedup {
     * linear in corpus grams, no pair enumeration; docs with fewer
     * than n tokens have no windows and drop out. */
   def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int): DataFrame = {
-    val g = docs
+                        n: Int, hashGrams: Boolean = false): DataFrame = {
+    val raw = docs
       .filter(TextFunctions.tokenCount(col(textCol)) >= n)
       .select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), n)).as("__g"))
+    // with hashGrams the frequency aggregate + join run on xxhash64
+    // longs instead of gram strings (≈5-10× narrower shuffle; same
+    // contract as contaminationCounts(hashGrams = true), equality on
+    // real data spec-asserted). The catalog query keeps raw strings so
+    // the DuckDB oracle mirrors it exactly.
+    val g = if (hashGrams)
+      raw.select(col(idCol), xxhash64(col("__g")).as("__g"))
+    else raw
     val freq = g.groupBy("__g").agg(count(lit(1)).as("__nd"))
     g.join(freq, "__g")
       .groupBy(idCol)

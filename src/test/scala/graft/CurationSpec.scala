@@ -227,6 +227,16 @@ class CurationSpec extends AnyFunSuite {
       (4L, 2L, 2L, 1.0)))
   }
 
+  test("d15: hashGrams form equals the string form on real documents") {
+    val docs = TestData.table(spark, sf, "documents")
+    val str = graft.dedup.Dedup
+      .crossDocGramStats(docs, "doc_id", "text", 5)
+    val hsh = graft.dedup.Dedup
+      .crossDocGramStats(docs, "doc_id", "text", 5, hashGrams = true)
+    assert(str.exceptAll(hsh).count() == 0)
+    assert(hsh.exceptAll(str).count() == 0)
+  }
+
   test("m02: frame windows reassemble into the content prefix") {
     val docs = Queries.all("m02_multimodal_frames")(spark, sf)
     // frame0 ∥ frame1 ∥ frame2 ∥ frame3 == first 256 bytes
