@@ -804,19 +804,33 @@ object Dedup {
     * than n tokens have no windows and drop out. */
   def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, hashGrams: Boolean = false): DataFrame = {
+    val g = gramRows(docs, idCol, textCol, n, hashGrams)
+    gramStats(g, g.groupBy("__g").agg(count(lit(1)).as("__nd")), idCol)
+  }
+
+  /** Per-doc DISTINCT n-gram rows `(idCol, __g)` — the shared first
+    * stage of [[crossDocGramStats]] and
+    * [[graft.streaming.IncrementalCrossDocGrams]]. With `hashGrams`
+    * the grams are xxhash64 longs instead of strings (≈5-10× narrower
+    * shuffle; same contract as `contaminationCounts(hashGrams =
+    * true)`, equality on real data spec-asserted — the catalog query
+    * keeps raw strings so the DuckDB oracle mirrors it exactly). */
+  private[graft] def gramRows(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              hashGrams: Boolean): DataFrame = {
     val raw = docs
       .filter(TextFunctions.tokenCount(col(textCol)) >= n)
       .select(col(idCol),
         explode(TextFunctions.shingles(col(textCol), n)).as("__g"))
-    // with hashGrams the frequency aggregate + join run on xxhash64
-    // longs instead of gram strings (≈5-10× narrower shuffle; same
-    // contract as contaminationCounts(hashGrams = true), equality on
-    // real data spec-asserted). The catalog query keeps raw strings so
-    // the DuckDB oracle mirrors it exactly.
-    val g = if (hashGrams)
-      raw.select(col(idCol), xxhash64(col("__g")).as("__g"))
+    if (hashGrams) raw.select(col(idCol), xxhash64(col("__g")).as("__g"))
     else raw
-    val freq = g.groupBy("__g").agg(count(lit(1)).as("__nd"))
+  }
+
+  /** The d15 per-doc aggregate over gram rows `g` and gram
+    * frequencies `freq` (`__g` → `__nd` = number of docs containing
+    * the gram). */
+  private[graft] def gramStats(g: DataFrame, freq: DataFrame,
+                               idCol: String): DataFrame =
     g.join(freq, "__g")
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_grams"),
@@ -825,5 +839,4 @@ object Dedup {
            round(sum(when(col("__nd") >= 2, 1).otherwise(0))
                .cast("double") / count(lit(1)), 4)
              .as("dup_gram_ratio"))
-  }
 }
