@@ -65,6 +65,18 @@ object IncrementalCrossDocGrams {
   private def rpOf(c: org.apache.spark.sql.Column, p: Params) =
     TextFunctions.md5Bucket(c, p.resultParts)
 
+  /** Partition-pruned view of the gram store: a literal `isin` on the
+    * hive partition column, so the touched directories are selected at
+    * PLANNING time (PartitionFilters — unmatched buckets never listed
+    * into the scan). */
+  private[graft] def prunedGrams(store: DataFrame,
+                                 touched: Seq[Int]): DataFrame =
+    store.filter(col("gb").isin(touched: _*))
+
+  /** The accumulated gram store — None before the first commit. */
+  def grams(spark: SparkSession, statePath: String): Option[DataFrame] =
+    IndexDirs.readIfExists(spark, gramsPath(statePath))
+
   /** Fold one document micro-batch. Single-writer per statePath. */
   def processBatch(newDocs: DataFrame, idCol: String, textCol: String,
                    statePath: String, params: Params = Params()): Unit = {
@@ -86,8 +98,8 @@ object IncrementalCrossDocGrams {
       .collect().map(_.getInt(0)).toIndexedSeq
     // stored holders of batch grams — pinned PRE-append (the store
     // grows below, and this frame decides what the append adds)
-    val probe = (IndexDirs.readIfExists(spark, gramsPath(statePath)) match {
-      case Some(s) => s.filter(col("gb").isin(touched: _*))
+    val probe = (grams(spark, statePath) match {
+      case Some(s) => prunedGrams(s, touched)
         .join(g.select("__g").distinct(), "__g")
         .select("doc_id", "__g", "gb")
       case None => g.limit(0)
@@ -124,8 +136,7 @@ object IncrementalCrossDocGrams {
       .select(pmod(xxhash64(col("__g")), lit(params.gramBuckets))
         .cast("int").as("gb"))
       .distinct().collect().map(_.getInt(0)).toIndexedSeq
-    val freq = IndexDirs.readIfExists(spark, gramsPath(statePath)).get
-      .filter(col("gb").isin(gbsNeeded: _*))
+    val freq = prunedGrams(grams(spark, statePath).get, gbsNeeded)
       .join(affected.select("__g").distinct(), "__g")
       .groupBy("__g").agg(count(lit(1)).as("__nd"))
 
@@ -149,6 +160,22 @@ object IncrementalCrossDocGrams {
       .withColumn(CdcApply.LsnCol, lit(System.nanoTime()))
       .withColumn(CdcApply.CommitTsCol, current_timestamp()))
   }
+
+  /** LSM-ish maintenance: rewrite the accumulated gram store into one
+    * sorted run per bucket (per-batch appends leave a file per batch
+    * per touched bucket). Next version dir + [[IndexDirs.retire]], so
+    * a concurrent reader holding the old listing still completes; a
+    * crash mid-write leaves an unmarked directory readers ignore. The
+    * results table compacts through its own machinery
+    * (`PartitionedReplicatedTable.optimize`/`vacuum`). */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    IndexDirs.readIfExists(spark, gramsPath(statePath)).foreach { s =>
+      val p = gramsPath(statePath)
+      s.repartition(col("gb")).sortWithinPartitions("__g", "doc_id")
+        .write.mode("overwrite").partitionBy("gb")
+        .parquet(IndexDirs.nextDir(spark, p))
+      IndexDirs.retire(spark, p)
+    }
 
   /** Attach to a streaming document source: one [[processBatch]] per
     * micro-batch. */

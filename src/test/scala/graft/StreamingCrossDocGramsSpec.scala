@@ -114,6 +114,64 @@ class StreamingCrossDocGramsSpec extends AnyFunSuite {
       == oneShot)
   }
 
+  test("compaction preserves stats and the stream continues") {
+    val statePath = Files.createTempDirectory("graft-xdoc5").toString
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val all = docs.as[(Long, String)].collect().sortBy(_._1).take(300)
+    val batches = all.grouped(100).toSeq
+    def run(b: Seq[(Long, String)]): Unit =
+      IncrementalCrossDocGrams.processBatch(
+        b.toDF("doc_id", "text"), "doc_id", "text", statePath)
+    batches.init.foreach(b => run(b.toSeq))
+
+    val before = rowsOf(IncrementalCrossDocGrams.stats(spark, statePath).get)
+    val filesBefore = IncrementalCrossDocGrams
+      .grams(spark, statePath).get.inputFiles.length
+    IncrementalCrossDocGrams.compact(spark, statePath)
+    val filesAfter = IncrementalCrossDocGrams
+      .grams(spark, statePath).get.inputFiles.length
+    assert(filesAfter <= filesBefore)
+    assert(rowsOf(IncrementalCrossDocGrams.stats(spark, statePath).get)
+      == before, "compaction changed the maintained stats")
+
+    run(batches.last.toSeq)
+    val oneShot = rowsOf(Dedup.crossDocGramStats(
+      all.toSeq.toDF("doc_id", "text"), "doc_id", "text", 5))
+    assert(rowsOf(IncrementalCrossDocGrams.stats(spark, statePath).get)
+      == oneShot, "post-compaction batch diverged")
+  }
+
+  test("probe read prunes to the delta's touched gb buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val statePath = Files.createTempDirectory("graft-xdoc6").toString
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    IncrementalCrossDocGrams.processBatch(
+      docs, "doc_id", "text", statePath)
+
+    // a 2-doc delta touches few of the 64 buckets
+    val delta = Seq((900001L, "one tiny delta document arrives now ok"))
+      .toDF("doc_id", "text")
+    val touched = graft.dedup.Dedup
+      .gramRows(delta, "doc_id", "text", 5, hashGrams = false)
+      .select(pmod(xxhash64(col("__g")), lit(64)).cast("int").as("gb"))
+      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+    assert(touched.nonEmpty && touched.length < 16)
+
+    val store = IncrementalCrossDocGrams.grams(spark, statePath).get
+    val pruned = IncrementalCrossDocGrams.prunedGrams(store, touched)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("gb"),
+      s"probe not partition-pruned: ${scan.metadata("PartitionFilters")}")
+    pruned.collect()
+    val total = store.inputFiles.length
+    assert(scan.metrics("numFiles").value < total,
+      s"pruned probe read all $total files")
+  }
+
   test("hashGrams state form equals the string form") {
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(200)
