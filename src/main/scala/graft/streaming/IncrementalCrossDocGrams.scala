@@ -177,6 +177,19 @@ object IncrementalCrossDocGrams {
       IndexDirs.retire(spark, p)
     }
 
+  /** Maintenance sweep for week-long streams: retire superseded gram-
+    * store generations left by [[compact]] ([[IndexDirs.retire]] —
+    * crashed-rewrite leftovers included) and vacuum the results
+    * table's superseded partition versions / old manifests / crashed
+    * staging dirs (`PartitionedReplicatedTable.vacuum`). Same
+    * single-writer + reader-grace contract as the other maintainers;
+    * run between batches. */
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
+    IndexDirs.retire(spark, gramsPath(statePath), keep = keep)
+    val res = resultsTable(spark, statePath)
+    if (res.isSnapshotDone) res.vacuum(keepManifests = keep)
+  }
+
   /** Attach to a streaming document source: one [[processBatch]] per
     * micro-batch. */
   def attach(docs: DataFrame, idCol: String, textCol: String,

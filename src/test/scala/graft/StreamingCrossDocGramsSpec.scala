@@ -140,6 +140,15 @@ class StreamingCrossDocGramsSpec extends AnyFunSuite {
       all.toSeq.toDF("doc_id", "text"), "doc_id", "text", 5))
     assert(rowsOf(IncrementalCrossDocGrams.stats(spark, statePath).get)
       == oneShot, "post-compaction batch diverged")
+
+    // vacuum drops the pre-compaction gram generation and the results
+    // table's superseded versions; state and the next batch survive
+    IncrementalCrossDocGrams.vacuum(spark, statePath, keep = 1)
+    assert(rowsOf(IncrementalCrossDocGrams.stats(spark, statePath).get)
+      == oneShot, "vacuum changed the maintained stats")
+    run(Seq((999999L, "a totally fresh vacuum probe document here")))
+    assert(IncrementalCrossDocGrams.stats(spark, statePath).get
+      .count() == oneShot.length + 1, "post-vacuum batch failed")
   }
 
   test("probe read prunes to the delta's touched gb buckets") {
