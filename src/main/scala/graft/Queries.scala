@@ -149,6 +149,21 @@ object Queries {
         .select("doc_id").cache()
     })
 
+  /** Representative keep-list of the LEXICAL dup clusters (min-id per
+    * d05 cluster) — the single definition c01/c02/c03/c07 share, so
+    * the funnel's n_final ≡ c03 invariant is structural, not a
+    * coincidence of duplicated code. */
+  private def lexKeepers(s: SparkSession, d: String): DataFrame =
+    dupClusters(s, d)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+
+  /** Representative keep-list of the EMBEDDING (semantic) clusters —
+    * shared by c03/c07 the same way. */
+  private def semKeepers(s: SparkSession, d: String): DataFrame =
+    embClusters(s, d)
+      .filter(col("vec_id") === col("cluster_id"))
+      .select(col("vec_id").as("doc_id"))
+
   /** The c03 semantic-curation survivor frame (doc_id, source,
     * n_tokens, quality_score, lang_pred, split), unordered — shared by
     * the c03 catalog entry and the c06 export composition. Scan-local
@@ -158,14 +173,9 @@ object Queries {
   private def curatedSemantic(s: SparkSession, d: String): DataFrame = {
     val isBench = col("source").isin("src0", "src1")
     val scored = scoredDocs(s, d)
-    val keepers = dupClusters(s, d)
-      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-    val semKeepers = embClusters(s, d)
-      .filter(col("vec_id") === col("cluster_id"))
-      .select(col("vec_id").as("doc_id"))
     val contaminated = contaminatedIds(s, d)
-    scored.join(keepers, "doc_id")
-      .join(semKeepers, "doc_id")
+    scored.join(lexKeepers(s, d), "doc_id")
+      .join(semKeepers(s, d), "doc_id")
       .filter(!isBench)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .filter(col("quality_score") >= 0.72 &&
@@ -1205,9 +1215,7 @@ object Queries {
     // whole pipeline beyond dedup is one projection.
     "c01_curation_pipeline" -> ((s, d) => {
       val scored = scoredDocs(s, d)
-      val keepers = dupClusters(s, d)
-        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-      scored.join(keepers, "doc_id")
+      scored.join(lexKeepers(s, d), "doc_id")
         .filter(col("quality_score") >= 0.72 &&
           col("lang_pred") =!= "und" && col("n_tokens") >= 3)
         .orderBy("doc_id")
@@ -1224,10 +1232,8 @@ object Queries {
     "c02_curation_splits" -> ((s, d) => {
       val isBench = col("source").isin("src0", "src1")
       val scored = scoredDocs(s, d)
-      val keepers = dupClusters(s, d)
-        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
       val contaminated = contaminatedIds(s, d)
-      scored.join(keepers, "doc_id")
+      scored.join(lexKeepers(s, d), "doc_id")
         .filter(!isBench)
         .join(contaminated, Seq("doc_id"), "left_anti")
         .filter(col("quality_score") >= 0.72 &&
@@ -1269,12 +1275,8 @@ object Queries {
     "c07_curation_funnel" -> ((s, d) => {
       val admitted = col("quality_score") >= 0.72 &&
         col("lang_pred") =!= "und" && col("n_tokens") >= 3
-      val lex = dupClusters(s, d)
-        .filter(col("doc_id") === col("cluster_id"))
-        .select(col("doc_id"), lit(1).as("__lex"))
-      val sem = embClusters(s, d)
-        .filter(col("vec_id") === col("cluster_id"))
-        .select(col("vec_id").as("doc_id"), lit(1).as("__sem"))
+      val lex = lexKeepers(s, d).withColumn("__lex", lit(1))
+      val sem = semKeepers(s, d).withColumn("__sem", lit(1))
       val con = contaminatedIds(s, d).withColumn("__con", lit(1))
       val flag = (c: Column) => when(c, 1).otherwise(0)
       scoredDocs(s, d)

@@ -442,12 +442,7 @@ object Dedup {
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int,
                           hashGrams: Boolean = false): DataFrame = {
-    def grams(df: DataFrame) = {
-      val g = df.filter(TextFunctions.tokenCount(col(textCol)) >= n)
-        .select(col(idCol), explode(
-          TextFunctions.shingles(col(textCol), n)).as("__g"))
-      if (hashGrams) g.select(col(idCol), xxhash64(col("__g")).as("__g")) else g
-    }
+    def grams(df: DataFrame) = gramRows(df, idCol, textCol, n, hashGrams)
     val bench = grams(benchmark).select("__g").distinct()
     grams(corpus).join(bench, "__g")
       .groupBy(idCol)
@@ -804,8 +799,16 @@ object Dedup {
     * than n tokens have no windows and drop out. */
   def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, hashGrams: Boolean = false): DataFrame = {
-    val g = gramRows(docs, idCol, textCol, n, hashGrams)
-    gramStats(g, g.groupBy("__g").agg(count(lit(1)).as("__nd")), idCol)
+    // ONE pass over the corpus: the per-gram doc-frequency comes from
+    // a count window over the exploded rows (one gram-keyed exchange),
+    // not a self-join of two scans — the dominant cost is the regexp
+    // shingle explode, and a join formulation would run it twice
+    // (different Exchange children defeat ReuseExchange).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    gramStatsAgg(
+      gramRows(docs, idCol, textCol, n, hashGrams)
+        .withColumn("__nd", count(lit(1)).over(w)),
+      idCol)
   }
 
   /** Per-doc DISTINCT n-gram rows `(idCol, __g)` — the shared first
@@ -826,13 +829,18 @@ object Dedup {
     else raw
   }
 
-  /** The d15 per-doc aggregate over gram rows `g` and gram
+  /** The d15 per-doc aggregate over gram rows `g` joined with gram
     * frequencies `freq` (`__g` → `__nd` = number of docs containing
-    * the gram). */
+    * the gram) — the form the streaming maintainer uses, where the
+    * frequencies come from the persisted store rather than the batch
+    * itself. */
   private[graft] def gramStats(g: DataFrame, freq: DataFrame,
                                idCol: String): DataFrame =
-    g.join(freq, "__g")
-      .groupBy(idCol)
+    gramStatsAgg(g.join(freq, "__g"), idCol)
+
+  /** The per-doc aggregate over rows already carrying `__nd`. */
+  private def gramStatsAgg(rows: DataFrame, idCol: String): DataFrame =
+    rows.groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_grams"),
            sum(when(col("__nd") >= 2, 1).otherwise(0)).cast("long")
              .as("n_shared_grams"),

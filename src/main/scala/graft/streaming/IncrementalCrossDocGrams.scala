@@ -57,6 +57,33 @@ object IncrementalCrossDocGrams {
 
   private def gramsPath(statePath: String): String = s"$statePath/grams"
 
+  /** Params are FROZEN per state dir: stored gb values, rp partition
+    * assignments, and the gram encoding are all pure functions of
+    * them, so a drifted caller (different gramBuckets, resultParts,
+    * hashGrams, or n) would silently miss stored holders in the
+    * pruned probe and migrate keys between result partitions. The
+    * first batch writes a sidecar; every later call must match it —
+    * corruption becomes a loud require instead. */
+  private def checkParams(spark: SparkSession, statePath: String,
+                          p: Params): Unit = {
+    val f = IndexDirs.fs(spark, statePath)
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
+    val repr = s"n=${p.n};gramBuckets=${p.gramBuckets};" +
+      s"resultParts=${p.resultParts};hashGrams=${p.hashGrams}"
+    if (f.exists(path)) {
+      val in = f.open(path)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == repr,
+        s"state at $statePath was built with [$stored]; this call uses " +
+          s"[$repr] — params are frozen per state dir")
+    } else {
+      val out = f.create(path, true)
+      try out.write(repr.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def resultsTable(spark: SparkSession,
                            statePath: String): PartitionedReplicatedTable =
     new PartitionedReplicatedTable(spark, s"$statePath/results",
@@ -82,6 +109,7 @@ object IncrementalCrossDocGrams {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
+    checkParams(spark, statePath, params)
     // batch gram rows, bucketed; materialized eagerly (batch-sized) —
     // the lineage below spans both stores across their commits
     val g = Dedup.gramRows(newDocs, idCol, textCol, params.n,
@@ -120,8 +148,19 @@ object IncrementalCrossDocGrams {
     val res = resultsTable(spark, statePath)
     val oldIds = probe.select("doc_id")
       .join(g.select("doc_id"), Seq("doc_id"), "left_anti").distinct()
+    val oldIdsEmpty = oldIds.isEmpty
+    // an interrupted FIRST batch may replay with its own grams stored
+    // and no results table yet (oldIds empty — probe docs are the
+    // batch's own); stored docs from a DIFFERENT batch with no results
+    // table means the caller fed new data instead of replaying the
+    // interrupted batch — their rows (and gram arrays future
+    // revisions need) would be silently lost, so fail loudly
+    if (!res.isSnapshotDone)
+      require(oldIdsEmpty,
+        s"gram store at $statePath holds docs with no results table — " +
+          "replay the interrupted batch before feeding new data")
     val oldGrams =
-      if (res.isSnapshotDone && !oldIds.isEmpty) {
+      if (res.isSnapshotDone && !oldIdsEmpty) {
         val rps = oldIds.select(rpOf(col("doc_id"), params).as("rp"))
           .distinct().collect().map(_.get(0)).toIndexedSeq
         res.currentForValues(rps)

@@ -56,9 +56,11 @@ object BloomCrossoverBench {
       })
     def time(what: String)(f: => Long): Unit = {
       for (pass <- 1 to 2) {
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         shuffled.set(0L)
         val t0 = System.nanoTime()
         val n = f
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
         println(f"[crossover] $what pass$pass: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
           f"${shuffled.get / 1048576.0}%.1f MB shuffled)")

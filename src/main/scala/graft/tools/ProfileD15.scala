@@ -27,10 +27,12 @@ object ProfileD15 {
       })
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     for (pass <- 1 to 2; hashed <- Seq(false, true)) {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       shuffled.set(0L)
       val t0 = System.nanoTime()
       val n = Dedup.crossDocGramStats(docs, "doc_id", "text", 5, hashed)
         .queryExecution.toRdd.count()
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       println(f"[d15] $dir pass$pass hashed=$hashed: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
         f"${shuffled.get / 1048576.0}%.1f MB shuffled)")

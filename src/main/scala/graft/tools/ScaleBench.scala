@@ -148,12 +148,14 @@ object ScaleBench {
         }
       })
     for (dir <- Seq(src, dst); pass <- 1 to 2; name <- names) {
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       shuffled.set(0L)
       val t0 = System.nanoTime()
       // full materialization (not count()): count on top would let
       // Catalyst prune computed columns that don't affect cardinality
       val n = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.toRdd.count()
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       println(f"[scale] $dir pass$pass $name: " +
         f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
         f"${shuffled.get / 1048576.0}%.1f MB shuffled)")

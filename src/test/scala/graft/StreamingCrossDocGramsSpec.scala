@@ -181,6 +181,24 @@ class StreamingCrossDocGramsSpec extends AnyFunSuite {
       s"pruned probe read all $total files")
   }
 
+  test("params are frozen per state dir: drifted caller fails loudly") {
+    val statePath = Files.createTempDirectory("graft-xdoc7").toString
+    IncrementalCrossDocGrams.processBatch(
+      Seq((1L, "a b c d e f")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalCrossDocGrams.processBatch(
+        Seq((2L, "a b c d e g")).toDF("doc_id", "text"),
+        "doc_id", "text", statePath, Params(gramBuckets = 128))
+    }
+    assert(e.getMessage.contains("frozen"))
+    // the matching params still work
+    IncrementalCrossDocGrams.processBatch(
+      Seq((2L, "a b c d e g")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath)
+    assert(IncrementalCrossDocGrams.stats(spark, statePath).get.count() == 2)
+  }
+
   test("hashGrams state form equals the string form") {
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(200)
