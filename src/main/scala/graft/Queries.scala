@@ -1400,11 +1400,15 @@ object Queries {
       val docs = documents(s, d)
       val tok = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("t"))
+      // ONE explode pass: tf rows are one-per-(doc, term), so a count
+      // window over the term is exactly the document frequency — the
+      // join-with-self-derived-counts form evaluates the explode twice
+      // (different Exchange children defeat ReuseExchange)
       val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val dfreq = tok.groupBy("t").agg(countDistinct("doc_id").as("df"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
       val n = docs.count()
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("t"))
-      tf.join(dfreq, "t")
+      tf
         .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -1421,9 +1425,13 @@ object Queries {
       val docs = documents(s, d)
       val tok = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("t"))
-      val cnt = tok.groupBy("t").agg(count(lit(1)).as("c"))
-      val n = tok.count()
-      tok.join(cnt, "t")
+      // total token count WITHOUT a second explode pass (sum of sizes
+      // over the cached docs scan); occurrence counts as ONE count
+      // window over the single exploded pass (the join form evaluated
+      // the explode twice and the count() a third time)
+      val n = docs.agg(sum(size(TextFunctions.tokens(col("text")))))
+        .collect()(0).getLong(0)
+      tok.withColumn("c", count(lit(1)).over(Window.partitionBy("t")))
         .withColumn("__m",
           round(-log(col("c").cast("double") / n.toDouble) * 1e6).cast("long"))
         .groupBy("doc_id")
@@ -2077,11 +2085,15 @@ object Queries {
         explode(TextFunctions.tokens(col("text"))).as("t"))
       val ucnt = tok.groupBy("t").agg(count(lit(1)).as("ca"))
       val v = ucnt.count()
+      // bigram occurrence counts as ONE count window over the single
+      // exploded pass — the join-with-self-derived-counts form ran the
+      // regex bigram extraction twice (different Exchange children
+      // defeat ReuseExchange)
       val bg = docs.select(col("doc_id"),
           explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
         .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
-      val bcnt = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
-      bg.join(bcnt, "bg")
+        .withColumn("cb", count(lit(1)).over(Window.partitionBy("bg")))
+      bg
         .join(ucnt.withColumnRenamed("t", "w1"), "w1")
         .withColumn("__m",
           round(-log((col("cb") + 1.0) / (col("ca") + v.toDouble)) * 1e6)
