@@ -857,9 +857,13 @@ object Queries {
       val sm = summary(s, d)
         .select(col("customer_id"),
                 trunc(col("transaction_date"), "MM").as("m"))
-      val cohorts = sm.groupBy("customer_id").agg(min(col("m")).as("cohort"))
+      // cohort = min month over the customer partition in ONE pass
+      // (min over distinct rows ≡ min over all rows, so the window
+      // sits on the deduped frame): one customer-keyed exchange total,
+      // vs the agg+join form's extra aggregation of the same frame
       sm.distinct()
-        .join(cohorts, "customer_id")
+        .withColumn("cohort",
+          min(col("m")).over(Window.partitionBy("customer_id")))
         .groupBy("cohort", "m")
         .agg(countDistinct(col("customer_id")).as("n_active"))
         .withColumn("months_since",
@@ -1998,17 +2002,20 @@ object Queries {
     // map-side-combined on the token key, and the vocab join is a
     // broadcast at any realistic vocab size (vocab ≪ corpus).
     "t13_oov_rate" -> ((s, d) => {
-      val toks = documents(s, d)
+      // ONE token-explode pass: per-(doc, token) occurrence counts
+      // first (rows are then one-per-(doc, token), so a count window
+      // over the token is exactly its document frequency — t09's
+      // trick), per-doc totals re-weighted by the occurrence counts.
+      // The vocab-join form evaluated the explode twice.
+      val per = documents(s, d)
         .select(col("doc_id"), col("source"),
                 explode(TextFunctions.tokens(col("text"))).as("tok"))
-      val vocab = toks.groupBy("tok")
-        .agg(countDistinct(col("doc_id")).as("__df"))
-        .filter(col("__df") >= 5)
-        .select(col("tok"), lit(1).as("__in_vocab"))
-      toks.join(broadcast(vocab), Seq("tok"), "left")
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_tokens"),
-             sum(when(col("__in_vocab").isNull, 1L).otherwise(0L))
+        .groupBy("doc_id", "source", "tok")
+        .agg(count(lit(1)).as("__occ"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("tok")))
+      per.groupBy("doc_id", "source")
+        .agg(sum(col("__occ")).as("n_tokens"),
+             sum(when(col("__df") < 5, col("__occ")).otherwise(0L))
                .as("n_oov"))
         .withColumn("oov_rate",
           round(col("n_oov").cast("double") / col("n_tokens"), 6))
