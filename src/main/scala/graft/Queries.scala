@@ -2210,12 +2210,12 @@ object Queries {
     // repetition signal (boilerplate headers, licence blocks, mirrored
     // articles) that intra-doc t08 and corpus-vs-benchmark d04 both
     // miss: per doc, the share of its DISTINCT 5-gram windows that
-    // also occur in at least one OTHER document. One shingle explode
-    // (scan-local, distinct per doc so a gram counts each doc once),
-    // one map-side-combined gram-frequency aggregate, one gram-keyed
-    // join back — all linear in corpus grams, no pair enumeration;
-    // the d09 bloom-prefilter shape applies unchanged if the gram
-    // table ever outgrows the shuffle budget.
+    // also occur in at least one OTHER document. ONE shingle explode
+    // (scan-local, distinct per doc so a gram counts each doc once)
+    // with the doc-frequency as a count window over the gram key —
+    // linear in corpus grams, no pair enumeration; the d09
+    // bloom-prefilter shape applies unchanged if the gram table ever
+    // outgrows the shuffle budget.
     "d15_crossdoc_ngram_dup" -> ((s, d) =>
       Dedup.crossDocGramStats(documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id")),

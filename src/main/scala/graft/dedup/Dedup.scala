@@ -793,10 +793,11 @@ object Dedup {
     * intra-doc repetition stats and to corpus-vs-benchmark
     * decontamination). A gram counts each containing doc once
     * (shingles are per-doc distinct), so frequency >= 2 means "in
-    * another document". One scan-local shingle explode, one map-side-
-    * combined gram-frequency aggregate, one gram-keyed join back —
-    * linear in corpus grams, no pair enumeration; docs with fewer
-    * than n tokens have no windows and drop out. */
+    * another document". ONE scan-local shingle explode with the
+    * doc-frequency as a count window over the gram key (a single
+    * gram-keyed exchange) — linear in corpus grams, no pair
+    * enumeration; docs with fewer than n tokens have no windows and
+    * drop out. */
   def crossDocGramStats(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, hashGrams: Boolean = false): DataFrame = {
     // ONE pass over the corpus: the per-gram doc-frequency comes from
