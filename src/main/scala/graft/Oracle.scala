@@ -881,6 +881,22 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 ORDER BY a, b"""),
 
+    // j03 = brute-force overlap coefficient (containment) ≥ 0.9 within
+    // a source — the prefix-filtered containment join emits exactly
+    // this set.
+    "j03_containment_pairs" -> ("""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       ROUND(1.0 * len(list_intersect(x.w, y.w))
+             / LEAST(len(x.w), len(y.w)), 4) AS containment
+FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+WHERE 1.0 * len(list_intersect(x.w, y.w))
+      / LEAST(len(x.w), len(y.w)) >= 0.9
+ORDER BY a, b"""),
+
     // Brute-force SimHash oracle: recompute the md5-nibble packed
     // signature (token-hash bit j = bit (j%4) of hex nibble j/4 of
     // md5(token) — Dedup.simhashPackedPortable's exact convention,

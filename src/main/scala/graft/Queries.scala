@@ -926,6 +926,22 @@ object Queries {
         TestData.table(s, d, "customer"), "c_custkey", "c_name")
         .orderBy("a", "b")),
 
+    // Exact set-CONTAINMENT pairs (overlap coefficient ≥ 0.9) within a
+    // source — the ASYMMETRIC dedup axis: an excerpt embedded in a
+    // longer doc has containment 1.0 but jaccard ≈ size ratio, so j01
+    // misses it whenever the ratio exceeds (1−t)/t. Candidates come
+    // from the smaller side's rare-first prefix probing the full
+    // inverted index (only the small side of a pair admits a prefix
+    // bound); over-cap token buckets chunk their index members, verify
+    // runs once per pair. Output identical to the brute-force
+    // all-pairs join (the oracle SQL).
+    "j03_containment_pairs" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      Dedup.containmentJoin(t, "doc_id", "w", 0.9, Seq("source"))
+        .orderBy("a", "b")
+    }),
+
     // Token statistics (whitespace + BPE-ish subword counting).
     "t01_token_stats" -> ((s, d) =>
       documents(s, d).select(

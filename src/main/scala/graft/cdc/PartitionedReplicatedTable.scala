@@ -97,11 +97,41 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
     * manifests) still parses, so stats adoption needs no migration. */
   private def manifest(): Map[String, Entry] =
     if (!isSnapshotDone) Map.empty
-    else readSmall(new Path(root, s"m=${readSmall(head)}"))
+    else manifestFrom(new Path(root, s"m=${readSmall(head)}"))
+
+  private def manifestFrom(p: Path): Map[String, Entry] =
+    readSmall(p)
       .linesIterator.filter(_.nonEmpty).map { line =>
         val f = line.split('\t')
         f(0) -> Entry(f(1), f.lift(2).filter(_.nonEmpty))
       }.toMap
+
+  /** Manifest versions still on disk, ascending — the TIME-TRAVEL
+    * window. Every retained manifest is a complete, immutable
+    * partition→version mapping whose data dirs [[vacuum]] preserves
+    * (the reader-grace contract), so each one is a readable snapshot. */
+  def versions(): Seq[Int] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("m=")).map(_.stripPrefix("m=").toInt)
+      .sorted.toSeq
+
+  /** Read the table AS OF a committed manifest version — the
+    * Snowflake-time-travel read over the retained window ([[vacuum]]'s
+    * `keepManifests` sets the horizon; older versions fail loudly
+    * rather than silently serving the wrong snapshot). Reads apply the
+    * CURRENT schema sidecar: after a column ADD, historical snapshots
+    * null-fill the new column (column loss is rejected at apply time,
+    * so the stored schema only ever widens — old files always
+    * project). */
+  def asOf(version: Int): DataFrame = {
+    val p = new Path(root, s"m=$version")
+    require(fs.exists(p),
+      s"manifest $version not retained at $path (vacuumed or never " +
+        s"committed) — retained: ${versions().mkString(", ")}")
+    val m = manifestFrom(p)
+    read(m, m.keys.toSeq)
+  }
 
   private def read(m: Map[String, Entry], parts: Seq[String]): DataFrame = {
     // pair each requested partition with ITS OWN manifest entry —

@@ -74,6 +74,25 @@ final class ReplicatedTable(spark: SparkSession, path: String,
   /** Versions applied after the snapshot (CONNECTOR_STATS analog). */
   def appliedBatches: Int = currentVersion.map(v => v).getOrElse(0)
 
+  /** Version dirs still on disk, ascending — the TIME-TRAVEL window
+    * ([[vacuum]]'s `keep` sets the horizon). Each is the complete
+    * table as of that commit (full rewrite per batch in this layout). */
+  def versions(): Seq[Int] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toIntOption).sorted.toSeq
+
+  /** Read the table AS OF a committed version — fails loudly on a
+    * vacuumed (or never-committed) one rather than silently serving
+    * the wrong snapshot. */
+  def asOf(version: Int): DataFrame = {
+    require(fs.exists(new Path(versionPath(version))),
+      s"version $version not retained at $path (vacuumed or never " +
+        s"committed) — retained: ${versions().mkString(", ")}")
+    spark.read.parquet(versionPath(version))
+  }
+
   /** Table maintenance: delete all version dirs older than the newest
     * `keep` (retention = the reader grace window, as in
     * `PartitionedReplicatedTable.vacuum`). Single-writer, between

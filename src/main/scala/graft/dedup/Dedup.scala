@@ -311,6 +311,151 @@ object Dedup {
       cross = true, bucketCap)
   }
 
+  /** EXACT all-pairs set-CONTAINMENT self-join: every pair with
+    * overlap coefficient |x∩y| / min(|x|,|y|) ≥ `threshold` — the
+    * ASYMMETRIC dedup axis. A short doc fully embedded in a long one
+    * (an excerpt, a quoted passage, a doc re-issued with a long
+    * appendix) has containment 1.0 but jaccard ≈ |x|/|y|, so the
+    * symmetric join ([[jaccardJoinExact]]) provably misses it whenever
+    * the size ratio exceeds (1−t)/t — the standard blind spot of
+    * jaccard-only near-dup in training-data curation.
+    *
+    * Exactness (asymmetric prefix filter — the PRETTI/PIEJoin family):
+    * for a qualifying pair with nx ≤ ny, the overlap is ≥ ⌈t·nx⌉, so x
+    * has ≤ nx − ⌈t·nx⌉ tokens OUTSIDE y and one of its first
+    * nx − ⌈t·nx⌉ + 1 rare-first tokens must be in y. The larger side
+    * admits no such bound (its prefix length would depend on the
+    * partner's size), so only the SMALLER side probes with its prefix
+    * while every doc posts ALL its tokens to the index side; candidates
+    * are (probe, index) co-occurrences in a token bucket. Rare-first
+    * ranking keeps probe tokens selective; the index side of a
+    * frequent-token bucket is that token's full inverted list, so
+    * over-cap buckets hash-chunk their INDEX members into ⌈B/cap⌉
+    * sub-buckets and replicate only the (rare) probe members across
+    * them — every pair still materializes exactly once, in its index
+    * member's chunk.
+    *
+    * Verify runs ONCE per pair: the bucket keyed by the smallest token
+    * common to x's prefix and y's full set (a native sorted merge walk)
+    * does the full intersect; every other shared bucket drops the pair
+    * after that cheap first-common check. Roles are unique per pair —
+    * probe = smaller set, (size, id)-lexicographic tie-break — so no
+    * final distinct. Output: (a, b, containment) with a < b by id.
+    *
+    * Token arrays must be distinct-element (`array_distinct`
+    * upstream). `minSize` drops trivially-contained tiny docs from
+    * BOTH roles (a 1-token doc is "contained" in anything sharing the
+    * token). Equality with the brute-force all-pairs join is
+    * property-tested in ContainmentJoinSpec. */
+  def containmentJoin(docs: DataFrame, idCol: String, tokensCol: String,
+                      threshold: Double,
+                      partitionCols: Seq[String] = Nil,
+                      minSize: Int = 1,
+                      bucketCap: Int = 2000): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val pc = partitionCols.map(col)
+    def plen(n: Column): Column =
+      (n - ceil(lit(threshold) * n) + 1).cast("int")
+
+    val sorted = rankedSets(
+      docs.filter(size(col(tokensCol)) >= minSize)
+        .withColumn("__side", lit(0)),
+      idCol, tokensCol, partitionCols)
+      .drop("__side")
+
+    // Probe rows: the doc's rare-first prefix, valid when it is the
+    // smaller side of a pair. Index rows: every token of every doc.
+    val probe = sorted.select(
+      (pc :+ col("__id") :+ col("__w")) :+
+        explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
+    val index = sorted.select(
+      (pc :+ col("__id") :+ col("__w")) :+
+        explode(col("__w")).as("__pt"): _*)
+
+    // Over-cap buckets: chunk the INDEX side (the unbounded one — a
+    // frequent token's full inverted list), replicate probes across
+    // the chunks. A pair generates only in its index member's chunk.
+    val sizes = index.groupBy(pc :+ col("__pt"): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .select((pc :+ col("__pt") :+
+        least(ceil(col("__bn") / lit(bucketCap)), lit(128))
+          .cast("int").as("__nc")): _*)
+    val idxChunked = index.join(sizes, partitionCols :+ "__pt")
+      .withColumn("__c",
+        pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
+          .cast("int"))
+    val probeChunked = probe.join(sizes, partitionCols :+ "__pt")
+      .select((pc :+ col("__pt") :+ col("__id") :+ col("__w")) :+
+        explode(sequence(lit(0), greatest(col("__nc"), lit(1)) - 1))
+          .as("__c"): _*)
+
+    val member = struct(col("__id"), col("__w"))
+    val buckets = probeChunked.select(
+        (pc :+ col("__pt") :+ col("__c") :+ member.as("__m") :+
+          lit(0).as("__role")): _*)
+      .unionByName(idxChunked.select(
+        (pc :+ col("__pt") :+ col("__c") :+ member.as("__m") :+
+          lit(1).as("__role")): _*))
+      .groupBy(pc :+ col("__pt") :+ col("__c"): _*)
+      .agg(collect_list(when(col("__role") === 0, col("__m"))).as("__ps"),
+           collect_list(when(col("__role") === 1, col("__m"))).as("__is"))
+      .filter(size(col("__ps")) >= 1 && size(col("__is")) >= 1)
+
+    val nx = size(col("x.__w")); val ny = size(col("y.__w"))
+    buckets
+      .select(col("__pt"), col("__is"), explode(col("__ps")).as("x"))
+      .select(col("__pt"), col("x"), explode(col("__is")).as("y"))
+      // unique roles: probe strictly smaller, id tie-break on equal size
+      .filter(nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
+      // verify-ONCE guard: only the bucket keyed by the smallest token
+      // common to x's prefix and y runs the full intersect
+      .filter(col("__pt") === graft.functions.arrays.sorted_first_common(
+        slice(col("x.__w"), lit(1), plen(nx)), col("y.__w")))
+      .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
+        col("x.__w"), col("y.__w")))
+      .withColumn("containment", col("__si").cast("double") / nx)
+      .filter(col("containment") >= threshold)
+      .select(least(col("x.__id"), col("y.__id")).as("a"),
+              greatest(col("x.__id"), col("y.__id")).as("b"),
+              round(col("containment"), 4).as("containment"))
+  }
+
+  /** Rank every token rare-first into a long id and re-assemble each
+    * doc as a SORTED long array — the shared front end of the exact
+    * set-similarity joins. No global single-partition sort (a
+    * billion-token vocabulary must never funnel through one task):
+    * range-repartition the vocabulary on (freq, token) — range
+    * partitions tile the total order, so (partition id, rank within
+    * partition) is order-isomorphic to the global (freq, token) order —
+    * and pack the two into one long. Downstream only needs a total
+    * ORDER (prefix slicing is by array position, bucket keys by
+    * equality, merge walks by comparison), not dense ids, so there is
+    * no offset pass, no driver collect, and every later
+    * compare/intersect runs on longs, not strings. Ids differ run-to-
+    * run only by order-preserving relabeling (range boundaries are
+    * sampled), which the output is invariant to. Input needs columns
+    * (partitionCols…, idCol, __side, tokensCol); output is
+    * (partitionCols…, __id, __side, __w). */
+  private def rankedSets(docs: DataFrame, idCol: String, tokensCol: String,
+                         partitionCols: Seq[String]): DataFrame = {
+    val pc = partitionCols.map(col)
+    val ex = docs.select(
+      (pc :+ col(idCol).as("__id") :+ col("__side")) :+
+        explode(col(tokensCol)).as("__t"): _*)
+    val vocab = ex.groupBy("__t").agg(count(lit(1)).as("__f"))
+      .repartitionByRange(col("__f"), col("__t"))
+      .withColumn("__pid", spark_partition_id())
+      .select(col("__t"),
+        (shiftleft(col("__pid").cast("long"), 40) +
+          row_number().over(Window.partitionBy(col("__pid"))
+            .orderBy(col("__f"), col("__t"))).cast("long")).as("__r"))
+    ex.join(vocab, "__t")
+      .groupBy(pc :+ col("__id") :+ col("__side"): _*)
+      .agg(sort_array(collect_list(col("__r"))).as("__w"))
+  }
+
   private def ppjoinPairs(docs: DataFrame, idCol: String, tokensCol: String,
                           threshold: Double, partitionCols: Seq[String],
                           cross: Boolean, bucketCap: Int = 2000): DataFrame = {
@@ -321,31 +466,7 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
-    val ex = docs.select(
-      (pc :+ col(idCol).as("__id") :+ col("__side")) :+
-        explode(col(tokensCol)).as("__t"): _*)
-    // Long token ids ranked rare-first WITHOUT a global single-partition
-    // sort (a billion-token vocabulary must never funnel through one
-    // task): range-repartition the vocabulary on (freq, token) — range
-    // partitions tile the total order, so (partition id, rank within
-    // partition) is order-isomorphic to the global (freq, token) order —
-    // and pack the two into one long. Downstream only needs a total
-    // ORDER (prefix slicing is by array position, bucket keys by
-    // equality, merge walks by comparison), not dense ids, so there is
-    // no offset pass, no driver collect, and every later
-    // compare/intersect runs on longs, not strings. Ids differ run-to-
-    // run only by order-preserving relabeling (range boundaries are
-    // sampled), which the output is invariant to.
-    val vocab = ex.groupBy("__t").agg(count(lit(1)).as("__f"))
-      .repartitionByRange(col("__f"), col("__t"))
-      .withColumn("__pid", spark_partition_id())
-      .select(col("__t"),
-        (shiftleft(col("__pid").cast("long"), 40) +
-          row_number().over(Window.partitionBy(col("__pid"))
-            .orderBy(col("__f"), col("__t"))).cast("long")).as("__r"))
-    val sorted = ex.join(vocab, "__t")
-      .groupBy(pc :+ col("__id") :+ col("__side"): _*)
-      .agg(sort_array(collect_list(col("__r"))).as("__w"))
+    val sorted = rankedSets(docs, idCol, tokensCol, partitionCols)
 
     val pref = sorted.select(
       (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+

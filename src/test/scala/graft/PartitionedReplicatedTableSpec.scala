@@ -65,6 +65,49 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     assert(t.current().filter($"day" === "2024-01-02").count() == 1)
   }
 
+  test("time travel: asOf(v) serves each committed snapshot; vacuum bounds the window loudly") {
+    val dir = Files.createTempDirectory("graft-ptab-tt").toString
+    val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
+    t.snapshot(Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-02", "b")).toDF())
+    t.applyChanges(Seq(PKvChange(1, "2024-01-01", "a1",
+      CdcApply.Update, 1, ts(1))).toDF())
+    t.applyChanges(Seq(
+      PKvChange(3, "2024-01-02", "c", CdcApply.Insert, 2, ts(2)),
+      PKvChange(2, "2024-01-02", null, CdcApply.Delete, 3, ts(3))).toDF())
+
+    assert(t.versions() == Seq(0, 1, 2))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[PKv].collect().sortBy(_.k).toSeq
+    assert(rows(t.asOf(0)) == Seq(
+      PKv(1, "2024-01-01", "a"), PKv(2, "2024-01-02", "b")))
+    assert(rows(t.asOf(1)) == Seq(
+      PKv(1, "2024-01-01", "a1"), PKv(2, "2024-01-02", "b")))
+    assert(rows(t.asOf(2)) == rows(t.current()))
+
+    // the touched partition's OLD version dir must survive vacuum while
+    // a retained manifest references it (keepManifests=2 keeps m=1,m=2)
+    t.vacuum(keepManifests = 2)
+    assert(t.versions() == Seq(1, 2))
+    assert(rows(t.asOf(1)) == Seq(
+      PKv(1, "2024-01-01", "a1"), PKv(2, "2024-01-02", "b")))
+    val err = intercept[IllegalArgumentException](t.asOf(0))
+    assert(err.getMessage.contains("not retained"))
+
+    // flat layout: same contract
+    val f = new ReplicatedTable(spark, s"$dir/f", Seq("k"))
+    f.snapshot(Seq(PKv(1, "d", "x")).toDF())
+    f.applyChanges(Seq(PKvChange(1, "d", "y",
+      CdcApply.Update, 1, ts(1))).toDF())
+    assert(f.versions() == Seq(0, 1))
+    assert(f.asOf(0).as[PKv].collect().toSeq == Seq(PKv(1, "d", "x")))
+    assert(f.asOf(1).as[PKv].collect().toSeq == Seq(PKv(1, "d", "y")))
+    f.vacuum(keep = 1)
+    assert(f.versions() == Seq(1))
+    assert(intercept[IllegalArgumentException](f.asOf(0))
+      .getMessage.contains("not retained"))
+  }
+
   test("vacuum sweeps superseded versions, old manifests, and crashed stages; reads unchanged") {
     val dir = Files.createTempDirectory("graft-ptab-vac").toString
     val t = new PartitionedReplicatedTable(spark, s"$dir/t", Seq("k"), "day")
