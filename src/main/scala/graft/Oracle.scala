@@ -1144,6 +1144,26 @@ p AS (
 SELECT a AS doc_id, COUNT(*) AS n_bench_matches, MAX(jaccard) AS max_jaccard
 FROM p GROUP BY a ORDER BY doc_id"""),
 
+    // d16 = brute-force cross-corpus overlap coefficient (containment),
+    // aggregated to the per-doc verdict — the asymmetric sibling of
+    // d11's symmetric-jaccard check.
+    "d16_containment_decontaminate" -> ("""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT c.doc_id AS a,
+         ROUND(1.0 * len(list_intersect(c.w, b.w))
+               / LEAST(len(c.w), len(b.w)), 4) AS containment
+  FROM t c JOIN t b ON c.source NOT IN ('src0', 'src1')
+                   AND b.source IN ('src0', 'src1')
+  WHERE 1.0 * len(list_intersect(c.w, b.w))
+        / LEAST(len(c.w), len(b.w)) >= 0.9)
+SELECT a AS doc_id, COUNT(*) AS n_bench_matches,
+       MAX(containment) AS max_containment
+FROM p GROUP BY a ORDER BY doc_id"""),
+
     // d12 = brute-force token-set jaccard over the SAME planted corpus
     // the Spark entry constructs (base docs with doc-unique tokens,
     // set-identical duplicates at id+1e9 for doc_id%7=0, sub-threshold

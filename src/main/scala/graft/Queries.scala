@@ -2198,6 +2198,25 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // ASYMMETRIC fuzzy decontamination — the check BOTH d04's exact
+    // n-grams and d11's symmetric jaccard miss: a short benchmark item
+    // paraphrased inside a long training doc shares few exact 5-grams
+    // AND has jaccard ≈ |bench|/|doc|, but its token set is nearly
+    // CONTAINED. Exact cross-corpus containment pairs (overlap
+    // coefficient ≥ 0.9, asymmetric-prefix-filtered — no cross
+    // product), aggregated to the per-doc verdict like d11.
+    "d16_containment_decontaminate" -> ((s, d) => {
+      val t = documents(s, d).select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      val isBench = col("source").isin("src0", "src1")
+      Dedup.containmentJoinAcross(
+        t.filter(!isBench), t.filter(isBench), "doc_id", "w", 0.9)
+        .groupBy(col("a").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_matches"),
+             max(col("containment")).as("max_containment"))
+        .orderBy("doc_id")
+    }),
+
     // d08's 100 TB form: the same weighted sample as ONE mergeable
     // aggregation (MinKAgg k-bounded buffers, map-side partials — only
     // k rows per stratum cross the shuffle; the window form shuffles

@@ -351,7 +351,36 @@ object Dedup {
                       threshold: Double,
                       partitionCols: Seq[String] = Nil,
                       minSize: Int = 1,
-                      bucketCap: Int = 2000): DataFrame = {
+                      bucketCap: Int = 2000): DataFrame =
+    containmentPairs(docs.withColumn("__side", lit(0)), idCol, tokensCol,
+      threshold, partitionCols, cross = false, minSize, bucketCap)
+
+  /** The CROSS-corpus form of [[containmentJoin]] — ASYMMETRIC fuzzy
+    * decontamination: every (left, right) pair with overlap coefficient
+    * ≥ `threshold`, exactly, without the cross product and without
+    * either side's self-pairs. This is the overlap check BOTH exact
+    * n-grams and symmetric jaccard miss: a short benchmark item
+    * paraphrased inside a long training doc shares few exact n-grams
+    * AND has jaccard ≈ |bench|/|doc|, but its token set is nearly
+    * contained — containment sees it at any size ratio. Output:
+    * (a = left id, b = right id, containment). */
+  def containmentJoinAcross(left: DataFrame, right: DataFrame,
+                            idCol: String, tokensCol: String,
+                            threshold: Double, minSize: Int = 1,
+                            bucketCap: Int = 2000): DataFrame = {
+    val l = left.select(col(idCol), col(tokensCol))
+      .withColumn("__side", lit(0))
+    val r = right.select(col(idCol), col(tokensCol))
+      .withColumn("__side", lit(1))
+    containmentPairs(l.unionByName(r), idCol, tokensCol, threshold, Nil,
+      cross = true, minSize, bucketCap)
+  }
+
+  private def containmentPairs(docs: DataFrame, idCol: String,
+                               tokensCol: String, threshold: Double,
+                               partitionCols: Seq[String], cross: Boolean,
+                               minSize: Int,
+                               bucketCap: Int): DataFrame = {
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -360,18 +389,19 @@ object Dedup {
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
     val sorted = rankedSets(
-      docs.filter(size(col(tokensCol)) >= minSize)
-        .withColumn("__side", lit(0)),
+      docs.filter(size(col(tokensCol)) >= minSize),
       idCol, tokensCol, partitionCols)
-      .drop("__side")
 
     // Probe rows: the doc's rare-first prefix, valid when it is the
     // smaller side of a pair. Index rows: every token of every doc.
+    // (In cross mode BOTH corpora probe and index — either side of a
+    // pair may be the smaller one; the role filter below keeps each
+    // pair to its single valid orientation.)
     val probe = sorted.select(
-      (pc :+ col("__id") :+ col("__w")) :+
+      (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
         explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
     val index = sorted.select(
-      (pc :+ col("__id") :+ col("__w")) :+
+      (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
         explode(col("__w")).as("__pt"): _*)
 
     // Over-cap buckets: chunk the INDEX side (the unbounded one — a
@@ -387,11 +417,12 @@ object Dedup {
         pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
           .cast("int"))
     val probeChunked = probe.join(sizes, partitionCols :+ "__pt")
-      .select((pc :+ col("__pt") :+ col("__id") :+ col("__w")) :+
+      .select((pc :+ col("__pt") :+ col("__id") :+ col("__side") :+
+        col("__w")) :+
         explode(sequence(lit(0), greatest(col("__nc"), lit(1)) - 1))
           .as("__c"): _*)
 
-    val member = struct(col("__id"), col("__w"))
+    val member = struct(col("__id"), col("__side"), col("__w"))
     val buckets = probeChunked.select(
         (pc :+ col("__pt") :+ col("__c") :+ member.as("__m") :+
           lit(0).as("__role")): _*)
@@ -407,8 +438,13 @@ object Dedup {
     buckets
       .select(col("__pt"), col("__is"), explode(col("__ps")).as("x"))
       .select(col("__pt"), col("x"), explode(col("__is")).as("y"))
-      // unique roles: probe strictly smaller, id tie-break on equal size
-      .filter(nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
+      // unique roles: probe strictly smaller; equal sizes tie-break by
+      // id (self) / by side (cross, LEFT probes). Cross mode pairs
+      // across sides only — no self-side pairs ever materialize.
+      .filter(
+        if (cross) col("x.__side") =!= col("y.__side") &&
+          (nx < ny || (nx === ny && col("x.__side") < col("y.__side")))
+        else nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
       // verify-ONCE guard: only the bucket keyed by the smallest token
       // common to x's prefix and y runs the full intersect
       .filter(col("__pt") === graft.functions.arrays.sorted_first_common(
@@ -417,9 +453,14 @@ object Dedup {
         col("x.__w"), col("y.__w")))
       .withColumn("containment", col("__si").cast("double") / nx)
       .filter(col("containment") >= threshold)
-      .select(least(col("x.__id"), col("y.__id")).as("a"),
-              greatest(col("x.__id"), col("y.__id")).as("b"),
-              round(col("containment"), 4).as("containment"))
+      .select(
+        (if (cross) when(col("x.__side") === 0, col("x.__id"))
+           .otherwise(col("y.__id"))
+         else least(col("x.__id"), col("y.__id"))).as("a"),
+        (if (cross) when(col("x.__side") === 0, col("y.__id"))
+           .otherwise(col("x.__id"))
+         else greatest(col("x.__id"), col("y.__id"))).as("b"),
+        round(col("containment"), 4).as("containment"))
   }
 
   /** Rank every token rare-first into a long id and re-assemble each

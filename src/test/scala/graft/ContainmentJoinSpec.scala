@@ -97,6 +97,42 @@ class ContainmentJoinSpec extends AnyFunSuite {
     assert(gated == Set((1L, 3L, 1.0)))
   }
 
+  test("cross-corpus containment == brute-force cross product, even with colliding ids") {
+    // left/right share id values DELIBERATELY — the side tag, not the
+    // id, keeps the corpora apart; asymmetric sizes on both sides so
+    // the smaller partner is sometimes left, sometimes right
+    val mkDocs = (off: Int, scale: Int) => (0 until 50).map { i =>
+      val n = (3 + (i + off) % 6) * scale
+      (i.toLong, (0 until n).map(j => s"w${((i + off) % 7 + j) % 45}").distinct)
+    }
+    val left = mkDocs(0, 3).toDF("doc_id", "w").cache()
+    val right = (mkDocs(2, 1) ++ Seq(
+      (300L, (0 until 9).map(j => s"w$j")),   // ⊂ several long left docs
+      (301L, Seq("z1", "z2", "z3")))).toDF("doc_id", "w").cache()
+
+    for (t <- Seq(0.7, 0.9)) {
+      val x = left.alias("x"); val y = right.alias("y")
+      val expect = x.join(y)
+        .withColumn("containment",
+          size(array_intersect(col("x.w"), col("y.w"))).cast("double") /
+            least(size(col("x.w")), size(col("y.w"))))
+        .filter(col("containment") >= t)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+                round(col("containment"), 4).as("containment"))
+        .as[(Long, Long, Double)].collect().toSet
+      val got = Dedup.containmentJoinAcross(left, right, "doc_id", "w", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expect,
+        s"t=$t: missed ${(expect -- got).size}, extra ${(got -- expect).size}")
+      assert(expect.nonEmpty, s"t=$t: degenerate corpus")
+      val split = Dedup.containmentJoinAcross(left, right, "doc_id", "w", t,
+          bucketCap = 3)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(split == expect, s"t=$t split diverged")
+    }
+    left.unpersist(); right.unpersist()
+  }
+
   test("real corpus: containment join == brute force, and is a strict superset signal vs jaccard") {
     val docs = TestData.table(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("source"),
