@@ -20,7 +20,7 @@ class StreamingDecontaminationSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("incremental flagged set == one-shot d11 verdicts at every boundary; replay idempotent") {
+  private def run(containment: Boolean): Unit = {
     val tau = 0.9
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"), col("source"),
@@ -39,12 +39,13 @@ class StreamingDecontaminationSpec extends AnyFunSuite {
     var seen = Seq.empty[(Long, Seq[String])]
     for (b <- batches) {
       IncrementalDecontamination.processBatch(
-        b.toSeq.toDF("doc_id", "w"), "doc_id", "w", bench, statePath, tau)
+        b.toSeq.toDF("doc_id", "w"), "doc_id", "w", bench, statePath, tau,
+        containment)
       seen = seen ++ b
       val streaming = rowsOf(
         IncrementalDecontamination.flagged(spark, statePath).get)
       val batch = rowsOf(IncrementalDecontamination.flaggedBatch(
-        seen.toDF("doc_id", "w"), "doc_id", "w", bench, tau))
+        seen.toDF("doc_id", "w"), "doc_id", "w", bench, tau, containment))
       assert(streaming == batch,
         s"flagged set diverged after ${seen.length} docs: " +
           s"${streaming.length} vs ${batch.length}")
@@ -56,10 +57,34 @@ class StreamingDecontaminationSpec extends AnyFunSuite {
       .get.count()
     IncrementalDecontamination.processBatch(
       batches.last.toSeq.toDF("doc_id", "w"), "doc_id", "w",
-      bench, statePath, tau)
+      bench, statePath, tau, containment)
     val after = IncrementalDecontamination.flagged(spark, statePath)
       .get.count()
     assert(before == after, s"replay duplicated rows: $before -> $after")
     bench.unpersist()
+  }
+
+  test("incremental flagged set == one-shot d11 verdicts at every boundary; replay idempotent") {
+    run(containment = false)
+  }
+
+  test("CONTAINMENT metric: incremental flagged set == one-shot d16 verdicts at every boundary") {
+    run(containment = true)
+  }
+
+  test("containment maintainer widens the jaccard one: asymmetric embeddings flagged") {
+    // a long doc embedding a short benchmark item verbatim: jaccard
+    // ~ size ratio (below any sane tau), containment = 1.0
+    val bench = Seq((900L, (0 until 6).map(i => s"b$i"))).toDF("doc_id", "w")
+    val corpus = Seq(
+      (1L, (0 until 6).map(i => s"b$i") ++ (0 until 60).map(i => s"c$i")),
+      (2L, (0 until 60).map(i => s"d$i"))).toDF("doc_id", "w")
+    val jac = IncrementalDecontamination.flaggedBatch(
+      corpus, "doc_id", "w", bench, 0.9)
+    val cont = IncrementalDecontamination.flaggedBatch(
+      corpus, "doc_id", "w", bench, 0.9, containment = true)
+    assert(jac.count() == 0, "jaccard should not see the embedded item")
+    assert(cont.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((1L, 1.0)))
   }
 }
