@@ -75,6 +75,24 @@ class JoinPlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("j03/d16: containment joins plan no quadratic join, distributed vocab ranking") {
+    Seq("j03_containment_pairs", "d16_containment_decontaminate")
+      .foreach { name =>
+        val plan = executed(name)
+        val quadratic = plan.collect {
+          case j: BroadcastNestedLoopJoinExec => j
+          case j: CartesianProductExec => j
+        }
+        assert(quadratic.isEmpty, s"$name planned a quadratic join:\n$plan")
+        val globalWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(globalWindows.isEmpty,
+          s"$name vocab ranking funnels through one task:\n$plan")
+      }
+  }
+
   test("q55: the returnflag filter reaches the lineitem scan") {
     val scans = executed("q55_returned_revenue").collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
