@@ -1307,6 +1307,60 @@ cc AS (SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node)
 SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
 FROM cc GROUP BY cluster_id ORDER BY cluster_id"""),
 
+    // d17 = the d05 recursive-CTE clustering joined to t02's quality
+    // formula, representative = highest quality (min doc_id tie).
+    "d17_quality_keep" -> ("""
+WITH RECURSIVE t AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+p AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM t x JOIN t y ON x.source = y.source AND x.doc_id < y.doc_id
+  WHERE 1.0 * len(list_intersect(x.w, y.w))
+        / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) >= 0.7),
+e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+r AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, r.label FROM r JOIN e ON r.node = e.a),
+cc AS (SELECT node, MIN(label) AS cluster_id FROM r GROUP BY node),
+tq AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+cq AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+                   / len(toks)
+         END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl
+  FROM tq),
+q AS (
+  SELECT doc_id,
+         ROUND((least(length(text) / 500.0, 1.0)
+                + CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio / 0.2 END
+                + least(stopword_ratio * 4.0, 1.0)
+                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
+           AS quality_score
+  FROM cq),
+j AS (
+  SELECT cc.cluster_id, cc.node AS doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+           ORDER BY q.quality_score DESC, cc.node) AS rn,
+         COUNT(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+  FROM cc JOIN q ON cc.node = q.doc_id)
+SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS keep_quality,
+       CAST(n_members AS BIGINT) AS n_members
+FROM j WHERE rn = 1 ORDER BY cluster_id"""),
+
     "t08_repetition" -> ("""
 WITH tok AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),

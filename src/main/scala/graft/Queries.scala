@@ -1225,6 +1225,28 @@ object Queries {
         .agg(count(lit(1)).as("n_members"))
         .orderBy("cluster_id")),
 
+    // QUALITY-AWARE keep policy: per dup cluster keep the HIGHEST-
+    // quality member (min doc_id on ties), not the min-id one — the
+    // representative-selection refinement curation pipelines actually
+    // ship (a near-dup cluster often mixes a clean original with
+    // boilerplate-wrapped copies; min-id keeps whichever arrived
+    // first). One mergeable max-struct aggregation over the shared
+    // cluster map + the shared scored-docs cache: map-side partials,
+    // ONE row per cluster crosses the shuffle (no per-cluster sort
+    // window), broadcast-friendly at any cluster count.
+    "d17_quality_keep" -> ((s, d) =>
+      dupClusters(s, d)
+        .join(scoredDocs(s, d).select("doc_id", "quality_score"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(max(struct(col("quality_score").as("q"),
+               (-col("doc_id")).as("nid"))).as("__best"),
+             count(lit(1)).as("n_members"))
+        .select(col("cluster_id"),
+          (-col("__best.nid")).as("keep_doc_id"),
+          col("__best.q").as("keep_quality"),
+          col("n_members"))
+        .orderBy("cluster_id")),
+
     // END-TO-END curation pipeline — the composition the individual
     // operators exist for: score every doc (token count, quality,
     // language), keep only its cluster's canonical representative

@@ -206,6 +206,29 @@ class CurationSpec extends AnyFunSuite {
     } finally { f.unpersist(); c03.unpersist(); () }
   }
 
+  test("d17: representative has max quality in its cluster; policy differs from min-id keep") {
+    val out = Queries.all("d17_quality_keep")(spark, sf).cache()
+    val clusters = Queries.all("d05_dup_clusters")(spark, sf)
+    val quality = Queries.all("t02_quality_scores")(spark, sf)
+      .select("doc_id", "quality_score")
+    // the kept doc really is its cluster's argmax (min doc_id on ties)
+    val best = clusters.join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("n"))).as("b"))
+      .select(col("cluster_id"), (-col("b.n")).as("expect_id"),
+        col("b.quality_score").as("expect_q"))
+    val joined = out.join(best, "cluster_id").cache()
+    assert(joined.filter(col("keep_doc_id") =!= col("expect_id") ||
+      col("keep_quality") =!= col("expect_q")).count() == 0)
+    // membership counts agree with d06
+    val d06 = Queries.all("d06_dedup_keep")(spark, sf)
+    assert(out.select("cluster_id", "n_members").exceptAll(d06).count() == 0)
+    // and the policy BITES: some cluster keeps a non-min-id member
+    assert(out.filter(col("keep_doc_id") =!= col("cluster_id")).count() > 0,
+      "quality argmax always picked the min id — corpus can't see the policy")
+    joined.unpersist(); out.unpersist()
+  }
+
   test("d15: cross-doc gram sharing — planted boilerplate, copies, uniques, short docs") {
     import spark.implicits._
     val docs = Seq(
