@@ -106,29 +106,41 @@ final class PartitionedReplicatedTable(spark: SparkSession, path: String,
         f(0) -> Entry(f(1), f.lift(2).filter(_.nonEmpty))
       }.toMap
 
-  /** Manifest versions still on disk, ascending — the TIME-TRAVEL
-    * window. Every retained manifest is a complete, immutable
-    * partition→version mapping whose data dirs [[vacuum]] preserves
-    * (the reader-grace contract), so each one is a readable snapshot. */
+  /** COMMITTED manifest versions still on disk, ascending — the
+    * TIME-TRAVEL window. Every retained manifest is a complete,
+    * immutable partition→version mapping whose data dirs [[vacuum]]
+    * preserves (the reader-grace contract), so each one is a readable
+    * snapshot. Bounded by the head pointer: a writer stages its
+    * manifest BEFORE the head swap (the commit point), so a crash can
+    * leave an m=N file above the committed head — that orphan is
+    * uncommitted data and must never be served. */
   def versions(): Seq[Int] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("m=")).map(_.stripPrefix("m=").toInt)
-      .sorted.toSeq
+    if (!isSnapshotDone) Seq.empty
+    else {
+      val committed = readSmall(head).trim.toInt
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("m="))
+        .flatMap(_.stripPrefix("m=").toIntOption)
+        .filter(_ <= committed).sorted.toSeq
+    }
 
   /** Read the table AS OF a committed manifest version — the
     * Snowflake-time-travel read over the retained window ([[vacuum]]'s
     * `keepManifests` sets the horizon; older versions fail loudly
-    * rather than silently serving the wrong snapshot). Reads apply the
-    * CURRENT schema sidecar: after a column ADD, historical snapshots
-    * null-fill the new column (column loss is rejected at apply time,
-    * so the stored schema only ever widens — old files always
-    * project). */
+    * rather than silently serving the wrong snapshot, and versions
+    * above the committed head — a crashed writer's staged manifest —
+    * are refused the same way). Reads apply the CURRENT schema
+    * sidecar: after a column ADD, historical snapshots null-fill the
+    * new column (column loss is rejected at apply time, so the stored
+    * schema only ever widens — old files always project). */
   def asOf(version: Int): DataFrame = {
+    require(isSnapshotDone, s"no snapshot at $path yet")
+    val committed = readSmall(head).trim.toInt
     val p = new Path(root, s"m=$version")
-    require(fs.exists(p),
-      s"manifest $version not retained at $path (vacuumed or never " +
-        s"committed) — retained: ${versions().mkString(", ")}")
+    require(version <= committed && fs.exists(p),
+      s"manifest $version not retained at $path (vacuumed, never " +
+        s"committed, or staged-but-uncommitted) — retained: " +
+        s"${versions().mkString(", ")}")
     val m = manifestFrom(p)
     read(m, m.keys.toSeq)
   }

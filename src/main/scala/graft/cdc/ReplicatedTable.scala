@@ -74,22 +74,34 @@ final class ReplicatedTable(spark: SparkSession, path: String,
   /** Versions applied after the snapshot (CONNECTOR_STATS analog). */
   def appliedBatches: Int = currentVersion.map(v => v).getOrElse(0)
 
-  /** Version dirs still on disk, ascending — the TIME-TRAVEL window
-    * ([[vacuum]]'s `keep` sets the horizon). Each is the complete
-    * table as of that commit (full rewrite per batch in this layout). */
-  def versions(): Seq[Int] =
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .flatMap(_.stripPrefix("v=").toIntOption).sorted.toSeq
+  /** COMMITTED version dirs still on disk, ascending — the TIME-TRAVEL
+    * window ([[vacuum]]'s `keep` sets the horizon). Each is the
+    * complete table as of that commit (full rewrite per batch in this
+    * layout). Bounded by the pointer: [[commit]] writes the version
+    * dir BEFORE the pointer swap, so a crashed apply can leave a
+    * half-written dir above the committed version — uncommitted data
+    * that must never be served (and that the writer's retry will
+    * overwrite, possibly with different content). */
+  def versions(): Seq[Int] = currentVersion match {
+    case None => Seq.empty
+    case Some(committed) =>
+      fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("v="))
+        .flatMap(_.stripPrefix("v=").toIntOption)
+        .filter(_ <= committed).sorted.toSeq
+  }
 
   /** Read the table AS OF a committed version — fails loudly on a
-    * vacuumed (or never-committed) one rather than silently serving
-    * the wrong snapshot. */
+    * vacuumed, never-committed, or written-but-uncommitted one rather
+    * than silently serving the wrong snapshot. */
   def asOf(version: Int): DataFrame = {
-    require(fs.exists(new Path(versionPath(version))),
-      s"version $version not retained at $path (vacuumed or never " +
-        s"committed) — retained: ${versions().mkString(", ")}")
+    val committed = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot at $path yet"))
+    require(version <= committed &&
+        fs.exists(new Path(versionPath(version))),
+      s"version $version not retained at $path (vacuumed, never " +
+        s"committed, or written-but-uncommitted) — retained: " +
+        s"${versions().mkString(", ")}")
     spark.read.parquet(versionPath(version))
   }
 

@@ -335,12 +335,13 @@ object Dedup {
     * them — every pair still materializes exactly once, in its index
     * member's chunk.
     *
-    * Verify runs ONCE per pair: the bucket keyed by the smallest token
-    * common to x's prefix and y's full set (a native sorted merge walk)
-    * does the full intersect; every other shared bucket drops the pair
-    * after that cheap first-common check. Roles are unique per pair —
-    * probe = smaller set, (size, id)-lexicographic tie-break — so no
-    * final distinct. Output: (a, b, containment) with a < b by id.
+    * Candidates travel as (id, side, n) only — the full-token index
+    * side would otherwise cost n² longs per n-token doc in shuffle
+    * bytes. Verify runs ONCE per pair: roles are unique (probe =
+    * smaller set, (size, id)-lexicographic tie-break), candidate id
+    * pairs are deduped, and the token arrays re-join once per deduped
+    * pair for the exact intersect (a native sorted merge walk).
+    * Output: (a, b, containment) with a < b by id.
     *
     * Token arrays must be distinct-element (`array_distinct`
     * upstream). `minSize` drops trivially-contained tiny docs from
@@ -376,6 +377,14 @@ object Dedup {
       cross = true, minSize, bucketCap)
   }
 
+  /** Candidate generation carries only (id, side, n) — never the token
+    * arrays: the index side posts EVERY token of every doc, so rows
+    * that dragged the full array would cost n² longs per n-token doc
+    * in shuffle and bucket-buffer bytes. Arrays re-join once per
+    * DEDUPED pair for the verify (ids must be globally unique, as
+    * everywhere in the dedup suite). Bucket sizes come from ONE count
+    * window over the shared probe∪index pass — no groupBy-plus-self-
+    * join re-running the explode lineage. */
   private def containmentPairs(docs: DataFrame, idCol: String,
                                tokensCol: String, threshold: Double,
                                partitionCols: Seq[String], cross: Boolean,
@@ -388,56 +397,49 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
-    val sorted = rankedSets(
+    val base = rankedSets(
       docs.filter(size(col(tokensCol)) >= minSize),
       idCol, tokensCol, partitionCols)
+      .withColumn("__n", size(col("__w")))
 
-    // Probe rows: the doc's rare-first prefix, valid when it is the
-    // smaller side of a pair. Index rows: every token of every doc.
-    // (In cross mode BOTH corpora probe and index — either side of a
-    // pair may be the smaller one; the role filter below keeps each
-    // pair to its single valid orientation.)
-    val probe = sorted.select(
-      (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
-        explode(slice(col("__w"), lit(1), plen(size(col("__w"))))).as("__pt"): _*)
-    val index = sorted.select(
-      (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
-        explode(col("__w")).as("__pt"): _*)
+    // Probe rows (role 0): the doc's rare-first prefix, valid when it
+    // is the smaller side of a pair. Index rows (role 1): every token
+    // of every doc. (In cross mode BOTH corpora probe and index —
+    // either side of a pair may be the smaller one; the role filter
+    // below keeps each pair to its single valid orientation.)
+    val slim = pc :+ col("__id") :+ col("__side") :+ col("__n")
+    val probe = base.select((slim :+ lit(0).as("__role")) :+
+      explode(slice(col("__w"), lit(1), plen(col("__n")))).as("__pt"): _*)
+    val index = base.select((slim :+ lit(1).as("__role")) :+
+      explode(col("__w")).as("__pt"): _*)
 
     // Over-cap buckets: chunk the INDEX side (the unbounded one — a
-    // frequent token's full inverted list), replicate probes across
-    // the chunks. A pair generates only in its index member's chunk.
-    val sizes = index.groupBy(pc :+ col("__pt"): _*)
-      .agg(count(lit(1)).as("__bn"))
-      .select((pc :+ col("__pt") :+
-        least(ceil(col("__bn") / lit(bucketCap)), lit(128))
-          .cast("int").as("__nc")): _*)
-    val idxChunked = index.join(sizes, partitionCols :+ "__pt")
-      .withColumn("__c",
-        pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
-          .cast("int"))
-    val probeChunked = probe.join(sizes, partitionCols :+ "__pt")
+    // frequent token's full inverted list) into ⌈B/cap⌉ hash chunks,
+    // replicate probes across the chunks. A pair generates only in
+    // its index member's chunk.
+    val w = Window.partitionBy(pc :+ col("__pt"): _*)
+    val chunked = probe.unionByName(index)
+      .withColumn("__nc", greatest(lit(1),
+        least(ceil(sum(when(col("__role") === 1, 1L).otherwise(0L)).over(w)
+          / lit(bucketCap)), lit(128))).cast("int"))
       .select((pc :+ col("__pt") :+ col("__id") :+ col("__side") :+
-        col("__w")) :+
-        explode(sequence(lit(0), greatest(col("__nc"), lit(1)) - 1))
-          .as("__c"): _*)
+        col("__n") :+ col("__role")) :+
+        explode(when(col("__role") === 1,
+            array(pmod(xxhash64(col("__id"), lit(17)), col("__nc"))
+              .cast("int")))
+          .otherwise(sequence(lit(0), col("__nc") - 1))).as("__c"): _*)
 
-    val member = struct(col("__id"), col("__side"), col("__w"))
-    val buckets = probeChunked.select(
-        (pc :+ col("__pt") :+ col("__c") :+ member.as("__m") :+
-          lit(0).as("__role")): _*)
-      .unionByName(idxChunked.select(
-        (pc :+ col("__pt") :+ col("__c") :+ member.as("__m") :+
-          lit(1).as("__role")): _*))
+    val member = struct(col("__id"), col("__side"), col("__n"))
+    val buckets = chunked
       .groupBy(pc :+ col("__pt") :+ col("__c"): _*)
-      .agg(collect_list(when(col("__role") === 0, col("__m"))).as("__ps"),
-           collect_list(when(col("__role") === 1, col("__m"))).as("__is"))
+      .agg(collect_list(when(col("__role") === 0, member)).as("__ps"),
+           collect_list(when(col("__role") === 1, member)).as("__is"))
       .filter(size(col("__ps")) >= 1 && size(col("__is")) >= 1)
 
-    val nx = size(col("x.__w")); val ny = size(col("y.__w"))
-    buckets
-      .select(col("__pt"), col("__is"), explode(col("__ps")).as("x"))
-      .select(col("__pt"), col("x"), explode(col("__is")).as("y"))
+    val nx = col("x.__n"); val ny = col("y.__n")
+    val cand = buckets
+      .select(col("__is"), explode(col("__ps")).as("x"))
+      .select(col("x"), explode(col("__is")).as("y"))
       // unique roles: probe strictly smaller; equal sizes tie-break by
       // id (self) / by side (cross, LEFT probes). Cross mode pairs
       // across sides only — no self-side pairs ever materialize.
@@ -445,14 +447,6 @@ object Dedup {
         if (cross) col("x.__side") =!= col("y.__side") &&
           (nx < ny || (nx === ny && col("x.__side") < col("y.__side")))
         else nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
-      // verify-ONCE guard: only the bucket keyed by the smallest token
-      // common to x's prefix and y runs the full intersect
-      .filter(col("__pt") === graft.functions.arrays.sorted_first_common(
-        slice(col("x.__w"), lit(1), plen(nx)), col("y.__w")))
-      .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
-        col("x.__w"), col("y.__w")))
-      .withColumn("containment", col("__si").cast("double") / nx)
-      .filter(col("containment") >= threshold)
       .select(
         (if (cross) when(col("x.__side") === 0, col("x.__id"))
            .otherwise(col("y.__id"))
@@ -460,7 +454,22 @@ object Dedup {
         (if (cross) when(col("x.__side") === 0, col("y.__id"))
            .otherwise(col("x.__id"))
          else greatest(col("x.__id"), col("y.__id"))).as("b"),
-        round(col("containment"), 4).as("containment"))
+        nx.as("__nmin"))
+      // a pair reaches this point once per shared (prefix ∩ partner)
+      // token × its chunk; collapse BEFORE the array fetch so the
+      // verify below runs exactly once per pair
+      .dropDuplicates("a", "b")
+
+    val aSrc = if (cross) base.filter(col("__side") === 0) else base
+    val bSrc = if (cross) base.filter(col("__side") === 1) else base
+    cand
+      .join(aSrc.select(col("__id").as("a"), col("__w").as("__wa")), "a")
+      .join(bSrc.select(col("__id").as("b"), col("__w").as("__wb")), "b")
+      .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
+        col("__wa"), col("__wb")))
+      .withColumn("containment", col("__si").cast("double") / col("__nmin"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
   }
 
   /** Rank every token rare-first into a long id and re-assemble each

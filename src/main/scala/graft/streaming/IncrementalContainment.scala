@@ -212,13 +212,22 @@ object IncrementalContainment {
       case None => verified
     }).localCheckpoint(true)
 
+    // docs-store replay guard: prune by the DELTA's own db buckets —
+    // oldDocs above is candidate-pruned, and a replayed batch whose
+    // postings anti-join emptied the candidates would see an EMPTY
+    // oldDocs there and re-append the whole delta
+    val deltaDb = delta.select("db").distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val guardDocs = IndexDirs.readIfExists(spark, docsPath(statePath))
+      .map(_.filter(col("db").isin(deltaDb: _*)).select("__id"))
+      .getOrElse(delta.limit(0).select("__id"))
+
     // commit order: results first, index state last (see scaladoc)
     if (!newPairs.isEmpty)
       newPairs.repartition(col("pp"))
         .write.mode("append").partitionBy("pp")
         .parquet(IndexDirs.prepareAppend(spark, pairsPath(statePath)))
-    val newDocRows = delta.join(oldDocs.select("__id"), Seq("__id"),
-      "left_anti")
+    val newDocRows = delta.join(guardDocs, Seq("__id"), "left_anti")
     if (!newDocRows.isEmpty)
       newDocRows.repartition(col("db"))
         .write.mode("append").partitionBy("db")

@@ -220,9 +220,12 @@ class CurationSpec extends AnyFunSuite {
     val joined = out.join(best, "cluster_id").cache()
     assert(joined.filter(col("keep_doc_id") =!= col("expect_id") ||
       col("keep_quality") =!= col("expect_q")).count() == 0)
-    // membership counts agree with d06
+    // membership counts agree with d06 — both directions (⊆ plus
+    // equal cardinality ⇒ multiset equality, so a silently dropped
+    // cluster cannot hide)
     val d06 = Queries.all("d06_dedup_keep")(spark, sf)
     assert(out.select("cluster_id", "n_members").exceptAll(d06).count() == 0)
+    assert(out.count() == d06.count())
     // and the policy BITES: some cluster keeps a non-min-id member
     assert(out.filter(col("keep_doc_id") =!= col("cluster_id")).count() > 0,
       "quality argmax always picked the min id — corpus can't see the policy")

@@ -94,6 +94,18 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     val err = intercept[IllegalArgumentException](t.asOf(0))
     assert(err.getMessage.contains("not retained"))
 
+    // a crashed writer's staged-but-uncommitted manifest (m=N above
+    // the head pointer) is never listed and never served
+    val fsTT = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(s"$dir/t/m=9")
+    val out = fsTT.create(orphan, true)
+    out.write("deadbeef\tv=7\n".getBytes("UTF-8")); out.close()
+    assert(t.versions() == Seq(1, 2), "uncommitted manifest leaked into versions()")
+    assert(intercept[IllegalArgumentException](t.asOf(9))
+      .getMessage.contains("not retained"))
+    fsTT.delete(orphan, false)
+
     // flat layout: same contract
     val f = new ReplicatedTable(spark, s"$dir/f", Seq("k"))
     f.snapshot(Seq(PKv(1, "d", "x")).toDF())
@@ -105,6 +117,12 @@ class PartitionedReplicatedTableSpec extends AnyFunSuite {
     f.vacuum(keep = 1)
     assert(f.versions() == Seq(1))
     assert(intercept[IllegalArgumentException](f.asOf(0))
+      .getMessage.contains("not retained"))
+    // a crashed apply's written-but-unpointed version dir is refused
+    Seq(PKv(9, "d", "junk")).toDF()
+      .write.mode("overwrite").parquet(s"$dir/f/v=2")
+    assert(f.versions() == Seq(1), "uncommitted version leaked into versions()")
+    assert(intercept[IllegalArgumentException](f.asOf(2))
       .getMessage.contains("not retained"))
   }
 

@@ -53,17 +53,19 @@ class StreamingContainmentSpec extends AnyFunSuite {
       b1Ids.contains(p._1) != b1Ids.contains(p._2)),
       "no cross-batch pair — the probe path went untested")
 
-    // replaying the last batch is a no-op on every store
-    val countsBefore = (
+    // replaying the last batch is a no-op on EVERY store (docs
+    // included — its replay guard prunes by the delta's own buckets,
+    // not the candidates', which are empty on a pure replay)
+    def storeCounts() = (
       IncrementalContainment.pairs(spark, statePath).count(),
       spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$statePath/postings").count())
+        .parquet(s"$statePath/postings").count(),
+      spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$statePath/docs").count())
+    val countsBefore = storeCounts()
     IncrementalContainment.processBatch(
       batches.last.toSeq.toDF("doc_id", "w"), "doc_id", "w", statePath, params)
-    val countsAfter = (
-      IncrementalContainment.pairs(spark, statePath).count(),
-      spark.read.option("recursiveFileLookup", "true")
-        .parquet(s"$statePath/postings").count())
+    val countsAfter = storeCounts()
     assert(countsBefore == countsAfter,
       s"replay mutated state: $countsBefore -> $countsAfter")
   }
