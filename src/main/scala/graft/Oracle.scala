@@ -2021,6 +2021,37 @@ SELECT source, n_tokens, w_micro,
 FROM w CROSS JOIN s ORDER BY source"""
     },
 
+    // DSIR importance selection: add-1-smoothed unigram log-likelihood
+    // ratio on the 1e-6 integer grid (the t11 discipline), top slice
+    // by (score desc, id).
+    "c10_importance_select" -> {
+      val tgt = graft.text.Mixture.DsirTargetSource
+      val k = graft.text.Mixture.DsirTopK
+      s"""
+WITH tok AS (
+  SELECT doc_id, source = '$tgt' AS t,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+tot AS (
+  SELECT SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+         SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nr,
+         COUNT(DISTINCT w) AS v
+  FROM tok),
+cnt AS (
+  SELECT w, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS cr
+  FROM tok GROUP BY w),
+m AS (
+  SELECT tok.doc_id,
+         CAST(ROUND((ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)))
+              * 1000000) AS BIGINT) AS m
+  FROM tok JOIN cnt USING (w) CROSS JOIN tot WHERE NOT tok.t)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS logratio
+FROM m GROUP BY doc_id
+ORDER BY logratio DESC, doc_id LIMIT $k"""
+    },
+
     // Per-source BPE compression under the same frozen replace chain
     // as t15.
     "t18_bpe_source_stats" -> {

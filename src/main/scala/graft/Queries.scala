@@ -1396,6 +1396,21 @@ object Queries {
         .orderBy("source")
     }),
 
+    // DSIR importance resampling (a published method: Xie et al.,
+    // NeurIPS 2023): pick the raw docs that look most like the target
+    // domain by mean per-token log-likelihood ratio between
+    // add-1-smoothed target/raw unigram models
+    // (graft.text.Mixture.importanceWeights; raw-token features here —
+    // the hashed fixed-state 100 TB form is pinned against this exact
+    // form in DsirSpec). The top slice by (score, id) is a
+    // TakeOrderedAndProject, not a full sort.
+    "c10_importance_select" -> ((s, d) => {
+      Mixture.importanceWeights(documents(s, d), "doc_id", "text",
+          col("source") === Mixture.DsirTargetSource)
+        .orderBy(col("logratio").desc, col("doc_id"))
+        .limit(Mixture.DsirTopK)
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     // Data mixing — the stage after curation: compose the training

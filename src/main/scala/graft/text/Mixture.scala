@@ -168,6 +168,76 @@ object Mixture {
       .toDF(stratumCol, keyCol, weightCol, "priority", "sample_rank")
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — a
+    * published method): score every RAW document by its mean per-token
+    * log-likelihood ratio between a TARGET unigram model and the raw
+    * model, both add-1 smoothed over the union vocabulary. High scores
+    * = "looks like the target domain"; selecting the top slice
+    * re-weights a crawl toward a curated target (the paper's hashed
+    * n-gram feature space is `hashBuckets` here).
+    *
+    * `hashBuckets = 0` keeps raw token strings as features — exact,
+    * DuckDB-mirrorable, the catalog/oracle form. `hashBuckets > 0` is
+    * the 100 TB form: features are `xxhash64(token) mod B`, so the
+    * model state is B-bounded no matter how the vocabulary grows
+    * (Heaps' law makes raw-token state corpus-proportional; the hashed
+    * model is a fixed-size dim). Collisions only blur scores the way
+    * the paper accepts; [[DsirSpec]] pins the hashed/exact rank
+    * agreement on the shipped corpora.
+    *
+    * Numerics follow the t11 discipline: per-token nats land on an
+    * integer 1e-6 grid BEFORE the sum (double summation is
+    * partition-order-dependent; the integer sum is exact and
+    * engine-stable), and the mean divides once at the end.
+    *
+    * Cost at corpus scale: one explode pass; per-feature counts as ONE
+    * count-window over that pass (no second explode, no self-join);
+    * the three model scalars (target tokens, raw tokens, |vocab|) are
+    * a driver-bounded single-row aggregate. Shuffle is one exchange of
+    * the token stream on the feature key plus the per-doc re-group —
+    * both linear in corpus tokens, map-side combined where Spark can.
+    *
+    * Output: (idCol, n_tokens, logratio) for RAW docs only, unsorted —
+    * callers rank/filter (a global top-k is a TakeOrderedAndProject,
+    * no full sort). */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, hashBuckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), isTarget.as("__t"),
+      explode(TextFunctions.tokens(col(textCol))).as("__w"))
+    val ftok = tok.withColumn("__f",
+      if (hashBuckets > 0) pmod(xxhash64(col("__w")), lit(hashBuckets.toLong))
+      else col("__w").cast("string"))
+    // model scalars: one single-row aggregate (driver-bounded)
+    val scalars = ftok.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("nr"),
+      count_distinct(col("__f")).as("v")).head()
+    val (nt, nr, v) =
+      (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
+    require(nt > 0 && nr > 0,
+      "importanceWeights needs non-empty target and raw corpora")
+    val w = Window.partitionBy("__f")
+    ftok
+      .withColumn("__ct", sum(when(col("__t"), 1L).otherwise(0L)).over(w))
+      .withColumn("__cr", sum(when(!col("__t"), 1L).otherwise(0L)).over(w))
+      .filter(!col("__t"))
+      .withColumn("__m", round((
+        log((col("__ct") + 1d) / (nt + v).toDouble) -
+        log((col("__cr") + 1d) / (nr + v).toDouble)) * 1e6).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+           round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
+             .as("logratio"))
+  }
+
+  /** The c10 catalog pin: the target domain the importance weights
+    * select toward (src0 plays "curated target"; every other source is
+    * the raw pool) and the selected-slice size. */
+  val DsirTargetSource: String = "src0"
+  val DsirTopK: Int = 100
+
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle
     * (drift would fail the hash check, not confuse it): even-numbered
     * sources get a tight budget (keep rate well under 1 on the shipped
