@@ -206,9 +206,7 @@ object Mixture {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col(idCol), isTarget.as("__t"),
       explode(TextFunctions.tokens(col(textCol))).as("__w"))
-    val ftok = tok.withColumn("__f",
-      if (hashBuckets > 0) pmod(xxhash64(col("__w")), lit(hashBuckets.toLong))
-      else col("__w").cast("string"))
+    val ftok = tok.withColumn("__f", dsirFeature(col("__w"), hashBuckets))
     // model scalars: one single-row aggregate (driver-bounded)
     val scalars = ftok.agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
@@ -237,6 +235,112 @@ object Mixture {
     * the raw pool) and the selected-slice size. */
   val DsirTargetSource: String = "src0"
   val DsirTopK: Int = 100
+
+  /** The feature key of one token under the c10 contract: the raw
+    * token string (`hashBuckets = 0`, the exact/oracle form) or
+    * `xxhash64(token) mod hashBuckets` (the bounded-state scale
+    * form). Shared by the fused [[importanceWeights]], the factored
+    * [[dsirModel]]/[[scoreUnderModel]] path, and the streaming
+    * maintainer — one definition, so the three can never disagree. */
+  private[graft] def dsirFeature(token: Column, hashBuckets: Int): Column =
+    if (hashBuckets > 0) pmod(xxhash64(token), lit(hashBuckets.toLong))
+    else token.cast("string")
+
+  /** A FROZEN DSIR importance model — the factored form of
+    * [[importanceWeights]] for the production shape at corpus scale:
+    * train the model ONCE (on the target + a raw sample / the corpus
+    * so far), then score any number of new documents in single linear
+    * passes without touching the training corpus again. `weights` is
+    * (`__f` feature, `__m` long) — the per-token log-likelihood-ratio
+    * nats on the 1e-6 integer grid, add-1 smoothing and the
+    * normalizing constants already folded in, so scoring is a pure
+    * join + integer sum. Scoring a doc from the training corpus under
+    * its own model reproduces [[importanceWeights]] EXACTLY (same
+    * formula, same grid — spec-pinned in DsirSpec). */
+  final case class DsirModel(weights: DataFrame, targetTokens: Long,
+                             rawTokens: Long, vocabSize: Long,
+                             hashBuckets: Int) {
+    /** Per-token weight of a feature the training corpus never saw
+      * (`ct = cr = 0` under add-1 smoothing) — what OOV tokens of
+      * post-training documents score. */
+    def oovWeight: Long = math.round(
+      (math.log(1d / (targetTokens + vocabSize)) -
+       math.log(1d / (rawTokens + vocabSize))) * 1e6)
+  }
+
+  /** Train a [[DsirModel]] from a corpus with target/raw labels: one
+    * explode pass, per-feature counts as one map-side-combined
+    * aggregate (|vocab| rows out — bounded by `hashBuckets` in the
+    * scale form), scalars as one single-row aggregate. */
+  def dsirModel(docs: DataFrame, textCol: String, isTarget: Column,
+                hashBuckets: Int = 0): DsirModel = {
+    val ftok = docs.select(isTarget.as("__t"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(col("__t"), dsirFeature(col("__w"), hashBuckets).as("__f"))
+    dsirModelFromTokens(ftok, hashBuckets)
+  }
+
+  /** [[dsirModel]] over pre-tokenized feature rows (`__t` boolean,
+    * `__f` feature, one row per token occurrence — or pass `__tf`
+    * occurrence counts via [[dsirModelFromCounts]]). */
+  private[graft] def dsirModelFromTokens(ftok: DataFrame,
+                                         hashBuckets: Int): DsirModel =
+    dsirModelFromCounts(
+      ftok.select(col("__t"), col("__f"), lit(1L).as("__tf")), hashBuckets)
+
+  /** [[dsirModel]] over aggregated (`__t`, `__f`, `__tf`) rows — the
+    * form the streaming maintainer stores (one row per (doc, feature)
+    * collapses to one row per (side, feature) here). */
+  private[graft] def dsirModelFromCounts(rows: DataFrame,
+                                         hashBuckets: Int): DsirModel = {
+    val scalars = rows.agg(
+      sum(when(col("__t"), col("__tf")).otherwise(0L)).as("nt"),
+      sum(when(!col("__t"), col("__tf")).otherwise(0L)).as("nr"),
+      count_distinct(col("__f")).as("v")).head()
+    val (nt, nr, v) =
+      (scalars.getLong(0), scalars.getLong(1), scalars.getLong(2))
+    require(nt > 0 && nr > 0,
+      "dsirModel needs non-empty target and raw corpora")
+    val weights = rows.groupBy(col("__f"))
+      .agg(sum(when(col("__t"), col("__tf")).otherwise(0L)).as("__ct"),
+           sum(when(!col("__t"), col("__tf")).otherwise(0L)).as("__cr"))
+      .select(col("__f"), round((
+        log((col("__ct") + 1d) / (nt + v).toDouble) -
+        log((col("__cr") + 1d) / (nr + v).toDouble)) * 1e6)
+        .cast("long").as("__m"))
+    DsirModel(weights, nt, nr, v, hashBuckets)
+  }
+
+  /** Score documents under a FROZEN [[DsirModel]]: per-doc distinct
+    * features with occurrence counts (so the weights join moves
+    * |doc vocab| rows, not |doc tokens|), left-joined to the model —
+    * unseen features take [[DsirModel.oovWeight]] — and one integer
+    * aggregate. Output matches [[importanceWeights]]: (idCol,
+    * n_tokens, logratio). Linear in the scored corpus; the training
+    * corpus is never touched. */
+  def scoreUnderModel(docs: DataFrame, idCol: String, textCol: String,
+                      model: DsirModel): DataFrame = {
+    val rows = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .select(col(idCol),
+        dsirFeature(col("__w"), model.hashBuckets).as("__f"))
+      .groupBy(col(idCol), col("__f"))
+      .agg(count(lit(1)).as("__tf"))
+    scoreFeatureRows(rows, idCol, model.weights, model.oovWeight)
+  }
+
+  /** Scoring core over aggregated (idCol, `__f`, `__tf`) rows against
+    * a weights frame — shared by [[scoreUnderModel]] and the streaming
+    * maintainer. */
+  private[graft] def scoreFeatureRows(rows: DataFrame, idCol: String,
+                                      weights: DataFrame,
+                                      oovWeight: Long): DataFrame =
+    rows.join(weights, Seq("__f"), "left")
+      .withColumn("__m", coalesce(col("__m"), lit(oovWeight)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).as("n_tokens"),
+           round(sum(col("__tf") * col("__m")).cast("double") /
+             sum(col("__tf")) / 1e6, 4).as("logratio"))
 
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle
     * (drift would fail the hash check, not confuse it): even-numbered

@@ -63,6 +63,21 @@ class DsirSpec extends AnyFunSuite {
       s"top-$k overlap $overlap below 90% — hashing broke the ranking")
   }
 
+  test("c10: factored frozen-model path reproduces the fused form exactly") {
+    val docs = TestData.table(spark, sf, "documents")
+    val isTgt = col("source") === Mixture.DsirTargetSource
+    for (buckets <- Seq(0, 1 << 16)) {
+      val fused = Mixture.importanceWeights(docs, "doc_id", "text",
+        isTgt, buckets)
+      val m = Mixture.dsirModel(docs, "text", isTgt, buckets)
+      val factored = Mixture.scoreUnderModel(
+        docs.filter(!isTgt), "doc_id", "text", m)
+      assert(fused.exceptAll(factored).isEmpty &&
+        factored.exceptAll(fused).isEmpty,
+        s"factored/fused diverged at hashBuckets=$buckets")
+    }
+  }
+
   test("c10: weights are invariant under repartitioning") {
     import spark.implicits._
     val docs = TestData.table(spark, sf, "documents")
