@@ -2052,6 +2052,37 @@ FROM m GROUP BY doc_id
 ORDER BY logratio DESC, doc_id LIMIT $k"""
     },
 
+    // CCNet perplexity terciles: t16's bigram-NLL scorer verbatim,
+    // wrapped in ANSI NTILE(3) per language under the deterministic
+    // (mean_nll, doc_id) total order.
+    "c11_perplexity_buckets" -> ("""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS t FROM t),
+ucnt AS (SELECT t, COUNT(*) AS ca FROM tok GROUP BY t),
+v AS (SELECT COUNT(*) AS v FROM ucnt),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+bgw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+bcnt AS (SELECT bg, COUNT(*) AS cb FROM bgw GROUP BY bg),
+scored AS (
+  SELECT bgw.doc_id, bgw.lang,
+         CAST(ROUND(-ln((bcnt.cb + 1.0) / (ucnt.ca + v.v)) * 1000000)
+              AS BIGINT) AS m
+  FROM bgw JOIN bcnt USING (bg) JOIN ucnt ON ucnt.t = bgw.w1 CROSS JOIN v),
+docscore AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_nll
+  FROM scored GROUP BY doc_id, lang)
+SELECT doc_id, lang, mean_nll,
+       NTILE(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id)
+         AS ppl_bucket
+FROM docscore ORDER BY doc_id"""),
+
     // Per-source BPE compression under the same frozen replace chain
     // as t15.
     "t18_bpe_source_stats" -> {

@@ -164,6 +164,42 @@ object Queries {
       .filter(col("vec_id") === col("cluster_id"))
       .select(col("vec_id").as("doc_id"))
 
+  /** Per-doc bigram-LM negative log-likelihood (t16's scorer, shared
+    * with c11's perplexity bucketing): corpus bigram model with add-1
+    * smoothing, each doc scored by the mean NLL of its bigram
+    * occurrences. Bigram occurrences come from one codegen regex pass
+    * (the t05 shingle lookahead, NON-distinct) with occurrence counts
+    * as ONE count window over that pass (a join with self-derived
+    * counts ran the regex extraction twice — different Exchange
+    * children defeat ReuseExchange); unigram context counts are a
+    * map-side-combined aggregate joined back. Per-term nats land on
+    * the 1e-6 integer grid before the sum (the t11 cross-engine
+    * discipline). `lang` rides the group key (functionally dependent
+    * on doc_id — free, no extra join). Docs with fewer than two
+    * tokens have no bigrams and drop out, as in the oracle. */
+  private def bigramNllScores(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
+    val tok = docs.select(
+      explode(TextFunctions.tokens(col("text"))).as("t"))
+    val ucnt = tok.groupBy("t").agg(count(lit(1)).as("ca"))
+    val v = ucnt.count()
+    val bg = docs.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("cb", count(lit(1)).over(Window.partitionBy("bg")))
+    bg
+      .join(ucnt.withColumnRenamed("t", "w1"), "w1")
+      .withColumn("__m",
+        round(-log((col("cb") + 1.0) / (col("ca") + v.toDouble)) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
+             .as("mean_nll"))
+  }
+
   /** The c03 semantic-curation survivor frame (doc_id, source,
     * n_tokens, quality_score, lang_pred, split), unordered — shared by
     * the c03 catalog entry and the c06 export composition. Scan-local
@@ -1411,6 +1447,19 @@ object Queries {
         .limit(Mixture.DsirTopK)
     }),
 
+    // CCNet-style perplexity bucketing (a published method: Wenzek et
+    // al., LREC 2020): each language's docs split into head/middle/
+    // tail terciles by bigram-LM mean NLL (t16's scorer, shared) —
+    // the standard "keep head+middle, drop tail" curation gate. The
+    // catalog entry is the exact NTILE form (ANSI, full oracle); the
+    // threshold-sketch scale form that avoids the per-language sort
+    // is pinned against it in PerplexityBucketSpec.
+    "c11_perplexity_buckets" -> ((s, d) =>
+      Mixture.perplexityBuckets(bigramNllScores(s, d),
+          "doc_id", "lang", "mean_nll")
+        .select("doc_id", "lang", "mean_nll", "ppl_bucket")
+        .orderBy("doc_id")),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     // Data mixing — the stage after curation: compose the training
@@ -2137,33 +2186,9 @@ object Queries {
     // on the 1e-6 grid as BIGINT before the per-doc mean. Docs with
     // fewer than two tokens have no bigrams and drop out, as in the
     // oracle.
-    "t16_bigram_logprob" -> ((s, d) => {
-      val docs = documents(s, d)
-      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-      val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
-      val tok = docs.select(
-        explode(TextFunctions.tokens(col("text"))).as("t"))
-      val ucnt = tok.groupBy("t").agg(count(lit(1)).as("ca"))
-      val v = ucnt.count()
-      // bigram occurrence counts as ONE count window over the single
-      // exploded pass — the join-with-self-derived-counts form ran the
-      // regex bigram extraction twice (different Exchange children
-      // defeat ReuseExchange)
-      val bg = docs.select(col("doc_id"),
-          explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
-        .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
-        .withColumn("cb", count(lit(1)).over(Window.partitionBy("bg")))
-      bg
-        .join(ucnt.withColumnRenamed("t", "w1"), "w1")
-        .withColumn("__m",
-          round(-log((col("cb") + 1.0) / (col("ca") + v.toDouble)) * 1e6)
-            .cast("long"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-             round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
-               .as("mean_nll"))
-        .orderBy("doc_id")
-    }),
+    "t16_bigram_logprob" -> ((s, d) =>
+      bigramNllScores(s, d).select("doc_id", "n_bigrams", "mean_nll")
+        .orderBy("doc_id")),
 
     // REAL BPE tokenization (not the t01 subword proxy): the frozen
     // 24-rank merge table applied via the piped-representation encode

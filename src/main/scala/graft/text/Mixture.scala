@@ -342,6 +342,50 @@ object Mixture {
            round(sum(col("__tf") * col("__m")).cast("double") /
              sum(col("__tf")) / 1e6, 4).as("logratio"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 — a published method): split each language's
+    * documents into `n` equal buckets by LM score (bucket 1 = lowest
+    * perplexity = "head"; CCNet trains on head+middle and drops the
+    * tail). This is the EXACT form — ANSI `NTILE(n)` over
+    * (language, score, id), deterministic under the total order and
+    * mirrorable by any SQL engine — and it costs one exchange keyed
+    * by language plus a per-language sort, which is the classic
+    * skew trap at corpus scale (one task per language). The 100 TB
+    * path is [[perplexityBucketsByThreshold]]. */
+  def perplexityBuckets(scored: DataFrame, idCol: String, langCol: String,
+                        scoreCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("ppl_bucket",
+      ntile(n).over(Window.partitionBy(col(langCol))
+        .orderBy(col(scoreCol), col(idCol))).cast("long"))
+  }
+
+  /** The scale form of [[perplexityBuckets]]: per-language quantile
+    * THRESHOLDS from a mergeable sketch (`approx_percentile`'s
+    * Greenwald–Khanna variant — map-side combined, no per-language
+    * sort, no one-task-per-language stage), broadcast back, bucket by
+    * comparison. This is what CCNet actually does (thresholds come
+    * from a model/sample, the corpus pass is scan-local). Differs
+    * from the exact NTILE only at bucket boundaries: NTILE balances
+    * bucket SIZES exactly (splitting score ties across buckets),
+    * thresholding puts every tie on one side — agreement away from
+    * boundaries is spec-pinned. */
+  def perplexityBucketsByThreshold(scored: DataFrame, idCol: String,
+                                   langCol: String, scoreCol: String,
+                                   n: Int = 3,
+                                   accuracy: Int = 10000): DataFrame = {
+    val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val th = scored.groupBy(col(langCol))
+      .agg(approx_percentile(col(scoreCol), qs, lit(accuracy)).as("__th"))
+    scored.join(broadcast(th), langCol)
+      .withColumn("ppl_bucket",
+        (lit(1) + aggregate(col("__th"), lit(0L),
+          (acc, t) => acc + when(col(scoreCol) > t, 1L).otherwise(0L)))
+          .cast("long"))
+      .drop("__th")
+  }
+
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle
     * (drift would fail the hash check, not confuse it): even-numbered
     * sources get a tight budget (keep rate well under 1 on the shipped
