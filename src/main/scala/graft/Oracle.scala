@@ -1998,6 +1998,81 @@ SELECT doc_id, CAST(mi AS BIGINT) AS score_micro,
 FROM m ORDER BY doc_id"""
     },
 
+    // t19 = t17's margin CTE × t02's quality formula, confusion
+    // counts + Mann–Whitney rank-sum AUC with average tie ranks; NULL
+    // where a metric is undefined.
+    "t19_classifier_eval" -> {
+      val w = graft.text.TextClassifier.DefaultWeightsMicro
+        .mkString("[", ", ", "]")
+      val b = graft.text.TextClassifier.DefaultBiasMicro
+      s"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, source, text, toks,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+                   / len(toks)
+         END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl
+  FROM t),
+q AS (
+  SELECT doc_id, source,
+         ROUND((least(length(text) / 500.0, 1.0)
+                + CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio / 0.2 END
+                + least(stopword_ratio * 4.0, 1.0)
+                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
+           AS quality_score
+  FROM c),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+h AS (
+  SELECT doc_id,
+         (ascii(substr(md5(tk), 1, 1)) * 1000
+          + ascii(substr(md5(tk), 2, 1)) * 100
+          + ascii(substr(md5(tk), 3, 1)) * 10
+          + ascii(substr(md5(tk), 4, 1))) % 64 AS h
+  FROM tok),
+m AS (
+  SELECT doc_id, SUM(($w)[h + 1]) + ($b) AS mi FROM h GROUP BY doc_id),
+s AS (
+  SELECT q.source, q.quality_score >= 0.72 AS label, m.mi > 0 AS pred, m.mi
+  FROM m JOIN q USING (doc_id)),
+r AS (
+  SELECT source, label, pred, mi,
+         RANK() OVER (PARTITION BY source ORDER BY mi)
+           + (COUNT(*) OVER (PARTITION BY source, mi) - 1) / 2.0 AS r_avg
+  FROM s),
+a AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
+         SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN label THEN r_avg END) AS rp
+  FROM r GROUP BY source)
+SELECT source, n_docs, n_pos,
+       ROUND(CAST(n_correct AS DOUBLE) / n_docs, 4) AS accuracy,
+       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 4)
+         AS prec,
+       ROUND(CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / n_pos END, 4)
+         AS recall,
+       ROUND(CASE WHEN 2*tp + fp + fn > 0
+             THEN 2.0 * tp / (2*tp + fp + fn) END, 4) AS f1,
+       ROUND(CASE WHEN n_pos > 0 AND n_pos < n_docs
+             THEN (rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                  / (CAST(n_pos AS DOUBLE) * (n_docs - n_pos)) END, 4) AS auc
+FROM a ORDER BY source"""
+    },
+
     // Temperature mixing: shares/budgets on the exact integer grid
     // (sqrt is correctly rounded IEEE; the budget is one integer
     // multiply + integer divide, so both engines agree bit-for-bit).

@@ -2175,6 +2175,57 @@ object Queries {
         .orderBy("source")
     }),
 
+    // Classifier evaluation report — the data card every curation
+    // pipeline publishes next to its quality classifier: per-source
+    // accuracy / precision / recall / F1 against the t02 heuristic
+    // gate (the distillation target t17's weights were trained on),
+    // plus ROC AUC via the rank-sum (Mann–Whitney U) identity with
+    // average ranks for score ties. Everything reduces to integer
+    // sums and exact half-integer rank sums before ONE final rounding
+    // per metric, so both engines agree bit-for-bit; undefined
+    // metrics (no predicted/actual positives, single-class source)
+    // stay NULL rather than fabricating 0s. One doc-keyed join of the
+    // margin aggregate to the scan-local labels, one source-keyed
+    // exchange for the rank windows, one |sources|-row aggregate.
+    "t19_classifier_eval" -> ((s, d) => {
+      val docs = documents(s, d)
+      val m = TextClassifier.marginMicro(docs, "doc_id", "text")
+      val scored = docs.select(col("doc_id"), col("source"),
+          (TextFunctions.qualityScore(col("text")) >= 0.72).as("label"))
+        .join(m, "doc_id")
+        .withColumn("pred", col("score_micro") > 0)
+      val byScore = Window.partitionBy("source").orderBy("score_micro")
+      val ties = Window.partitionBy("source", "score_micro")
+      val ranked = scored.withColumn("r_avg",
+        rank().over(byScore) + (count(lit(1)).over(ties) - lit(1)) / lit(2.0))
+      ranked.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"),
+          sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+          sum(when(col("label"), col("r_avg"))).as("rp"))
+        .select(col("source"), col("n_docs"), col("n_pos"),
+          round(col("n_correct").cast("double") / col("n_docs"), 4)
+            .as("accuracy"),
+          round(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp"))), 4)
+            .as("prec"),
+          round(when(col("n_pos") > 0,
+            col("tp").cast("double") / col("n_pos")), 4).as("recall"),
+          round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            lit(2.0) * col("tp") /
+              (lit(2) * col("tp") + col("fp") + col("fn"))), 4).as("f1"),
+          round(when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
+            (col("rp") - col("n_pos").cast("double") *
+              (col("n_pos") + 1) / 2.0) /
+            (col("n_pos").cast("double") * (col("n_docs") - col("n_pos")))),
+            4).as("auc"))
+        .orderBy("source")
+    }),
+
     // Corpus bigram language model with add-1 smoothing, scoring each
     // doc by the mean negative log-likelihood of its bigram
     // occurrences (t11's unigram LM extended one order — the
