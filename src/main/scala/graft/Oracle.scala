@@ -2158,6 +2158,61 @@ SELECT doc_id, lang, mean_nll,
          AS ppl_bucket
 FROM docscore ORDER BY doc_id"""),
 
+    // c12 = c11's NTILE gate (keep terciles 1-2) composed with c04's
+    // budget mixture over the survivors.
+    "c12_perplexity_gated_mixture" -> (s"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+wtok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+ucnt AS (SELECT w, COUNT(*) AS ca FROM wtok GROUP BY w),
+v AS (SELECT COUNT(*) AS v FROM ucnt),
+bg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+bgw AS (SELECT doc_id, lang, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+bcnt AS (SELECT bg, COUNT(*) AS cb FROM bgw GROUP BY bg),
+scored AS (
+  SELECT bgw.doc_id, bgw.lang,
+         CAST(ROUND(-ln((bcnt.cb + 1.0) / (ucnt.ca + v.v)) * 1000000)
+              AS BIGINT) AS m
+  FROM bgw JOIN bcnt USING (bg) JOIN ucnt ON ucnt.w = bgw.w1 CROSS JOIN v),
+docscore AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_nll
+  FROM scored GROUP BY doc_id, lang),
+gated AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           NTILE(3) OVER (PARTITION BY lang ORDER BY mean_nll, doc_id)
+             AS ppl_bucket
+    FROM docscore) WHERE ppl_bucket <= 2),
+tok2 AS (
+  SELECT t.doc_id, t.source, CAST(len(t.toks) AS INTEGER) AS n_tokens
+  FROM t JOIN gated USING (doc_id)),
+totals AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total
+  FROM tok2 GROUP BY source),
+budgets(source, token_budget) AS (VALUES
+  ${graft.text.Mixture.DemoBudgets
+      .map { case (src, b) => s"('$src', $b)" }.mkString(", ")}),
+rates AS (
+  SELECT t.source,
+         CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+                          CAST(token_budget AS DOUBLE) / total) * 10000)
+              AS BIGINT) AS keep
+  FROM totals t JOIN budgets b ON t.source = b.source)
+SELECT doc_id, tok2.source, n_tokens
+FROM tok2 JOIN rates ON tok2.source = rates.source
+WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 1000
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) * 100
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) * 10
+       + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 4, 1))) % 10000 < keep
+ORDER BY doc_id"""),
+
     // Per-source BPE compression under the same frozen replace chain
     // as t15.
     "t18_bpe_source_stats" -> {

@@ -1460,6 +1460,31 @@ object Queries {
         .select("doc_id", "lang", "mean_nll", "ppl_bucket")
         .orderBy("doc_id")),
 
+    // The CCNet pipeline shape end-to-end: drop each language's tail
+    // perplexity tercile (c11's gate), then budget-sample the
+    // SURVIVORS per source (c04's mixture — totals computed on the
+    // gated corpus, so budgets mean what they say post-gate). Docs
+    // with < 2 tokens have no LM score and are gated out with the
+    // tail, as in the oracle. One extra doc-keyed semi-join over the
+    // two composed stages; the mixture stays one |sources|-row
+    // aggregate + a broadcast-rates filtered scan.
+    "c12_perplexity_gated_mixture" -> ((s, d) => {
+      import s.implicits._
+      val gated = Mixture.perplexityBuckets(bigramNllScores(s, d),
+          "doc_id", "lang", "mean_nll")
+        .filter(col("ppl_bucket") <= 2)
+        .select("doc_id")
+      val toks = documents(s, d)
+        .join(gated, "doc_id")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val budgets = Mixture.DemoBudgets.toDF("source", "token_budget")
+      Mixture.tokenBudgetMixtureCounts(toks, "doc_id", "source",
+          "n_tokens", budgets)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition: duplicate-trigram ratio, the standard
     // boilerplate/spam signal (1 - distinct/total n-grams).
     // Data mixing — the stage after curation: compose the training
