@@ -1998,6 +1998,43 @@ SELECT doc_id, CAST(mi AS BIGINT) AS score_micro,
 FROM m ORDER BY doc_id"""
     },
 
+    // t20 = interpolated Kneser–Ney bigram NLL: identical count
+    // relations (dense_rank stands in for distinct-count windows, as
+    // in Spark) and an identically-associated double expression on
+    // the 1e-6 grid.
+    "t20_kneser_ney" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM t WHERE len(toks) >= 2),
+w AS (
+  SELECT doc_id, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+  FROM bg),
+tt AS (SELECT COUNT(*) AS t FROM (SELECT DISTINCT w1, w2 FROM w)),
+cnt AS (
+  SELECT doc_id, w1, w2,
+         COUNT(*) OVER (PARTITION BY w1) AS c1,
+         MAX(dr1) OVER (PARTITION BY w1) AS n1f,
+         COUNT(*) OVER (PARTITION BY w1, w2) AS cb,
+         MAX(dr2) OVER (PARTITION BY w2) AS n1b
+  FROM (SELECT doc_id, w1, w2,
+               DENSE_RANK() OVER (PARTITION BY w1 ORDER BY w2) AS dr1,
+               DENSE_RANK() OVER (PARTITION BY w2 ORDER BY w1) AS dr2
+        FROM w)),
+m AS (
+  SELECT doc_id,
+         CAST(ROUND(-ln(
+           ((cb - 0.75) + (0.75 * n1f) * (CAST(n1b AS DOUBLE) / tt.t)) / c1)
+           * 1000000) AS BIGINT) AS m
+  FROM cnt CROSS JOIN tt)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS mean_kn_nll
+FROM m GROUP BY doc_id ORDER BY doc_id"""),
+
     // t19 = t17's margin CTE × t02's quality formula, confusion
     // counts + Mann–Whitney rank-sum AUC with average tie ranks; NULL
     // where a metric is undefined.

@@ -2266,6 +2266,55 @@ object Queries {
       bigramNllScores(s, d).select("doc_id", "n_bigrams", "mean_nll")
         .orderBy("doc_id")),
 
+    // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995 /
+    // Chen & Goodman 1999 — the standard n-gram smoothing, what
+    // KenLM-style quality filters actually run; t16's add-1 is the
+    // baseline it improves on): P(w2|w1) = (c(w1w2) − D)/c(w1) +
+    // D·N1+(w1·)/c(w1) · N1+(·w2)/T with D = 0.75, scored over the
+    // training corpus itself (every scored bigram seen, so the
+    // discounted term stays positive). ALL four count relations come
+    // from ONE exploded bigram pass under TWO exchanges: the w1-keyed
+    // exchange serves c(w1), N1+(w1·) (max of dense_rank — Spark has
+    // no distinct-count window), AND c(w1w2) (a (w1,w2) window is
+    // satisfied by w1 hash partitioning — no new shuffle, just the
+    // sort); the w2-keyed exchange serves N1+(·w2) the same way. T
+    // (distinct bigram types) is one scalar job. Per-bigram nats land
+    // on the 1e-6 integer grid before the per-doc mean (t11/t16
+    // discipline); the double expression is associated IDENTICALLY in
+    // both engines so the grid values match bit-for-bit.
+    "t20_kneser_ney" -> ((s, d) => {
+      val docs = documents(s, d)
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
+      val bg = docs.select(col("doc_id"),
+          explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
+        .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+        .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
+      val t = bg.select("w1", "w2").distinct().count()
+      val byW1 = Window.partitionBy("w1")
+      val byW2 = Window.partitionBy("w2")
+      bg // w1-keyed windows FIRST and adjacent, then w2-keyed: same-
+        // key specs share one exchange, and the (w1,w2) count rides
+        // the w1 partitioning (hash(w1) satisfies the clustered
+        // distribution) — interleaving the keys re-shuffles per flip
+        .withColumn("dr1", dense_rank().over(byW1.orderBy("w2")))
+        .withColumn("c1", count(lit(1)).over(byW1))
+        .withColumn("n1f", max(col("dr1")).over(byW1))
+        .withColumn("cb",
+          count(lit(1)).over(Window.partitionBy("w1", "w2")))
+        .withColumn("dr2", dense_rank().over(byW2.orderBy("w1")))
+        .withColumn("n1b", max(col("dr2")).over(byW2))
+        .withColumn("__m", round(-log(
+          (col("cb") - lit(0.75) + lit(0.75) * col("n1f") *
+            (col("n1b").cast("double") / lit(t.toDouble))) / col("c1"))
+          * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)
+               .as("mean_kn_nll"))
+        .orderBy("doc_id")
+    }),
+
     // REAL BPE tokenization (not the t01 subword proxy): the frozen
     // 24-rank merge table applied via the piped-representation encode
     // (graft.text.Bpe) — 24 chained codegen StringReplace expressions,
