@@ -2272,42 +2272,42 @@ object Queries {
     // baseline it improves on): P(w2|w1) = (c(w1w2) − D)/c(w1) +
     // D·N1+(w1·)/c(w1) · N1+(·w2)/T with D = 0.75, scored over the
     // training corpus itself (every scored bigram seen, so the
-    // discounted term stays positive). ALL four count relations come
-    // from ONE exploded bigram pass under TWO exchanges: the w1-keyed
-    // exchange serves c(w1), N1+(w1·) (max of dense_rank — Spark has
-    // no distinct-count window), AND c(w1w2) (a (w1,w2) window is
-    // satisfied by w1 hash partitioning — no new shuffle, just the
-    // sort); the w2-keyed exchange serves N1+(·w2) the same way. T
-    // (distinct bigram types) is one scalar job. Per-bigram nats land
-    // on the 1e-6 integer grid before the per-doc mean (t11/t16
-    // discipline); the double expression is associated IDENTICALLY in
-    // both engines so the grid values match bit-for-bit.
+    // discounted term stays positive). The model is VOCABULARY-sized,
+    // so build it as aggregate tables, not corpus windows: bigram
+    // counts via one map-side-combined aggregate (only vocab-sized
+    // partials cross that exchange), then context totals / fan-outs /
+    // continuation counts / T all derive from THAT table — the four
+    // derived aggregates share one physical bigram-count subplan via
+    // ReuseExchange (plan-audited in tools.ExplainT20), so the regex
+    // extraction runs once per side, and the per-bigram weight joins
+    // back to the occurrence stream in its only full-stream exchange.
+    // (The window formulation sorted the whole corpus stream twice
+    // and re-scanned the regex for the T scalar — measured ~2×
+    // slower.) Per-bigram nats land on the 1e-6 integer grid before
+    // the per-doc mean (t11/t16 discipline); the double expression is
+    // associated IDENTICALLY in both engines so the grid values match
+    // bit-for-bit.
     "t20_kneser_ney" -> ((s, d) => {
       val docs = documents(s, d)
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
       val bg = docs.select(col("doc_id"),
           explode(regexp_extract_all(norm, lit(pat), lit(1))).as("bg"))
-        .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
-        .withColumn("w2", split_part(col("bg"), lit(" "), lit(2)))
-      val t = bg.select("w1", "w2").distinct().count()
-      val byW1 = Window.partitionBy("w1")
-      val byW2 = Window.partitionBy("w2")
-      bg // w1-keyed windows FIRST and adjacent, then w2-keyed: same-
-        // key specs share one exchange, and the (w1,w2) count rides
-        // the w1 partitioning (hash(w1) satisfies the clustered
-        // distribution) — interleaving the keys re-shuffles per flip
-        .withColumn("dr1", dense_rank().over(byW1.orderBy("w2")))
-        .withColumn("c1", count(lit(1)).over(byW1))
-        .withColumn("n1f", max(col("dr1")).over(byW1))
-        .withColumn("cb",
-          count(lit(1)).over(Window.partitionBy("w1", "w2")))
-        .withColumn("dr2", dense_rank().over(byW2.orderBy("w1")))
-        .withColumn("n1b", max(col("dr2")).over(byW2))
-        .withColumn("__m", round(-log(
+        .select(col("doc_id"),
+          split_part(col("bg"), lit(" "), lit(1)).as("w1"),
+          split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+      val bgcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val w1tab = bgcnt.groupBy("w1")
+        .agg(sum("cb").as("c1"), count(lit(1)).as("n1f"))
+      val w2tab = bgcnt.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val tFrame = bgcnt.agg(count(lit(1)).as("__T"))
+      val mtab = bgcnt.join(w1tab, "w1").join(w2tab, "w2")
+        .crossJoin(broadcast(tFrame))
+        .select(col("w1"), col("w2"), round(-log(
           (col("cb") - lit(0.75) + lit(0.75) * col("n1f") *
-            (col("n1b").cast("double") / lit(t.toDouble))) / col("c1"))
-          * 1e6).cast("long"))
+            (col("n1b").cast("double") / col("__T").cast("double"))) /
+          col("c1")) * 1e6).cast("long").as("__m"))
+      bg.join(mtab, Seq("w1", "w2"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
              round(sum(col("__m")).cast("double") / count(lit(1)) / 1e6, 4)

@@ -2,9 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev plan audit for t20: the KN count relations must ride TWO
-  * bigram-stream exchanges (w1-keyed and w2-keyed) plus the final
-  * doc_id re-group — a (w1,w2) window must NOT add a third. */
+/** Dev plan audit for t20: the four vocabulary-sized count relations
+  * must SHARE one physical bigram-count subplan (ReusedExchange), so
+  * the regex extraction runs once per side — bg-stream side + model
+  * side — and the only full-stream exchanges are the (w1,w2) join and
+  * the final doc regroup. */
 object ExplainT20 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -13,7 +15,12 @@ object ExplainT20 {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.Queries.all("t20_kneser_ney")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
-    plan.linesIterator.filter(_.contains("Exchange")).foreach(println)
+    println("regex scans: " +
+      "regexp_extract_all".r.findAllIn(plan).length)
+    println("reused exchanges: " + "ReusedExchange".r.findAllIn(plan).length)
+    plan.linesIterator.filter(l =>
+      l.contains("Exchange hash") || l.contains("ReusedExchange"))
+      .foreach(println)
     spark.stop()
   }
 }
