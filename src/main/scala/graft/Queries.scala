@@ -176,8 +176,21 @@ object Queries {
     * the 1e-6 integer grid before the sum (the t11 cross-engine
     * discipline). `lang` rides the group key (functionally dependent
     * on doc_id — free, no extra join). Docs with fewer than two
-    * tokens have no bigrams and drop out, as in the oracle. */
-  private def bigramNllScores(s: SparkSession, d: String): DataFrame = {
+    * tokens have no bigrams and drop out, as in the oracle.
+    *
+    * Cached per (session, SF dir) — the frame is ONE ROW PER DOC
+    * (tiny next to the bigram stream that builds it) and three
+    * queries read it (t16, c11, c12; c12 scans it twice: mixture
+    * totals + final filter — without the cache that re-ran the whole
+    * bigram window pipeline per scan, the derived-counts defect class
+    * at the composition level). */
+  private val nllCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bigramNllScores(s: SparkSession, d: String): DataFrame =
+    nllCache.getOrElseUpdate((s, d), bigramNllScoresBuild(s, d).cache())
+
+  private def bigramNllScoresBuild(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
     val pat = "(?:^|(?<= ))(?=((?:\\S+ ){1}\\S+))"
