@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on a 128 GiB box: the 8g default left ~4.6 GB of unified pool
+  // for 130+ catalog queries' shared caches PLUS the containment
+  // family's aggregation state — measured cache-eviction churn doubled
+  // the CPU of every cache-reading query in the full-catalog bench.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -57,7 +57,7 @@ object Bench {
     for (q <- Seq("q01_purchase_summary", "s02_ann_topk", "s03_ivf_topk",
                   "s04_pq_topk", "s05_ivfpq_topk", "s06_ann_planted",
                   "s07_ivf_planted", "s08_pq_planted", "s09_ivfpq_planted",
-                  "c01_curation_pipeline",
+                  "c01_curation_pipeline", "t16_bigram_logprob",
                   "e03_cosine_lsh_pairs", "e05_embedding_dup_clusters"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
