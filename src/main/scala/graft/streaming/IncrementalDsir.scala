@@ -103,6 +103,15 @@ object IncrementalDsir {
         params.hashBuckets)
     }
 
+  /** The live model's weight store WITH its `fb` hive partition
+    * column — what arrival-time scoring probes: a filter on `fb`
+    * prunes the listing to the batch's feature buckets at planning
+    * time (spec-asserted in StreamingDsirScaleSpec). */
+  private[graft] def weightsWithFb(spark: SparkSession,
+                                   statePath: String): Option[DataFrame] =
+    IndexDirs.currentDir(spark, mainPath(statePath), markers)
+      .map(dir => spark.read.parquet(s"$dir/_weights"))
+
   /** The score store WITH its `db` hive partition column — internal
     * readers filter on it so the listing prunes to the batch's doc
     * buckets at planning time. */
@@ -175,9 +184,7 @@ object IncrementalDsir {
         if (!toScore.isEmpty) {
           val touchedFb = toScore.select(fbOf(col("__f"), params).as("fb"))
             .distinct().collect().map(_.getInt(0)).toIndexedSeq
-          val dir = IndexDirs.currentDir(spark, mainPath(statePath),
-            markers).get
-          val w = spark.read.parquet(s"$dir/_weights")
+          val w = weightsWithFb(spark, statePath).get
             .filter(col("fb").isin(touchedFb: _*)).select("__f", "__m")
           Mixture.scoreFeatureRows(toScore, idCol, w, m.oovWeight)
             .withColumn("db", TextFunctions.md5Bucket(col(idCol),
