@@ -30,9 +30,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on a 128 GiB box: the 8g default left ~4.6 GB of unified pool
-  // for 130+ catalog queries' shared caches PLUS the containment
+  // Default heap: half of physical RAM, capped at 24g (the full-
+  // catalog bench box has 128 GiB; the old flat 8g left ~4.6 GB of
+  // unified pool for 130+ queries' shared caches PLUS the containment
   // family's aggregation state — measured cache-eviction churn doubled
-  // the CPU of every cache-reading query in the full-catalog bench.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // the CPU of every cache-reading query). Sizing from the machine
+  // keeps a 16 GB laptop from swapping under a heap bigger than RAM;
+  // SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGb =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize >> 30
+      catch { case _: Throwable => 16L }
+    s"${math.max(4L, math.min(24L, physGb / 2))}g"
+  })}",
 )

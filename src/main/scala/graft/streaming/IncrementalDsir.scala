@@ -65,23 +65,41 @@ object IncrementalDsir {
     * last, so a live version always has all three pieces. */
   private val markers = Seq("_weights/_SUCCESS", "_scalars/_SUCCESS")
 
-  private def checkParams(spark: SparkSession, statePath: String,
-                          p: Params): Unit = {
+  private def repr(p: Params): String =
+    s"hashBuckets=${p.hashBuckets};featBuckets=${p.featBuckets};" +
+      s"docParts=${p.docParts}"
+
+  /** Verify the caller's params against the frozen sidecar if one
+    * exists — the READ-ONLY check ([[model]]/[[retrain]] use it too:
+    * a drifted retrain would rewrite the weights layout under a
+    * different fb function and every later probe would silently score
+    * OOV; a drifted model() would featurize raw strings against
+    * hashed keys). */
+  private def requireParams(spark: SparkSession, statePath: String,
+                            p: Params): Unit = {
     val f = IndexDirs.fs(spark, statePath)
     val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    val repr = s"hashBuckets=${p.hashBuckets};featBuckets=${p.featBuckets};" +
-      s"docParts=${p.docParts}"
     if (f.exists(path)) {
       val in = f.open(path)
       val stored =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      require(stored == repr,
+      require(stored == repr(p),
         s"state at $statePath was built with [$stored]; this call uses " +
-          s"[$repr] — params are frozen per state dir")
-    } else {
+          s"[${repr(p)}] — params are frozen per state dir")
+    }
+  }
+
+  /** [[requireParams]] plus write-once: the first writer freezes the
+    * sidecar. */
+  private def checkParams(spark: SparkSession, statePath: String,
+                          p: Params): Unit = {
+    requireParams(spark, statePath, p)
+    val f = IndexDirs.fs(spark, statePath)
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
+    if (!f.exists(path)) {
       val out = f.create(path, true)
-      try out.write(repr.getBytes("UTF-8")) finally out.close()
+      try out.write(repr(p).getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -94,7 +112,8 @@ object IncrementalDsir {
 
   /** The live frozen model — None before the first training. */
   def model(spark: SparkSession, statePath: String,
-            params: Params = Params()): Option[Mixture.DsirModel] =
+            params: Params = Params()): Option[Mixture.DsirModel] = {
+    requireParams(spark, statePath, params)
     IndexDirs.currentDir(spark, mainPath(statePath), markers).map { dir =>
       val s = spark.read.parquet(s"$dir/_scalars").head()
       Mixture.DsirModel(
@@ -102,6 +121,7 @@ object IncrementalDsir {
         s.getAs[Long]("nt"), s.getAs[Long]("nr"), s.getAs[Long]("v"),
         params.hashBuckets)
     }
+  }
 
   /** The live model's weight store WITH its `fb` hive partition
     * column — what arrival-time scoring probes: a filter on `fb`
@@ -176,8 +196,17 @@ object IncrementalDsir {
       case Some(m) =>
         // frozen-model scoring of the batch's not-yet-scored raw docs:
         // weights probe pruned to the batch's feature buckets, score
-        // store pruned to the batch's doc buckets
-        val raw = ftok.filter(!col("__t"))
+        // store pruned to the batch's doc buckets. Features come from
+        // the STORE's claimed rows (pruned to the batch's db buckets),
+        // not from the raw batch: a replayed batch with amended text
+        // must score what the claims-before-results commit actually
+        // stored, or the maintained scores drift from the ingested
+        // corpus until the next retrain.
+        val batchIds = ftok.select(col(idCol)).distinct()
+        val claimed = docsStore(spark, statePath).get
+          .filter(col("db").isin(touchedDb: _*))
+          .join(batchIds, Seq(idCol))
+        val raw = claimed.filter(!col("__t"))
         val scored = scoresWithDb(spark, statePath).get
           .filter(col("db").isin(touchedDb: _*)).select(col(idCol))
         val toScore = raw.join(scored, Seq(idCol), "left_anti")
@@ -204,7 +233,8 @@ object IncrementalDsir {
     * [[Mixture.importanceWeights]] over every ingested doc exactly.
     * No-op until the store holds both target and raw tokens. */
   def retrain(spark: SparkSession, statePath: String, idCol: String,
-              params: Params = Params()): Unit =
+              params: Params = Params()): Unit = {
+    requireParams(spark, statePath, params)
     docsStore(spark, statePath).foreach { store =>
       val sides = store.agg(
         max(when(col("__t"), 1).otherwise(0)),
@@ -234,6 +264,7 @@ object IncrementalDsir {
         } finally { weights.unpersist(); () }
       }
     }
+  }
 
   /** Maintenance sweep for long streams: retire superseded main
     * versions (crashed-retrain leftovers included) and compact is not

@@ -376,14 +376,18 @@ object Mixture {
                                    n: Int = 3,
                                    accuracy: Int = 10000): DataFrame = {
     val qs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    // null-safe language equality: the exact form buckets NULL-lang
+    // docs as their own window partition, so the threshold join must
+    // keep them too (a plain equi-join would silently drop them)
     val th = scored.groupBy(col(langCol))
       .agg(approx_percentile(col(scoreCol), qs, lit(accuracy)).as("__th"))
-    scored.join(broadcast(th), langCol)
+      .withColumnRenamed(langCol, "__lang")
+    scored.join(broadcast(th), col(langCol) <=> col("__lang"))
       .withColumn("ppl_bucket",
         (lit(1) + aggregate(col("__th"), lit(0L),
           (acc, t) => acc + when(col(scoreCol) > t, 1L).otherwise(0L)))
           .cast("long"))
-      .drop("__th")
+      .drop("__th", "__lang")
   }
 
   /** The c04 catalog pin, shared verbatim with the DuckDB oracle

@@ -13,7 +13,8 @@ object ExplainT20 {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.Queries.all("t20_kneser_ney")(spark, "/root/testdata/sf0.001")
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val df = graft.Queries.all("t20_kneser_ney")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
     println("regex scans: " +
       "regexp_extract_all".r.findAllIn(plan).length)

@@ -57,6 +57,21 @@ class PerplexityBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL-lang docs survive the threshold form (null-safe join)") {
+    val withNull = Seq(
+      (1L, "en", 0.1), (2L, "en", 0.5), (3L, "en", 0.9),
+      (4L, null, 0.2), (5L, null, 0.6), (6L, null, 0.8))
+      .toDF("doc_id", "lang", "score")
+    val exact = Mixture.perplexityBuckets(withNull, "doc_id", "lang",
+      "score").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val approx = Mixture.perplexityBucketsByThreshold(withNull, "doc_id",
+      "lang", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(approx.keySet == exact.keySet,
+      s"threshold form dropped docs: ${exact.keySet -- approx.keySet}")
+    assert(approx == exact)
+  }
+
   test("exact NTILE balances bucket sizes within one row per language") {
     val sizes = Mixture.perplexityBuckets(scored, "doc_id", "lang", "score")
       .groupBy("lang", "ppl_bucket").count()

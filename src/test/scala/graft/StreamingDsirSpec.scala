@@ -115,14 +115,47 @@ class StreamingDsirSpec extends AnyFunSuite {
         all.toDF("doc_id", "text", "source"), "doc_id", "text", isTgt)))
   }
 
-  test("params are frozen per state dir") {
+  test("params are frozen per state dir — processBatch, retrain, model") {
     val statePath = Files.createTempDirectory("graft-dsir4").toString
     val b = Seq((1L, "alpha", "src0"), (2L, "kappa", "srcX"))
       .toDF("doc_id", "text", "source")
     IncrementalDsir.processBatch(b, "doc_id", "text", isTgt, statePath)
-    val e = intercept[IllegalArgumentException](
-      IncrementalDsir.processBatch(b, "doc_id", "text", isTgt, statePath,
-        IncrementalDsir.Params(hashBuckets = 1 << 16)))
-    assert(e.getMessage.contains("frozen"))
+    val drifted = IncrementalDsir.Params(hashBuckets = 1 << 16)
+    for (call <- Seq[() => Any](
+        () => IncrementalDsir.processBatch(b, "doc_id", "text", isTgt,
+          statePath, drifted),
+        // a drifted retrain would rewrite the weights under a different
+        // fb layout; a drifted model() would featurize raw strings
+        // against hashed keys — both must fail fast, not corrupt
+        () => IncrementalDsir.retrain(spark, statePath, "doc_id", drifted),
+        () => IncrementalDsir.model(spark, statePath, drifted))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("frozen"))
+    }
+  }
+
+  test("frozen-model scoring follows the CLAIMED rows, not the batch's") {
+    val statePath = Files.createTempDirectory("graft-dsir5").toString
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    IncrementalDsir.processBatch(
+      df(Seq((1L, "alpha beta", "src0"), (2L, "kappa mu", "srcX"))),
+      "doc_id", "text", isTgt, statePath)
+    assert(rowsOf(IncrementalDsir.scores(spark, statePath).get)
+      .map(_._1) == Seq(2L))
+    // doc 1 re-arrives claiming to be RAW with new text, doc 3 is new:
+    // the store's claimed rows say 1 is target — it must NOT be scored
+    // from the replayed batch's contradicting flag/text
+    IncrementalDsir.processBatch(
+      df(Seq((1L, "kappa kappa", "srcX"), (3L, "mu mu", "srcX"))),
+      "doc_id", "text", isTgt, statePath)
+    val ids = rowsOf(IncrementalDsir.scores(spark, statePath).get).map(_._1)
+    assert(ids == Seq(2L, 3L), s"claimed-target doc leaked a score: $ids")
+    // and doc 3's replay with amended text revises nothing
+    val before = rowsOf(IncrementalDsir.scores(spark, statePath).get)
+    IncrementalDsir.processBatch(
+      df(Seq((3L, "totally different", "srcX"))),
+      "doc_id", "text", isTgt, statePath)
+    assert(rowsOf(IncrementalDsir.scores(spark, statePath).get) == before)
   }
 }
