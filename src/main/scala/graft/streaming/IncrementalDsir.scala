@@ -266,12 +266,27 @@ object IncrementalDsir {
     }
   }
 
-  /** Maintenance sweep for long streams: retire superseded main
-    * versions (crashed-retrain leftovers included) and compact is not
-    * needed — per-batch score appends stay inside the live version and
-    * the next retrain rewrites them wholesale. */
-  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit =
+  /** LSM-ish maintenance for the docs store: per-batch appends leave a
+    * file per batch per touched `db` partition; rewrite into one
+    * sorted run per partition as the next version (crash-safe
+    * [[IndexDirs]] swap, previous generation retained for in-flight
+    * readers). The main store needs no compact — score appends stay
+    * inside the live version and every retrain rewrites it wholesale. */
+  def compact(spark: SparkSession, statePath: String): Unit =
+    docsStore(spark, statePath).foreach { store =>
+      val p = docsPath(statePath)
+      store.repartition(col("db")).sortWithinPartitions("__f")
+        .write.mode("overwrite").partitionBy("db")
+        .parquet(IndexDirs.nextDir(spark, p))
+      IndexDirs.retire(spark, p)
+    }
+
+  /** Maintenance sweep for long streams: retire superseded versions
+    * of BOTH stores — crashed-retrain/compact leftovers included. */
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
     IndexDirs.retire(spark, mainPath(statePath), markers, keep)
+    IndexDirs.retire(spark, docsPath(statePath), keep = keep)
+  }
 
   /** Attach to a streaming document source: one [[processBatch]] per
     * micro-batch. */

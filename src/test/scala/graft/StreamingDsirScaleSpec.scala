@@ -84,4 +84,25 @@ class StreamingDsirScaleSpec extends AnyFunSuite {
     assert(IncrementalDsir.docsStore(spark, statePath)
       .get.inputFiles.length == files, "replay appended files")
   }
+
+  test("compact bounds docs-store file counts; content and folds survive") {
+    val statePath = Files.createTempDirectory("graft-dsir-scale3").toString
+    feed(statePath, total = 120, batch = 20) // 6 batches of small files
+    val before = IncrementalDsir.docsStore(spark, statePath).get
+    val rows = before.count()
+    val filesBefore = before.inputFiles.length
+    IncrementalDsir.compact(spark, statePath)
+    IncrementalDsir.vacuum(spark, statePath, keep = 1)
+    val after = IncrementalDsir.docsStore(spark, statePath).get
+    assert(after.count() == rows, "compact changed the stored rows")
+    assert(after.inputFiles.length < filesBefore,
+      s"compact did not reduce files (${after.inputFiles.length})")
+    // the maintainer still folds and retrains correctly on the
+    // compacted layout
+    IncrementalDsir.processBatch(docs(120, 20), "doc_id", "text",
+      col("grp") === "t", statePath, params)
+    IncrementalDsir.retrain(spark, statePath, "doc_id", params)
+    val scored = IncrementalDsir.scores(spark, statePath).get.count()
+    assert(scored == (0 until 140).count(_ % 10 != 0).toLong)
+  }
 }
