@@ -1646,6 +1646,24 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY region, nation"""),
 
+    "q69_nation_profit" -> ("""
+SELECT n_name AS nation,
+       EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                * CAST(ROUND(l_quantity) AS BIGINT) * 100) AS BIGINT)
+         / 10000.0 AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY nation, o_year"""),
+
     "q54_shipping_priority" -> ("""
 SELECT l_orderkey AS orderkey,
        CAST(o_orderdate AS DATE) AS orderdate,

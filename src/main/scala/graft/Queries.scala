@@ -1761,6 +1761,36 @@ object Queries {
         .orderBy("region", "nation")
     }),
 
+    // Product-line profit by nation and order year (TPC-H Q9 flavor,
+    // adapted: this schema has no partsupp, so supply cost is the
+    // part's retail price × quantity). lineitem streams through the
+    // broadcast name-filtered part hop, supplier/nation broadcast
+    // hops, and ONE big-big key join (orders); profit stays in
+    // integer 1e-4-dollar units (cents × percent minus cents × qty ×
+    // 100) until one final division — order-insensitive, AQE-stable.
+    "q69_nation_profit" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val o  = TestData.table(s, d, "orders")
+      val p  = TestData.table(s, d, "part")
+        .filter(col("p_name").contains("widget"))
+      val su = TestData.table(s, d, "supplier")
+      val n  = TestData.table(s, d, "nation")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(cents(col("l_extendedprice")) *
+                (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+              cents(col("p_retailprice")) *
+                round(col("l_quantity")).cast("long") * lit(100L))
+              / 10000.0).as("profit"),
+             count(lit(1)).as("n_lines"))
+        .select("nation", "o_year", "profit", "n_lines")
+        .orderBy("nation", "o_year")
+    }),
+
     // Unshipped-order shipping priority (TPC-H Q3 flavor): BUILDING
     // segment, ordered before / shipped after a cutoff; top 10 orders
     // by discounted revenue. Compiles to TakeOrderedAndProject over a
