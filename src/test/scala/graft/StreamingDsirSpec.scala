@@ -115,6 +115,31 @@ class StreamingDsirSpec extends AnyFunSuite {
         all.toDF("doc_id", "text", "source"), "doc_id", "text", isTgt)))
   }
 
+  test("attach: scores maintained from a real stream + retrain == one-shot") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val statePath = Files.createTempDirectory("graft-dsir-s").toString
+
+    implicit val sq = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = IncrementalDsir.attach(
+      stream.toDS().toDF("doc_id", "text", "source"),
+      "doc_id", "text", isTgt, statePath,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    docs.grouped(math.max(1, docs.length / 2)).foreach { b =>
+      stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    IncrementalDsir.retrain(spark, statePath, "doc_id")
+    val streaming = rowsOf(IncrementalDsir.scores(spark, statePath).get)
+    val oneShot = rowsOf(Mixture.importanceWeights(
+      docs.toDF("doc_id", "text", "source"), "doc_id", "text", isTgt))
+    assert(streaming == oneShot)
+  }
+
   test("params are frozen per state dir — processBatch, retrain, model") {
     val statePath = Files.createTempDirectory("graft-dsir4").toString
     val b = Seq((1L, "alpha", "src0"), (2L, "kappa", "srcX"))
