@@ -430,22 +430,34 @@ object Dedup {
           .otherwise(sequence(lit(0), col("__nc") - 1))).as("__c"): _*)
 
     val member = struct(col("__id"), col("__side"), col("__n"))
+    // Cross mode collects the index members SPLIT BY SIDE, so a probe
+    // explodes only against the OPPOSITE side's list: same-side
+    // (probe, member) combinations — the majority of bucket volume
+    // when one corpus dominates — are never generated instead of
+    // being generated and filtered (measured on d16: 52.5M → cross-
+    // side-only generation, the single biggest term in its wall).
     val buckets = chunked
       .groupBy(pc :+ col("__pt") :+ col("__c"): _*)
       .agg(collect_list(when(col("__role") === 0, member)).as("__ps"),
-           collect_list(when(col("__role") === 1, member)).as("__is"))
-      .filter(size(col("__ps")) >= 1 && size(col("__is")) >= 1)
+           collect_list(when(col("__role") === 1 &&
+             (!lit(cross) || col("__side") === 1), member)).as("__is"),
+           collect_list(when(lit(cross) && col("__role") === 1 &&
+             col("__side") === 0, member)).as("__is0"))
+      .filter(size(col("__ps")) >= 1 &&
+        size(col("__is")) + size(col("__is0")) >= 1)
 
     val nx = col("x.__n"); val ny = col("y.__n")
     val cand = buckets
-      .select(col("__is"), explode(col("__ps")).as("x"))
-      .select(col("x"), explode(col("__is")).as("y"))
+      .select(col("__is"), col("__is0"), explode(col("__ps")).as("x"))
+      .select(col("x"), explode(
+        if (cross) when(col("x.__side") === 0, col("__is"))
+          .otherwise(col("__is0"))
+        else col("__is")).as("y"))
       // unique roles: probe strictly smaller; equal sizes tie-break by
-      // id (self) / by side (cross, LEFT probes). Cross mode pairs
-      // across sides only — no self-side pairs ever materialize.
+      // id (self) / by side (cross, LEFT probes — generation above is
+      // already cross-side-only in cross mode).
       .filter(
-        if (cross) col("x.__side") =!= col("y.__side") &&
-          (nx < ny || (nx === ny && col("x.__side") < col("y.__side")))
+        if (cross) nx < ny || (nx === ny && col("x.__side") < col("y.__side"))
         else nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
       .select(
         (if (cross) when(col("x.__side") === 0, col("x.__id"))
