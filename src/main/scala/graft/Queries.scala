@@ -1791,6 +1791,43 @@ object Queries {
         .orderBy("nation", "o_year")
     }),
 
+    // Bilateral trade volume (TPC-H Q7 flavor): revenue shipped
+    // between two specific nations by year, with the NATION dimension
+    // joined TWICE under different roles (supplier's nation via
+    // lineitem, customer's nation via orders→customer) — the classic
+    // role-playing-dimension shape. Both nation hops broadcast; the
+    // only big-big joins are the fact's key joins; the symmetric
+    // nation-pair filter keeps both directions. Revenue in integer
+    // cents×percent units until one division.
+    "q70_nation_trade" -> ((s, d) => {
+      val li = TestData.table(s, d, "lineitem")
+      val o  = TestData.table(s, d, "orders")
+      val c  = TestData.table(s, d, "customer")
+      val su = TestData.table(s, d, "supplier")
+      val n  = TestData.table(s, d, "nation")
+      val n1 = n.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+                 col("cust_nation") === "NATION_2") ||
+                (col("supp_nation") === "NATION_2" &&
+                 col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(cents(col("l_extendedprice")) *
+               (lit(100L) - round(col("l_discount") * 100).cast("long")))
+               / 10000.0).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .select("supp_nation", "cust_nation", "l_year", "revenue", "n_lines")
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Unshipped-order shipping priority (TPC-H Q3 flavor): BUILDING
     // segment, ordered before / shipped after a cutoff; top 10 orders
     // by discounted revenue. Compiles to TakeOrderedAndProject over a
