@@ -1220,6 +1220,79 @@ SELECT g.doc_id, COUNT(*) AS n_grams,
              / COUNT(*), 4) AS dup_gram_ratio
 FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY g.doc_id"""),
 
+    // d18/d19 share the positioned-gram + cross-doc-mark CTE chain:
+    // pos is the 0-based token index a gram starts at; dup means the
+    // gram occurs in >= 2 distinct docs (min != max window, mirroring
+    // the Spark form exactly).
+    "d18_dup_span_stats" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) - 1 AS pos,
+         unnest(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4])) AS g
+  FROM t WHERE len(toks) >= 5),
+m AS (
+  SELECT doc_id, pos,
+         MIN(doc_id) OVER (PARTITION BY g)
+           <> MAX(doc_id) OVER (PARTITION BY g) AS dup
+  FROM g),
+u AS (
+  SELECT doc_id, pos,
+         GREATEST(0, pos + 5 - GREATEST(pos,
+           COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), pos)))
+           AS contrib
+  FROM m WHERE dup),
+a AS (
+  SELECT doc_id, COUNT(*) AS n_dup_grams, SUM(contrib) AS covered
+  FROM u GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+       ROUND(CAST(COALESCE(a.covered, 0) AS DOUBLE) / len(t.toks), 4)
+         AS dup_fraction
+FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
+
+    "d19_strip_dup_spans" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) - 1 AS pos,
+         unnest(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4])) AS g
+  FROM t WHERE len(toks) >= 5),
+m AS (
+  SELECT doc_id, pos,
+         MIN(doc_id) OVER (PARTITION BY g)
+           <> MAX(doc_id) OVER (PARTITION BY g) AS dup
+  FROM g),
+cov AS (
+  SELECT DISTINCT doc_id, pos + unnest(range(0, 5)) AS p
+  FROM m WHERE dup),
+tok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS tpos,
+         unnest(toks) AS tok
+  FROM t),
+kept AS (
+  SELECT k.doc_id, k.tpos, k.tok
+  FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tpos = c.p
+  WHERE c.p IS NULL),
+a AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
+
     "d12_minhash_planted" -> ("""
 WITH ids AS (SELECT DISTINCT doc_id FROM documents),
 corpus AS (

@@ -2522,6 +2522,23 @@ object Queries {
       Dedup.crossDocGramStats(documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // Duplicate-SPAN coverage (Lee et al. substring-level dedup): per
+    // doc, the fraction of token positions covered by any 5-gram that
+    // also occurs in ANOTHER doc — positioned gram explode, one
+    // gram-keyed window for the cross-doc mark (min≠max id — "≥2
+    // distinct docs" without count-distinct), one doc-keyed
+    // running-max interval union over only the duplicated rows.
+    "d18_dup_span_stats" -> ((s, d) =>
+      Dedup.dupSpanStats(documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
+    // ...and the transformation those stats gate: every cross-doc
+    // duplicated span REMOVED, surviving token order preserved —
+    // the actual dedup step a training pipeline runs before export.
+    "d19_strip_dup_spans" -> ((s, d) =>
+      Dedup.stripDupSpans(documents(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id")),
+
     // PLANTED minhash near-dup: d02's operator (same code path —
     // Dedup.nearDuplicates: codegen signatures, banded LSH buckets,
     // verify-once exact-jaccard guard, skew caps) run over a

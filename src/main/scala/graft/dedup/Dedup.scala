@@ -1031,4 +1031,120 @@ object Dedup {
            round(sum(when(col("__nd") >= 2, 1).otherwise(0))
                .cast("double") / count(lit(1)), 4)
              .as("dup_gram_ratio"))
+
+  // ── Duplicate-SPAN dedup (substring level) ─────────────────────────
+
+  /** Positioned (NON-distinct) n-gram rows `(idCol, __pos, __g)` —
+    * `__pos` is the 0-based token index where the gram starts. Unlike
+    * [[gramRows]] every occurrence is kept: span coverage needs the
+    * position of each repeat, and a doc may legitimately contain the
+    * same duplicated gram at several places. */
+  private def positionedGramRows(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 hashGrams: Boolean): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    val raw = docs.filter(size(toks) >= n)
+      .select(col(idCol), posexplode(grams))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__g")
+      .select(col(idCol), col("__pos").cast("long").as("__pos"), col("__g"))
+    if (hashGrams) raw.select(col(idCol), col("__pos"),
+      xxhash64(col("__g")).as("__g"))
+    else raw
+  }
+
+  /** Positioned gram occurrences that are CROSS-document duplicates:
+    * the gram occurs in at least one other doc. The test is
+    * min(id) ≠ max(id) over one gram-keyed count window — exactly
+    * "≥ 2 distinct docs" with no count-distinct and no self-join (the
+    * join formulation would run the positioned-gram explode twice —
+    * different Exchange children defeat ReuseExchange). Shared first
+    * stage of [[dupSpanStats]] and [[stripDupSpans]]. */
+  private def dupSpanRows(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, hashGrams: Boolean): DataFrame = {
+    val byGram = Window.partitionBy("__g")
+    positionedGramRows(docs, idCol, textCol, n, hashGrams)
+      .withColumn("__dup",
+        min(col(idCol)).over(byGram) =!= max(col(idCol)).over(byGram))
+      .filter(col("__dup"))
+      .select(col(idCol), col("__pos"))
+  }
+
+  /** Cross-document duplicate-SPAN coverage — substring-level dedup
+    * statistics after Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022, published method): a token
+    * position is duplicated when any n-gram covering it also occurs in
+    * at least one OTHER document. Per doc: token count, cross-doc
+    * duplicated gram occurrences, covered token count (interval union
+    * of the duplicated grams' [pos, pos+n) spans — overlapping grams
+    * count each token once) and the covered fraction. This is the
+    * span-level signal that doc-level near-dup (minhash/simhash) and
+    * gram-COUNT stats ([[crossDocGramStats]]) both miss; within-doc
+    * repetition deliberately does NOT count (that is the repetition
+    * scorer's job).
+    *
+    * Shape at 100 TB: positioned gram explode (linear in tokens), ONE
+    * gram-keyed exchange for the cross-doc mark, then a doc-keyed
+    * exchange over ONLY the duplicated rows for the running-max
+    * interval union. No pair blow-up anywhere — cost is
+    * |tokens| + |duplicated occurrences|. `hashGrams` narrows the
+    * gram exchange to 8-byte keys (the [[contaminationCounts]]
+    * discipline; the catalog keeps raw strings so the DuckDB oracle
+    * mirrors the query exactly, and the two forms are spec-asserted
+    * equal on real data). */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, hashGrams: Boolean = false): DataFrame = {
+    // Classic interval union as a running max: sorted by start, each
+    // span contributes the part of [pos, pos+n) past every previous
+    // span's end (overlap-free by construction).
+    val byDoc = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runEnd = max(col("__pos") + n).over(byDoc)
+    val covered = dupSpanRows(docs, idCol, textCol, n, hashGrams)
+      .withColumn("__contrib",
+        greatest(lit(0L), col("__pos") + n -
+          greatest(col("__pos"), coalesce(runEnd, col("__pos")))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_dup_grams"),
+           sum("__contrib").cast("long").as("covered_tokens"))
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_fraction"))
+  }
+
+  /** The removal transformation [[dupSpanStats]] measures for: rebuild
+    * every document with each cross-doc duplicated span dropped
+    * (tokens whose position falls inside any duplicated gram's
+    * [pos, pos+n) window), preserving the order of the surviving
+    * tokens. Output: (idCol, clean_text, n_kept, n_removed) for EVERY
+    * input doc — untouched docs pass through with n_removed = 0.
+    *
+    * The covered-position set per doc is collect_set over the exploded
+    * spans (map-side set merge; bounded by the doc's own token count),
+    * joined back and applied scan-locally with a positional array
+    * filter — no second corpus-wide exchange beyond the gram mark. */
+  def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, hashGrams: Boolean = false): DataFrame = {
+    val covered = dupSpanRows(docs, idCol, textCol, n, hashGrams)
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
+      .groupBy(idCol)
+      .agg(collect_set(col("__p")).as("__cov"))
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.join(covered, Seq(idCol), "left")
+      .withColumn("__keep",
+        filter(toks, (_, i) =>
+          !coalesce(array_contains(col("__cov"), i.cast("long")),
+            lit(false))))
+      .select(col(idCol),
+        concat_ws(" ", col("__keep")).as("clean_text"),
+        size(col("__keep")).cast("long").as("n_kept"),
+        (size(toks) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
 }

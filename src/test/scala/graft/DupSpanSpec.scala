@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+/** Duplicate-SPAN dedup (d18/d19) semantics, pinned on a hand-built
+  * corpus where the answers are computable by eye:
+  *
+  *   doc 1: "a b c d e f g h"         — shares the 7-token span
+  *   doc 2: "x a b c d e f g z w"       "a b c d e f g" with doc 1
+  *   doc 3: "p q r s t p q r s t"     — WITHIN-doc repeat only: its
+  *                                      5-grams repeat inside doc 3
+  *                                      but occur in no other doc
+  *   doc 4: "m n o"                   — shorter than n, no grams
+  *
+  * With n = 5 the shared span contributes 3 duplicated grams per doc
+  * (starts 0..2 in doc 1, 1..3 in doc 2) whose interval union covers
+  * exactly the 7 shared tokens. Doc 3 must report ZERO: cross-doc
+  * means min(doc)≠max(doc) over the gram key, and all its repeats are
+  * self-repeats (that signal belongs to the repetition scorer, not the
+  * dedup pass).
+  */
+class DupSpanSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b c d e f g h"),
+    (2L, "x a b c d e f g z w"),
+    (3L, "p q r s t p q r s t"),
+    (4L, "m n o")
+  ).toDF("doc_id", "text")
+
+  test("dupSpanStats: interval-union coverage, within-doc repeats excluded") {
+    val got = Dedup.dupSpanStats(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === Seq(
+      Row(1L, 8L, 3L, 7L, 0.875),  // grams at 0,1,2 → union [0,7) = 7 of 8
+      Row(2L, 10L, 3L, 7L, 0.7),   // grams at 1,2,3 → union [1,8) = 7 of 10
+      Row(3L, 10L, 0L, 0L, 0.0),   // self-repeats only: not duplicated
+      Row(4L, 3L, 0L, 0L, 0.0)))   // too short for any 5-gram
+  }
+
+  test("stripDupSpans: covered tokens removed, order preserved, others intact") {
+    val got = Dedup.stripDupSpans(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === Seq(
+      Row(1L, "h", 1L, 7L),
+      Row(2L, "x z w", 3L, 7L),
+      Row(3L, "p q r s t p q r s t", 10L, 0L),
+      Row(4L, "m n o", 3L, 0L)))
+  }
+
+  test("hashGrams form ≡ string form on real data (both ops)") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    try {
+      val a = Dedup.dupSpanStats(real, "doc_id", "text", 5)
+      val b = Dedup.dupSpanStats(real, "doc_id", "text", 5, hashGrams = true)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      val c = Dedup.stripDupSpans(real, "doc_id", "text", 5)
+      val d = Dedup.stripDupSpans(real, "doc_id", "text", 5, hashGrams = true)
+      assert(c.exceptAll(d).isEmpty && d.exceptAll(c).isEmpty)
+    } finally real.unpersist()
+  }
+
+  test("stats and strip agree: n_removed == covered_tokens per doc") {
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    try {
+      val joined = Dedup.dupSpanStats(real, "doc_id", "text", 5)
+        .join(Dedup.stripDupSpans(real, "doc_id", "text", 5), "doc_id")
+      assert(joined.filter($"n_removed" =!= $"covered_tokens").isEmpty)
+      assert(joined.filter($"dup_fraction" > 0).count() > 0) // non-trivial
+    } finally real.unpersist()
+  }
+}
