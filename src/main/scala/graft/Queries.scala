@@ -127,6 +127,17 @@ object Queries {
   private val scoredDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Cross-doc duplicated 5-gram occurrences (doc_id, __pos) — the
+    * one gram-keyed exchange d18 (span stats) and d19 (span strip)
+    * both derive from, paid once per (session, SF dir). Small: only
+    * duplicated occurrences survive the mark. */
+  private val dupSpanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupSpanOccurrences(s: SparkSession, d: String): DataFrame =
+    dupSpanCache.getOrElseUpdate((s, d),
+      Dedup.dupSpanRows(documents(s, d), "doc_id", "text", 5).cache())
+
   private def scoredDocs(s: SparkSession, d: String): DataFrame =
     scoredDocsCache.getOrElseUpdate((s, d),
       documents(s, d).select(col("doc_id"), col("source"),
@@ -2527,17 +2538,19 @@ object Queries {
     // also occurs in ANOTHER doc — positioned gram explode, one
     // gram-keyed window for the cross-doc mark (min≠max id — "≥2
     // distinct docs" without count-distinct), one doc-keyed
-    // running-max interval union over only the duplicated rows.
+    // running-max interval union over only the duplicated rows. The
+    // duplicated-occurrence set is computed ONCE and shared with the
+    // d19 strip (the dupPairs/scoredDocs pipeline-state pattern).
     "d18_dup_span_stats" -> ((s, d) =>
-      Dedup.dupSpanStats(documents(s, d), "doc_id", "text", 5)
-        .orderBy("doc_id")),
+      Dedup.dupSpanStatsFrom(documents(s, d), dupSpanOccurrences(s, d),
+        "doc_id", "text", 5).orderBy("doc_id")),
 
     // ...and the transformation those stats gate: every cross-doc
     // duplicated span REMOVED, surviving token order preserved —
     // the actual dedup step a training pipeline runs before export.
     "d19_strip_dup_spans" -> ((s, d) =>
-      Dedup.stripDupSpans(documents(s, d), "doc_id", "text", 5)
-        .orderBy("doc_id")),
+      Dedup.stripDupSpansFrom(documents(s, d), dupSpanOccurrences(s, d),
+        "doc_id", "text", 5).orderBy("doc_id")),
 
     // PLANTED minhash near-dup: d02's operator (same code path —
     // Dedup.nearDuplicates: codegen signatures, banded LSH buckets,

@@ -1061,8 +1061,9 @@ object Dedup {
     * join formulation would run the positioned-gram explode twice —
     * different Exchange children defeat ReuseExchange). Shared first
     * stage of [[dupSpanStats]] and [[stripDupSpans]]. */
-  private def dupSpanRows(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int, hashGrams: Boolean): DataFrame = {
+  private[graft] def dupSpanRows(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 hashGrams: Boolean = false): DataFrame = {
     val byGram = Window.partitionBy("__g")
     positionedGramRows(docs, idCol, textCol, n, hashGrams)
       .withColumn("__dup",
@@ -1094,14 +1095,23 @@ object Dedup {
     * mirrors the query exactly, and the two forms are spec-asserted
     * equal on real data). */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, hashGrams: Boolean = false): DataFrame = {
+                   n: Int, hashGrams: Boolean = false): DataFrame =
+    dupSpanStatsFrom(docs, dupSpanRows(docs, idCol, textCol, n, hashGrams),
+      idCol, textCol, n)
+
+  /** [[dupSpanStats]] over a PRECOMPUTED (and typically cached /
+    * maintained) duplicated-occurrence set `(idCol, __pos)` — the
+    * pipeline shape where the stats report and the strip
+    * transformation derive from one shared gram-mark pass. */
+  def dupSpanStatsFrom(docs: DataFrame, dup: DataFrame, idCol: String,
+                       textCol: String, n: Int): DataFrame = {
     // Classic interval union as a running max: sorted by start, each
     // span contributes the part of [pos, pos+n) past every previous
     // span's end (overlap-free by construction).
     val byDoc = Window.partitionBy(idCol).orderBy("__pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val runEnd = max(col("__pos") + n).over(byDoc)
-    val covered = dupSpanRows(docs, idCol, textCol, n, hashGrams)
+    val covered = dup
       .withColumn("__contrib",
         greatest(lit(0L), col("__pos") + n -
           greatest(col("__pos"), coalesce(runEnd, col("__pos")))))
@@ -1130,8 +1140,15 @@ object Dedup {
     * joined back and applied scan-locally with a positional array
     * filter — no second corpus-wide exchange beyond the gram mark. */
   def stripDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int, hashGrams: Boolean = false): DataFrame = {
-    val covered = dupSpanRows(docs, idCol, textCol, n, hashGrams)
+                    n: Int, hashGrams: Boolean = false): DataFrame =
+    stripDupSpansFrom(docs, dupSpanRows(docs, idCol, textCol, n, hashGrams),
+      idCol, textCol, n)
+
+  /** [[stripDupSpans]] over a precomputed duplicated-occurrence set —
+    * see [[dupSpanStatsFrom]]. */
+  def stripDupSpansFrom(docs: DataFrame, dup: DataFrame, idCol: String,
+                        textCol: String, n: Int): DataFrame = {
+    val covered = dup
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .groupBy(idCol)
