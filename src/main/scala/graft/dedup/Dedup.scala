@@ -1039,9 +1039,9 @@ object Dedup {
     * [[gramRows]] every occurrence is kept: span coverage needs the
     * position of each repeat, and a doc may legitimately contain the
     * same duplicated gram at several places. */
-  private def positionedGramRows(docs: DataFrame, idCol: String,
-                                 textCol: String, n: Int,
-                                 hashGrams: Boolean): DataFrame = {
+  private[graft] def positionedGramRows(docs: DataFrame, idCol: String,
+                                        textCol: String, n: Int,
+                                        hashGrams: Boolean): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val grams = transform(sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
@@ -1104,7 +1104,19 @@ object Dedup {
     * pipeline shape where the stats report and the strip
     * transformation derive from one shared gram-mark pass. */
   def dupSpanStatsFrom(docs: DataFrame, dup: DataFrame, idCol: String,
-                       textCol: String, n: Int): DataFrame = {
+                       textCol: String, n: Int): DataFrame =
+    dupSpanAgg(dup,
+      docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, n)
+
+  /** The per-doc span aggregate over duplicated occurrences
+    * `(idCol, __pos)` and a doc universe `(idCol, n_tokens)` — shared
+    * by the batch forms and [[graft.streaming.IncrementalDupSpans]]
+    * (where the universe is the affected-doc set and the occurrences
+    * come from maintained state). */
+  private[graft] def dupSpanAgg(dup: DataFrame, universe: DataFrame,
+                                idCol: String, n: Int): DataFrame = {
     // Classic interval union as a running max: sorted by start, each
     // span contributes the part of [pos, pos+n) past every previous
     // span's end (overlap-free by construction).
@@ -1118,8 +1130,7 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).cast("long").as("n_dup_grams"),
            sum("__contrib").cast("long").as("covered_tokens"))
-    docs.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    universe
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
