@@ -1825,10 +1825,10 @@ object Queries {
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
-        .filter((col("supp_nation") === "NATION_1" &&
-                 col("cust_nation") === "NATION_2") ||
-                (col("supp_nation") === "NATION_2" &&
-                 col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_18" &&
+                 col("cust_nation") === "NATION_19") ||
+                (col("supp_nation") === "NATION_19" &&
+                 col("cust_nation") === "NATION_18"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg((sum(cents(col("l_extendedprice")) *

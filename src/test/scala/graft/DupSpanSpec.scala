@@ -66,6 +66,42 @@ class DupSpanSpec extends AnyFunSuite {
     } finally real.unpersist()
   }
 
+  test("random corpus ≡ plain-Scala brute force (seeded)") {
+    // An independent reimplementation: naive position marking, no
+    // windows, no intervals — if the running-max union or the
+    // cross-doc mark has an off-by-one, this diverges.
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 60L).map { id =>
+      val len = 3 + rnd.nextInt(20)
+      // small vocab → plenty of genuine cross-doc 5-gram collisions
+      (id, Seq.fill(len)("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    val n = 5
+    val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val gramsOf = toks.map { case (id, ts) =>
+      id -> ts.sliding(n).zipWithIndex
+        .filter(_._1.length == n)
+        .map { case (g, p) => (g.mkString(" "), p) }.toSeq
+    }.toMap
+    val docsByGram = gramsOf.toSeq
+      .flatMap { case (id, gs) => gs.map { case (g, _) => (g, id) } }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = toks.map { case (id, ts) =>
+      val dup = gramsOf(id).filter { case (g, _) => docsByGram(g) >= 2 }
+      val coveredPos = dup.flatMap { case (_, p) => p until (p + n) }.toSet
+      (id, ts.size.toLong, dup.size.toLong, coveredPos.size.toLong,
+        BigDecimal(coveredPos.size.toDouble / ts.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.dupSpanStats(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === expected)
+    assert(expected.exists(_._3 > 0), "vacuous: no dup spans generated")
+  }
+
   test("stats and strip agree: n_removed == covered_tokens per doc") {
     val real = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").cache()
