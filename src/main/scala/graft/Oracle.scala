@@ -1220,6 +1220,30 @@ SELECT g.doc_id, COUNT(*) AS n_grams,
              / COUNT(*), 4) AS dup_gram_ratio
 FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY g.doc_id"""),
 
+    "t21_source_overlap" -> ("""
+WITH t AS (
+  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4]))) AS g
+  FROM t WHERE len(toks) >= 5),
+c AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_shared_grams
+  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+       CAST(p.n_shared_grams AS BIGINT) AS n_shared_grams,
+       ROUND(CAST(p.n_shared_grams AS DOUBLE)
+             / (ca.n + cb.n - p.n_shared_grams), 4) AS jaccard
+FROM p JOIN c ca ON p.source_a = ca.source
+       JOIN c cb ON p.source_b = cb.source
+ORDER BY p.source_a, p.source_b"""),
+
     // d18/d19 share the positioned-gram + cross-doc-mark CTE chain:
     // pos is the 0-based token index a gram starts at; dup means the
     // gram occurs in >= 2 distinct docs (min != max window, mirroring

@@ -2533,6 +2533,15 @@ object Queries {
       Dedup.crossDocGramStats(documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // Cross-source overlap matrix: shared distinct 5-grams + gram-set
+    // jaccard for every source pair — one gram-keyed exchange,
+    // collect_set(source) bounded by |sources|, row-local pair
+    // explode; the DuckDB oracle does the gram⋈gram self-join this
+    // shape exists to avoid.
+    "t21_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(documents(s, d), "source", "text", 5)
+        .orderBy("source_a", "source_b")),
+
     // Duplicate-SPAN coverage (Lee et al. substring-level dedup): per
     // doc, the fraction of token positions covered by any 5-gram that
     // also occurs in ANOTHER doc — positioned gram explode, one

@@ -1032,6 +1032,45 @@ object Dedup {
                .cast("double") / count(lit(1)), 4)
              .as("dup_gram_ratio"))
 
+  /** Cross-SOURCE overlap matrix — the mixture audit a multi-source
+    * training pipeline publishes next to its data card: for every pair
+    * of sources sharing at least one distinct word n-gram, the shared
+    * distinct-gram count and the gram-set jaccard. Catches one source
+    * silently mirroring another (a crawl snapshot re-labeled, a
+    * benchmark leaked into two feeds) before the mixture weights are
+    * trusted.
+    *
+    * Shape at 100 TB: distinct (source, gram) rows — ONE gram-keyed
+    * exchange — then collect_set(source) per gram (bounded by
+    * |sources|, a dim not a fact) and a ROW-LOCAL ordered-pair explode;
+    * the final aggregate moves ≤ |sources|² rows. The oracle's
+    * self-join formulation (gram ⋈ gram) is exactly what this shape
+    * avoids: no second pass over the corpus, no gram×gram blow-up.
+    * `hashGrams` narrows the exchange to 8-byte keys as elsewhere. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int, hashGrams: Boolean = false): DataFrame = {
+    val sg = gramRows(docs, sourceCol, textCol, n, hashGrams)
+      .select(col(sourceCol), col("__g")).distinct()
+    val perSource = sg.groupBy(sourceCol)
+      .agg(count(lit(1)).cast("long").as("__n"))
+    val pairs = sg.groupBy("__g")
+      .agg(collect_set(col(sourceCol)).as("__ss"))
+      .select(explode(col("__ss")).as("source_a"), col("__ss"))
+      .select(col("source_a"), explode(col("__ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("long").as("n_shared_grams"))
+    pairs
+      .join(perSource.select(col(sourceCol).as("source_a"),
+        col("__n").as("__na")), "source_a")
+      .join(perSource.select(col(sourceCol).as("source_b"),
+        col("__n").as("__nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_grams"),
+        round(col("n_shared_grams").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared_grams")), 4)
+          .as("jaccard"))
+  }
+
   // ── Duplicate-SPAN dedup (substring level) ─────────────────────────
 
   /** Positioned (NON-distinct) n-gram rows `(idCol, __pos, __g)` —
