@@ -141,6 +141,29 @@ class StreamingDupSpansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("frozen"))
   }
 
+  test("attach() drives a real stream to one-shot equality") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).take(300).toSeq
+    val statePath = Files.createTempDirectory("graft-dspan-s").toString
+
+    implicit val sq = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = IncrementalDupSpans.attach(
+      stream.toDS().toDF("doc_id", "text"), "doc_id", "text", statePath,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    docs.grouped(math.max(1, docs.length / 2)).foreach { b =>
+      stream.addData(b.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streaming = rowsOf(IncrementalDupSpans.stats(spark, statePath).get)
+    val oneShot = rowsOf(Dedup.dupSpanStats(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 5))
+    assert(streaming == oneShot)
+  }
+
   test("hashGrams state form equals the string form") {
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"), col("text")).limit(200)
