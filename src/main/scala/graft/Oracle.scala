@@ -1281,6 +1281,44 @@ SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
          AS dup_fraction
 FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
 
+    "d20_longest_dup_span" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) - 3)) - 1 AS pos,
+         unnest(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4])) AS g
+  FROM t WHERE len(toks) >= 5),
+m AS (
+  SELECT doc_id, pos,
+         MIN(doc_id) OVER (PARTITION BY g)
+           <> MAX(doc_id) OVER (PARTITION BY g) AS dup
+  FROM g),
+s AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + 5) OVER (PARTITION BY doc_id
+           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           -1) THEN 1 ELSE 0 END AS nw
+  FROM m WHERE dup),
+seg AS (
+  SELECT doc_id, pos,
+         SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+  FROM s),
+b AS (
+  SELECT doc_id, sg, MAX(pos) + 5 - MIN(pos) AS len
+  FROM seg GROUP BY doc_id, sg),
+a AS (
+  SELECT doc_id, COUNT(*) AS nb, MAX(len) AS longest
+  FROM b GROUP BY doc_id)
+SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.nb, 0) AS BIGINT) AS n_dup_blocks,
+       CAST(COALESCE(a.longest, 0) AS BIGINT) AS longest_dup_span
+FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
+
     "d19_strip_dup_spans" -> ("""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks

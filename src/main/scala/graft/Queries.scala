@@ -2554,6 +2554,14 @@ object Queries {
       Dedup.dupSpanStatsFrom(documents(s, d), dupSpanOccurrences(s, d),
         "doc_id", "text", 5).orderBy("doc_id")),
 
+    // Maximal duplicated-block segmentation over the same shared
+    // occurrence set: block count + LONGEST block per doc — the
+    // "one giant mirrored block vs scattered phrases" removal signal
+    // the coverage fraction can't express.
+    "d20_longest_dup_span" -> ((s, d) =>
+      Dedup.longestDupSpanFrom(documents(s, d), dupSpanOccurrences(s, d),
+        "doc_id", "text", 5).orderBy("doc_id")),
+
     // ...and the transformation those stats gate: every cross-doc
     // duplicated span REMOVED, surviving token order preserved —
     // the actual dedup step a training pipeline runs before export.

@@ -1178,6 +1178,49 @@ object Dedup {
           col("n_tokens"), 4).as("dup_fraction"))
   }
 
+  /** Maximal duplicated-BLOCK segmentation — the third view over the
+    * duplicated occurrences: merge each doc's duplicated [pos, pos+n)
+    * spans into maximal contiguous blocks and report the block count
+    * and the LONGEST block (in tokens). The filter signal
+    * [[dupSpanStats]]' fraction can't express: a doc that is 20%
+    * covered by one 200-token mirrored block is a removal candidate; a
+    * doc 20% covered by scattered 5-token phrases is not.
+    *
+    * Same exchanges as the stats form (gram mark + per-doc ordered
+    * pass); the segmentation is two more windows over only the
+    * duplicated rows: a new block starts where pos > running max end,
+    * block id = running sum of starts, then one aggregate. */
+  def longestDupSpan(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, hashGrams: Boolean = false): DataFrame =
+    longestDupSpanFrom(docs,
+      dupSpanRows(docs, idCol, textCol, n, hashGrams), idCol, textCol, n)
+
+  /** [[longestDupSpan]] over a precomputed duplicated-occurrence set —
+    * see [[dupSpanStatsFrom]]. */
+  def longestDupSpanFrom(docs: DataFrame, dup: DataFrame, idCol: String,
+                         textCol: String, n: Int): DataFrame = {
+    val prev = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.partitionBy(idCol).orderBy("__pos")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val segmented = dup
+      .withColumn("__new",
+        when(col("__pos") > coalesce(max(col("__pos") + n).over(prev),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__seg", sum("__new").over(upTo))
+    val blocks = segmented.groupBy(col(idCol), col("__seg"))
+      .agg((max(col("__pos")) + n - min(col("__pos"))).as("__len"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_dup_blocks"),
+           max("__len").cast("long").as("longest_dup_span"))
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(blocks, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"))
+  }
+
   /** The removal transformation [[dupSpanStats]] measures for: rebuild
     * every document with each cross-doc duplicated span dropped
     * (tokens whose position falls inside any duplicated gram's

@@ -66,6 +66,24 @@ class DupSpanSpec extends AnyFunSuite {
     } finally real.unpersist()
   }
 
+  test("longestDupSpan: block merge, count, and zero rows") {
+    val got = Dedup.longestDupSpan(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === Seq(
+      Row(1L, 8L, 1L, 7L),   // one merged block of 7 tokens
+      Row(2L, 10L, 1L, 7L),
+      Row(3L, 10L, 0L, 0L),
+      Row(4L, 3L, 0L, 0L)))
+    // two docs sharing two DISJOINT 5-grams → two blocks, longest 5
+    import spark.implicits._
+    val two = Seq(
+      (1L, "a b c d e z z z p q r s t"),
+      (2L, "a b c d e y y y p q r s t")).toDF("doc_id", "text")
+    val g2 = Dedup.longestDupSpan(two, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(g2 === Seq(Row(1L, 13L, 2L, 5L), Row(2L, 13L, 2L, 5L)))
+  }
+
   test("random corpus ≡ plain-Scala brute force (seeded)") {
     // An independent reimplementation: naive position marking, no
     // windows, no intervals — if the running-max union or the
@@ -100,6 +118,27 @@ class DupSpanSpec extends AnyFunSuite {
         r.getDouble(4))).toSeq
     assert(got === expected)
     assert(expected.exists(_._3 > 0), "vacuous: no dup spans generated")
+
+    // d20 against the same brute force: maximal blocks == maximal runs
+    // of consecutive covered positions
+    val expBlocks = toks.map { case (id, ts) =>
+      val covered = gramsOf(id)
+        .filter { case (g, _) => docsByGram(g) >= 2 }
+        .flatMap { case (_, p) => p until (p + n) }.toSet
+      val runs = (0 until ts.size).foldLeft(List.empty[Int]) { (acc, p) =>
+        if (!covered(p)) acc
+        else if (covered.contains(p - 1)) (acc.head + 1) :: acc.tail
+        else 1 :: acc
+      }
+      (id, ts.size.toLong, runs.size.toLong,
+        if (runs.isEmpty) 0L else runs.max.toLong)
+    }.toSeq.sortBy(_._1)
+    val gotBlocks = Dedup.longestDupSpan(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(gotBlocks === expBlocks)
   }
 
   test("stats and strip agree: n_removed == covered_tokens per doc") {
