@@ -1781,6 +1781,26 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 ORDER BY region, nation"""),
 
+    "q71_yoy_spend_diff" -> ("""
+WITH a AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS ca,
+         COUNT(*) AS na
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+  GROUP BY o_custkey),
+b AS (
+  SELECT o_custkey, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cb,
+         COUNT(*) AS nb
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+  GROUP BY o_custkey)
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       COALESCE(ca, 0) / 100.0 AS spend_1997,
+       COALESCE(cb, 0) / 100.0 AS spend_1998,
+       (COALESCE(cb, 0) - COALESCE(ca, 0)) / 100.0 AS delta,
+       CAST(COALESCE(na, 0) AS BIGINT) AS n_orders_1997,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_orders_1998
+FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+ORDER BY custkey"""),
+
     "q69_nation_profit" -> ("""
 SELECT n_name AS nation,
        EXTRACT(YEAR FROM o_orderdate) AS o_year,

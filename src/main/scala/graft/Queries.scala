@@ -1779,6 +1779,37 @@ object Queries {
     // hops, and ONE big-big key join (orders); profit stays in
     // integer 1e-4-dollar units (cents × percent minus cents × qty ×
     // 100) until one final division — order-insensitive, AQE-stable.
+    // FULL OUTER reconciliation: per-customer spend 1997 vs 1998,
+    // keeping customers active in EITHER year with zero-fill — the
+    // cross-period (or cross-system) diff report. Exercises the one
+    // join type the catalog lacked; Spark coalesces the USING key
+    // across sides. (Same-source reconciliation at 100 TB would be a
+    // one-pass conditional aggregate; the full-outer shape is the
+    // cross-SYSTEM case where the two sides are different tables —
+    // both aggregates here shrink to |customers| before the join, so
+    // the outer join never sees fact-sized inputs.)
+    "q71_yoy_spend_diff" -> ((s, d) => {
+      val o = TestData.table(s, d, "orders")
+      def yearly(y: Int) = o
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("c"),
+             count(lit(1)).as("n"))
+      val a = yearly(1997).select(col("o_custkey"),
+        col("c").as("ca"), col("n").as("na"))
+      val b = yearly(1998).select(col("o_custkey"),
+        col("c").as("cb"), col("n").as("nb"))
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey").as("custkey"),
+          (coalesce(col("ca"), lit(0L)) / 100.0).as("spend_1997"),
+          (coalesce(col("cb"), lit(0L)) / 100.0).as("spend_1998"),
+          ((coalesce(col("cb"), lit(0L)) - coalesce(col("ca"), lit(0L)))
+            / 100.0).as("delta"),
+          coalesce(col("na"), lit(0L)).as("n_orders_1997"),
+          coalesce(col("nb"), lit(0L)).as("n_orders_1998"))
+        .orderBy("custkey")
+    }),
+
     "q69_nation_profit" -> ((s, d) => {
       val li = TestData.table(s, d, "lineitem")
       val o  = TestData.table(s, d, "orders")
