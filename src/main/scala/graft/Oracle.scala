@@ -1220,6 +1220,28 @@ SELECT g.doc_id, COUNT(*) AS n_grams,
              / COUNT(*), 4) AS dup_gram_ratio
 FROM g JOIN c USING (g) GROUP BY g.doc_id ORDER BY g.doc_id"""),
 
+    "t22_bm25_topk" -> ("""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ('hash', 'join', 'sort', 'merge')
+  GROUP BY doc_id, term),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         LN(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS sc
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+SELECT doc_id, ROUND(SUM(sc), 4) AS bm25,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
+
     "t21_source_overlap" -> ("""
 WITH t AS (
   SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks

@@ -2564,6 +2564,15 @@ object Queries {
       Dedup.crossDocGramStats(documents(s, d), "doc_id", "text", 5)
         .orderBy("doc_id")),
 
+    // BM25 top-k retrieval (Okapi, Lucene idf): the 20 docs scoring
+    // highest against a 4-term query — the lexical-retrieval baseline
+    // and the "pull candidates before a contamination audit" step.
+    // Scan-local term filter, two broadcast-able side aggregates,
+    // TakeOrderedAndProject top-k.
+    "t22_bm25_topk" -> ((s, d) =>
+      graft.text.Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
+        Seq("hash", "join", "sort", "merge"), 20)),
+
     // Cross-source overlap matrix: shared distinct 5-grams + gram-set
     // jaccard for every source pair — one gram-keyed exchange,
     // collect_set(source) bounded by |sources|, row-local pair
