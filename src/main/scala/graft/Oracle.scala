@@ -1272,7 +1272,10 @@ ORDER BY p.source_a, p.source_b"""),
     // the Spark form exactly).
     "d18_dup_span_stats" -> ("""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+           '\s+') AS toks
   FROM documents),
 g AS (
   SELECT doc_id,
@@ -1305,7 +1308,10 @@ FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
 
     "d20_longest_dup_span" -> ("""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+           '\s+') AS toks
   FROM documents),
 g AS (
   SELECT doc_id,
@@ -1343,7 +1349,10 @@ FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
 
     "d19_strip_dup_spans" -> ("""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(lower(text), '^\s+|\s+$', '', 'g'),
+           '\s+') AS toks
   FROM documents),
 g AS (
   SELECT doc_id,

@@ -1772,13 +1772,6 @@ object Queries {
         .orderBy("region", "nation")
     }),
 
-    // Product-line profit by nation and order year (TPC-H Q9 flavor,
-    // adapted: this schema has no partsupp, so supply cost is the
-    // part's retail price × quantity). lineitem streams through the
-    // broadcast name-filtered part hop, supplier/nation broadcast
-    // hops, and ONE big-big key join (orders); profit stays in
-    // integer 1e-4-dollar units (cents × percent minus cents × qty ×
-    // 100) until one final division — order-insensitive, AQE-stable.
     // FULL OUTER reconciliation: per-customer spend 1997 vs 1998,
     // keeping customers active in EITHER year with zero-fill — the
     // cross-period (or cross-system) diff report. Exercises the one
@@ -1810,6 +1803,13 @@ object Queries {
         .orderBy("custkey")
     }),
 
+    // Product-line profit by nation and order year (TPC-H Q9 flavor,
+    // adapted: this schema has no partsupp, so supply cost is the
+    // part's retail price × quantity). lineitem streams through the
+    // broadcast name-filtered part hop, supplier/nation broadcast
+    // hops, and ONE big-big key join (orders); profit stays in
+    // integer 1e-4-dollar units (cents × percent minus cents × qty ×
+    // 100) until one final division — order-insensitive, AQE-stable.
     "q69_nation_profit" -> ((s, d) => {
       val li = TestData.table(s, d, "lineitem")
       val o  = TestData.table(s, d, "orders")

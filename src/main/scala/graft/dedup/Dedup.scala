@@ -1073,11 +1073,23 @@ object Dedup {
 
   // ── Duplicate-SPAN dedup (substring level) ─────────────────────────
 
+  /** The span family's tokenizer: strips BOTH leading and trailing
+    * whitespace (of every kind) before splitting, so the token list
+    * never carries phantom empty tokens and its indices align exactly
+    * with the positions the gram regex emits. `TextFunctions.tokens`
+    * (plain `split(lower(trim(..)))`) keeps a phantom "" token when
+    * text leads with a tab/newline — Spark `trim` strips spaces only —
+    * which would shift every position by one and make the strip drop
+    * the wrong tokens. */
+  private[graft] def spanTokens(text: Column): Column =
+    split(regexp_replace(lower(text), "^\\s+|\\s+$", ""), "\\s+")
+
   /** Positioned (NON-distinct) n-gram rows `(idCol, __pos, __g)` —
-    * `__pos` is the 0-based token index where the gram starts. Unlike
-    * [[gramRows]] every occurrence is kept: span coverage needs the
-    * position of each repeat, and a doc may legitimately contain the
-    * same duplicated gram at several places. */
+    * `__pos` is the 0-based token index where the gram starts, an
+    * index into [[spanTokens]]. Unlike [[gramRows]] every occurrence
+    * is kept: span coverage needs the position of each repeat, and a
+    * doc may legitimately contain the same duplicated gram at several
+    * places. */
   private[graft] def positionedGramRows(docs: DataFrame, idCol: String,
                                         textCol: String, n: Int,
                                         hashGrams: Boolean): DataFrame = {
@@ -1087,7 +1099,7 @@ object Dedup {
     // the gram at token position i — posexplode yields (pos, gram)
     // with no per-position array slicing (measured ~2× cheaper than
     // the transform+slice formulation on the explode-bound build).
-    val toks = TextFunctions.tokens(col(textCol))
+    val toks = spanTokens(col(textCol))
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     val pat = "(?:^|(?<= ))(?=((?:\\S+ ){" + (n - 1) + "}\\S+))"
     val raw = docs.filter(size(toks) >= n)
@@ -1153,7 +1165,7 @@ object Dedup {
                        textCol: String, n: Int): DataFrame =
     dupSpanAgg(dup,
       docs.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+        size(spanTokens(col(textCol))).cast("long").as("n_tokens")),
       idCol, n)
 
   /** The per-doc span aggregate over duplicated occurrences
@@ -1221,7 +1233,7 @@ object Dedup {
       .agg(count(lit(1)).cast("long").as("n_dup_blocks"),
            max("__len").cast("long").as("longest_dup_span"))
     docs.select(col(idCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        size(spanTokens(col(textCol))).cast("long").as("n_tokens"))
       .join(blocks, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_dup_blocks"), lit(0L)).as("n_dup_blocks"),
@@ -1253,7 +1265,7 @@ object Dedup {
         explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__p"))
       .groupBy(idCol)
       .agg(collect_set(col("__p")).as("__cov"))
-    val toks = TextFunctions.tokens(col(textCol))
+    val toks = spanTokens(col(textCol))
     docs.join(covered, Seq(idCol), "left")
       .withColumn("__keep",
         filter(toks, (_, i) =>

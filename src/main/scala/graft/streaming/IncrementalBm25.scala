@@ -42,24 +42,12 @@ object IncrementalBm25 {
   private def postingsPath(statePath: String) = s"$statePath/postings"
   private def doclenPath(statePath: String) = s"$statePath/doclen"
 
+  private def repr(p: Params): String =
+    s"termBuckets=${p.termBuckets};docParts=${p.docParts}"
+
   private def checkParams(spark: SparkSession, statePath: String,
-                          p: Params): Unit = {
-    val f = IndexDirs.fs(spark, statePath)
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    val repr = s"termBuckets=${p.termBuckets};docParts=${p.docParts}"
-    if (f.exists(path)) {
-      val in = f.open(path)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(stored == repr,
-        s"state at $statePath was built with [$stored]; this call uses " +
-          s"[$repr] — params are frozen per state dir")
-    } else {
-      val out = f.create(path, true)
-      try out.write(repr.getBytes("UTF-8")) finally out.close()
-    }
-  }
+                          p: Params): Unit =
+    IndexDirs.checkParams(spark, statePath, repr(p))
 
   private def scalarsTable(spark: SparkSession,
                            statePath: String): PartitionedReplicatedTable =
@@ -95,6 +83,25 @@ object IncrementalBm25 {
       .agg(count(lit(1)).cast("long").as("tf"))
       .withColumn("tb", tbOf(col("term"), params))
       .localCheckpoint(true)
+
+    // Orphaned-state guard (the IncrementalDupSpans discipline): in
+    // the pre-snapshot window — postings/doclen landed for some batch
+    // but the scalar table never committed — the ONLY safe input is a
+    // replay of that batch. Fresh docs instead would leave the orphan
+    // docs permanently outside doclen/scalars (inflating every shared
+    // term's df while never being scorable); fail loudly. The check
+    // scans the stores, which at this point hold at most the one
+    // interrupted batch.
+    if (!scalarsTable(spark, statePath).isSnapshotDone) {
+      val batchIds = lens.select("doc_id")
+      def clean(store: Option[DataFrame]): Boolean = store.forall(
+        _.select("doc_id").distinct()
+          .join(batchIds, Seq("doc_id"), "left_anti").isEmpty)
+      require(clean(postings(spark, statePath)) &&
+          clean(docLengths(spark, statePath)),
+        s"stores at $statePath hold docs with no committed scalars — " +
+          "replay the interrupted batch before feeding new data")
+    }
 
     // postings append, replay-idempotent: probe ONLY the batch terms'
     // buckets for rows of the batch's own docs
@@ -149,7 +156,9 @@ object IncrementalBm25 {
   def bm25TopK(spark: SparkSession, statePath: String, terms: Seq[String],
                k: Int, k1: Double = 1.2, b: Double = 0.75,
                params: Params = Params()): Option[DataFrame] = {
-    checkParams(spark, statePath, params)
+    // read-only check: a query must never create (and freeze) the
+    // sidecar under a not-yet-ingested state dir
+    IndexDirs.requireParams(spark, statePath, repr(params))
     val sc = scalarsTable(spark, statePath)
     if (!sc.isSnapshotDone) return None
     val scal = sc.current()

@@ -65,24 +65,10 @@ object IncrementalCrossDocGrams {
     * first batch writes a sidecar; every later call must match it —
     * corruption becomes a loud require instead. */
   private def checkParams(spark: SparkSession, statePath: String,
-                          p: Params): Unit = {
-    val f = IndexDirs.fs(spark, statePath)
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    val repr = s"n=${p.n};gramBuckets=${p.gramBuckets};" +
-      s"resultParts=${p.resultParts};hashGrams=${p.hashGrams}"
-    if (f.exists(path)) {
-      val in = f.open(path)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(stored == repr,
-        s"state at $statePath was built with [$stored]; this call uses " +
-          s"[$repr] — params are frozen per state dir")
-    } else {
-      val out = f.create(path, true)
-      try out.write(repr.getBytes("UTF-8")) finally out.close()
-    }
-  }
+                          p: Params): Unit =
+    IndexDirs.checkParams(spark, statePath,
+      s"n=${p.n};gramBuckets=${p.gramBuckets};" +
+        s"resultParts=${p.resultParts};hashGrams=${p.hashGrams}")
 
   private def resultsTable(spark: SparkSession,
                            statePath: String): PartitionedReplicatedTable =

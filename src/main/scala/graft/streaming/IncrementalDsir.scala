@@ -76,32 +76,14 @@ object IncrementalDsir {
     * OOV; a drifted model() would featurize raw strings against
     * hashed keys). */
   private def requireParams(spark: SparkSession, statePath: String,
-                            p: Params): Unit = {
-    val f = IndexDirs.fs(spark, statePath)
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    if (f.exists(path)) {
-      val in = f.open(path)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(stored == repr(p),
-        s"state at $statePath was built with [$stored]; this call uses " +
-          s"[${repr(p)}] — params are frozen per state dir")
-    }
-  }
+                            p: Params): Unit =
+    IndexDirs.requireParams(spark, statePath, repr(p))
 
   /** [[requireParams]] plus write-once: the first writer freezes the
     * sidecar. */
   private def checkParams(spark: SparkSession, statePath: String,
-                          p: Params): Unit = {
-    requireParams(spark, statePath, p)
-    val f = IndexDirs.fs(spark, statePath)
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    if (!f.exists(path)) {
-      val out = f.create(path, true)
-      try out.write(repr(p).getBytes("UTF-8")) finally out.close()
-    }
-  }
+                          p: Params): Unit =
+    IndexDirs.checkParams(spark, statePath, repr(p))
 
   private def fbOf(f: Column, p: Params): Column =
     pmod(xxhash64(f), lit(p.featBuckets.toLong)).cast("int")

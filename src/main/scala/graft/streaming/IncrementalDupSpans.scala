@@ -56,24 +56,10 @@ object IncrementalDupSpans {
     * assignments, gram encoding and the span width are all pure
     * functions of them) — sidecar-pinned, loud mismatch. */
   private def checkParams(spark: SparkSession, statePath: String,
-                          p: Params): Unit = {
-    val f = IndexDirs.fs(spark, statePath)
-    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
-    val repr = s"n=${p.n};gramBuckets=${p.gramBuckets};" +
-      s"resultParts=${p.resultParts};hashGrams=${p.hashGrams}"
-    if (f.exists(path)) {
-      val in = f.open(path)
-      val stored =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(stored == repr,
-        s"state at $statePath was built with [$stored]; this call uses " +
-          s"[$repr] — params are frozen per state dir")
-    } else {
-      val out = f.create(path, true)
-      try out.write(repr.getBytes("UTF-8")) finally out.close()
-    }
-  }
+                          p: Params): Unit =
+    IndexDirs.checkParams(spark, statePath,
+      s"n=${p.n};gramBuckets=${p.gramBuckets};" +
+        s"resultParts=${p.resultParts};hashGrams=${p.hashGrams}")
 
   private def resultsTable(spark: SparkSession,
                            statePath: String): PartitionedReplicatedTable =
@@ -103,7 +89,7 @@ object IncrementalDupSpans {
       .select(col(idCol).as("doc_id"), col("__pos"), col("__g"))
       .localCheckpoint(true)
     val batchUniverse = newDocs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        size(Dedup.spanTokens(col(textCol))).cast("long").as("n_tokens"))
       .localCheckpoint(true)
     val g = posG.select("doc_id", "__g").distinct()
       .withColumn("gb",

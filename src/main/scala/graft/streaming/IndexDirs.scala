@@ -136,4 +136,40 @@ private[graft] object IndexDirs {
     versionDirs(spark, path).filterNot(d => live.contains(d._1))
       .foreach { case (_, p) => f.delete(p, true) }
   }
+
+  /** Verify the caller's serialized params against the frozen
+    * `_params` sidecar if one exists — the READ-ONLY check every
+    * maintainer's query/score path uses. Stored layouts (bucket
+    * functions, key encodings, widths) are pure functions of the
+    * params, so a drifted caller would silently miss stored rows;
+    * this turns drift into a loud require. */
+  def requireParams(spark: SparkSession, statePath: String,
+                    repr: String): Unit = {
+    val f = fs(spark, statePath)
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
+    if (f.exists(path)) {
+      val in = f.open(path)
+      val stored =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(stored == repr,
+        s"state at $statePath was built with [$stored]; this call uses " +
+          s"[$repr] — params are frozen per state dir")
+    }
+  }
+
+  /** [[requireParams]] plus write-once: the first WRITER freezes the
+    * sidecar. Read paths must use [[requireParams]] — a query against
+    * a not-yet-ingested state dir must never create (and thereby
+    * freeze) the sidecar out from under the eventual writer. */
+  def checkParams(spark: SparkSession, statePath: String,
+                  repr: String): Unit = {
+    requireParams(spark, statePath, repr)
+    val f = fs(spark, statePath)
+    val path = new org.apache.hadoop.fs.Path(s"$statePath/_params")
+    if (!f.exists(path)) {
+      val out = f.create(path, true)
+      try out.write(repr.getBytes("UTF-8")) finally out.close()
+    }
+  }
 }

@@ -28,13 +28,17 @@ object DupSpanIngestBench {
 
     val statePath = java.nio.file.Files
       .createTempDirectory("graft-dspan-bench").toString
-    // Heaps-style growing vocabulary; every 10th doc twins doc id-5
-    // (an already-ingested doc once id > 5) in its leading window.
+    // Heaps-style growing vocabulary; every 10th doc twins the doc one
+    // FULL BATCH earlier (id - batchSize), so each fold genuinely
+    // revises ~batchSize/10 STORED rows — the expensive
+    // old-row-revision path, not just the append path (an in-batch
+    // twin would be marked duplicated within the same fold and never
+    // exercise the stored-row revision).
     def text(id: Long): String = {
       val base = s"w${id}a w${id}b w${id}c w${id}d w${id}e w${id}f " +
         s"c${id % 97} c${id % 31}"
-      if (id % 10 == 0 && id >= 10) {
-        val t = id - 5
+      if (id % 10 == 0 && id >= batchSize) {
+        val t = id - batchSize + 1 // base-form doc (t % 10 == 1)
         s"w${t}a w${t}b w${t}c w${t}d w${t}e tail${id}"
       } else base
     }

@@ -66,6 +66,24 @@ class DupSpanSpec extends AnyFunSuite {
     } finally real.unpersist()
   }
 
+  test("leading tab/newline: positions still align with the stripped tokens") {
+    import spark.implicits._
+    // Spark trim() strips spaces only — a raw split would carry a
+    // phantom "" token at index 0 and shift every position; the span
+    // family's cleaned tokenizer must stay aligned.
+    val ws = Seq(
+      (1L, "\n\ta b c d e f g h"),
+      (2L, "x a b c d e f g z w \t")).toDF("doc_id", "text")
+    val stats = Dedup.dupSpanStats(ws, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(stats === Seq(
+      Row(1L, 8L, 3L, 7L, 0.875), Row(2L, 10L, 3L, 7L, 0.7)))
+    val strip = Dedup.stripDupSpans(ws, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(strip === Seq(
+      Row(1L, "h", 1L, 7L), Row(2L, "x z w", 3L, 7L)))
+  }
+
   test("longestDupSpan: block merge, count, and zero rows") {
     val got = Dedup.longestDupSpan(docs, "doc_id", "text", 5)
       .orderBy("doc_id").collect().toSeq

@@ -127,6 +127,41 @@ class StreamingBm25Spec extends AnyFunSuite {
     assert(e.getMessage.contains("frozen"))
   }
 
+  test("query on an empty state dir is read-only: no sidecar poisoning") {
+    val statePath = Files.createTempDirectory("graft-bm25e").toString
+    // a probing query with NON-default params must not freeze them
+    assert(IncrementalBm25.bm25TopK(spark, statePath, terms, 5,
+      params = Params(termBuckets = 128)).isEmpty)
+    // the eventual writer's defaults still win
+    IncrementalBm25.processBatch(
+      Seq((1L, "hash join sort")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath)
+    assert(IncrementalBm25.bm25TopK(spark, statePath, terms, 5)
+      .get.count() == 1)
+  }
+
+  test("fresh docs into an orphaned pre-scalar state fail loudly") {
+    val statePath = Files.createTempDirectory("graft-bm25o").toString
+    IncrementalBm25.processBatch(
+      Seq((1L, "hash join sort")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath)
+    // simulate the crash: postings/doclen landed, scalars never did
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$statePath/scalars"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalBm25.processBatch(
+        Seq((2L, "merge only fresh doc")).toDF("doc_id", "text"),
+        "doc_id", "text", statePath)
+    }
+    assert(e.getMessage.contains("replay the interrupted batch"))
+    // the replay itself is accepted and converges
+    IncrementalBm25.processBatch(
+      Seq((1L, "hash join sort")).toDF("doc_id", "text"),
+      "doc_id", "text", statePath)
+    assert(IncrementalBm25.bm25TopK(spark, statePath, terms, 5)
+      .get.count() == 1)
+  }
+
   test("attach() drives a real stream to one-shot equality") {
     val docs = TestData.table(spark, sf, "documents")
       .select("doc_id", "text")
