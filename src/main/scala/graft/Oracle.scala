@@ -2306,8 +2306,8 @@ s AS (
   FROM m JOIN q USING (doc_id)),
 r AS (
   SELECT source, label, pred, mi,
-         RANK() OVER (PARTITION BY source ORDER BY mi)
-           + (COUNT(*) OVER (PARTITION BY source, mi) - 1) / 2.0 AS r_avg
+         2 * RANK() OVER (PARTITION BY source ORDER BY mi)
+           + COUNT(*) OVER (PARTITION BY source, mi) - 1 AS r2
   FROM s),
 a AS (
   SELECT source, COUNT(*) AS n_docs,
@@ -2316,19 +2316,25 @@ a AS (
          SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
          SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
          SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
-         SUM(CASE WHEN label THEN r_avg END) AS rp
+         SUM(CASE WHEN label THEN r2 END) AS rp2
   FROM r GROUP BY source)
 SELECT source, n_docs, n_pos,
-       ROUND(CAST(n_correct AS DOUBLE) / n_docs, 4) AS accuracy,
-       ROUND(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 4)
-         AS prec,
-       ROUND(CASE WHEN n_pos > 0 THEN CAST(tp AS DOUBLE) / n_pos END, 4)
-         AS recall,
-       ROUND(CASE WHEN 2*tp + fp + fn > 0
-             THEN 2.0 * tp / (2*tp + fp + fn) END, 4) AS f1,
-       ROUND(CASE WHEN n_pos > 0 AND n_pos < n_docs
-             THEN (rp - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
-                  / (CAST(n_pos AS DOUBLE) * (n_docs - n_pos)) END, 4) AS auc
+       ((20000 * n_correct + n_docs) // (2 * n_docs)) / 10000.0 AS accuracy,
+       CASE WHEN tp + fp > 0
+            THEN ((20000 * tp + tp + fp) // (2 * (tp + fp))) / 10000.0
+       END AS prec,
+       CASE WHEN n_pos > 0
+            THEN ((20000 * tp + n_pos) // (2 * n_pos)) / 10000.0
+       END AS recall,
+       CASE WHEN 2*tp + fp + fn > 0
+            THEN ((20000 * 2 * tp + (2*tp + fp + fn))
+                  // (2 * (2*tp + fp + fn))) / 10000.0
+       END AS f1,
+       CASE WHEN n_pos > 0 AND n_pos < n_docs
+            THEN ((20000 * (rp2 - n_pos * (n_pos + 1))
+                   + 2 * n_pos * (n_docs - n_pos))
+                  // (4 * n_pos * (n_docs - n_pos))) / 10000.0
+       END AS auc
 FROM a ORDER BY source"""
     },
 

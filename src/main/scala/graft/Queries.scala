@@ -2328,12 +2328,15 @@ object Queries {
     // gate (the distillation target t17's weights were trained on),
     // plus ROC AUC via the rank-sum (Mann–Whitney U) identity with
     // average ranks for score ties. Everything reduces to integer
-    // sums and exact half-integer rank sums before ONE final rounding
-    // per metric, so both engines agree bit-for-bit; undefined
-    // metrics (no predicted/actual positives, single-class source)
-    // stay NULL rather than fabricating 0s. One doc-keyed join of the
-    // margin aggregate to the scan-local labels, one source-keyed
-    // exchange for the rank windows, one |sources|-row aggregate.
+    // sums (rank sums kept on a ×2 BIGINT half-integer grid), and
+    // each final metric is exact integer half-up rounding on the 1e4
+    // grid — floor((2·10⁴·num + den)/(2·den))/1e4 — so both engines
+    // agree bit-for-bit with no double `round` at a .5 boundary;
+    // undefined metrics (no predicted/actual positives, single-class
+    // source) stay NULL rather than fabricating 0s. One doc-keyed
+    // join of the margin aggregate to the scan-local labels, one
+    // source-keyed exchange for the rank windows, one |sources|-row
+    // aggregate.
     "t19_classifier_eval" -> ((s, d) => {
       val docs = documents(s, d)
       val m = TextClassifier.marginMicro(docs, "doc_id", "text")
@@ -2343,8 +2346,13 @@ object Queries {
         .withColumn("pred", col("score_micro") > 0)
       val byScore = Window.partitionBy("source").orderBy("score_micro")
       val ties = Window.partitionBy("source", "score_micro")
-      val ranked = scored.withColumn("r_avg",
-        rank().over(byScore) + (count(lit(1)).over(ties) - lit(1)) / lit(2.0))
+      // r2 = 2·(average tie rank) — an exact BIGINT: 2·rank + ties − 1.
+      val ranked = scored.withColumn("r2",
+        rank().over(byScore).cast("long") * lit(2L) +
+          count(lit(1)).over(ties) - lit(1L))
+      // Exact half-up num/den → 1e4 grid; `div` keeps it in BIGINT.
+      def grid4(num: String, den: String): Column =
+        expr(s"(20000 * ($num) + ($den)) div (2 * ($den))") / lit(10000.0)
       ranked.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
@@ -2353,23 +2361,19 @@ object Queries {
           sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
           sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
           sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
-          sum(when(col("label"), col("r_avg"))).as("rp"))
+          sum(when(col("label"), col("r2"))).as("rp2"))
         .select(col("source"), col("n_docs"), col("n_pos"),
-          round(col("n_correct").cast("double") / col("n_docs"), 4)
-            .as("accuracy"),
-          round(when(col("tp") + col("fp") > 0,
-            col("tp").cast("double") / (col("tp") + col("fp"))), 4)
-            .as("prec"),
-          round(when(col("n_pos") > 0,
-            col("tp").cast("double") / col("n_pos")), 4).as("recall"),
-          round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-            lit(2.0) * col("tp") /
-              (lit(2) * col("tp") + col("fp") + col("fn"))), 4).as("f1"),
-          round(when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
-            (col("rp") - col("n_pos").cast("double") *
-              (col("n_pos") + 1) / 2.0) /
-            (col("n_pos").cast("double") * (col("n_docs") - col("n_pos")))),
-            4).as("auc"))
+          grid4("n_correct", "n_docs").as("accuracy"),
+          when(col("tp") + col("fp") > 0,
+            grid4("tp", "tp + fp")).as("prec"),
+          when(col("n_pos") > 0, grid4("tp", "n_pos")).as("recall"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            grid4("2 * tp", "2 * tp + fp + fn")).as("f1"),
+          // U = rp − n_pos(n_pos+1)/2 on the ×2 grid: 2U = rp2 − n_pos(n_pos+1);
+          // AUC = 2U / (2·n_pos·(n_docs−n_pos)).
+          when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
+            grid4("rp2 - n_pos * (n_pos + 1)",
+                  "2 * n_pos * (n_docs - n_pos)")).as("auc"))
         .orderBy("source")
     }),
 
