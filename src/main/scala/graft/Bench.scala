@@ -102,6 +102,27 @@ object Bench {
       case (k, ts) if !ExactBaselines(k) => ts(ts.length / 2)._2
     }.sum
 
+    // The FULL per-query record as JSON — wall (median/min/max) AND
+    // executor-CPU per query — written to the repo so per-query CPU
+    // survives in machine-readable form. The stdout line keeps its
+    // r9 schema/size: the driver's tail capture is bounded and a
+    // parse failure there would lose the round's headline, so the
+    // sidecar carries what the bounded line cannot.
+    try {
+      val qj = timings.map { case (k, ts) =>
+        val m = ts(ts.length / 2)
+        f""""$k":{"wall":${m._1}%.3f,"cpu":${m._2}%.3f,""" +
+          f""""min":${ts.head._1}%.3f,"max":${ts.last._1}%.3f}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+          f""""cpu_total":$cpuTotal%.3f,""" +
+          f""""exact_baselines_total":$baseTotal%.3f,""" +
+          f""""repeats":$repeats,"sf":"$sfDir","queries":$qj}""" + "\n")
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
     // Full precision + spread + CPU for humans / BENCH_NOTES (never
     // parsed by the driver). Baseline rows are tagged.
     try {

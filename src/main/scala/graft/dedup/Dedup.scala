@@ -621,11 +621,36 @@ object Dedup {
     * join runs on xxhash64 longs instead of gram strings (≈5-10×
     * narrower shuffle; collision-exact for practical purposes —
     * spec-asserted equal on real data). The catalog query keeps raw
-    * strings so the DuckDB oracle mirrors it exactly. */
+    * strings so the DuckDB oracle mirrors it exactly.
+    *
+    * Guardrail: the exact path materializes every distinct benchmark
+    * gram as the join build side, which is a memory cliff when the
+    * "benchmark" is actually corpus-sized (measured: ~15M gram strings
+    * OOM an 8 GB single node). Before planning the join this estimates
+    * the distinct-gram cardinality with ONE cheap aggregate over the
+    * benchmark (approx_count_distinct, ±~2%) and refuses above
+    * `maxBenchGrams` with a message naming the sub-linear alternative
+    * ([[contaminationCountsBloom]] — identical output, scan-local
+    * prefilter instead of a gram-set build side) rather than letting
+    * the executor die mid-join. Raise the budget deliberately on
+    * clusters sized for it, or pass `Long.MaxValue` to opt out. */
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, n: Int,
-                          hashGrams: Boolean = false): DataFrame = {
+                          hashGrams: Boolean = false,
+                          maxBenchGrams: Long = 4000000L): DataFrame = {
     def grams(df: DataFrame) = gramRows(df, idCol, textCol, n, hashGrams)
+    if (maxBenchGrams != Long.MaxValue) {
+      val est = grams(benchmark)
+        .agg(approx_count_distinct(col("__g")).as("__n"))
+        .head().getLong(0)
+      require(est <= maxBenchGrams,
+        s"contaminationCounts: benchmark has ~$est distinct $n-grams, over " +
+        s"the $maxBenchGrams exact-path budget. The exact path builds the " +
+        "full gram set as a join side and will exhaust executor memory at " +
+        "this size; use contaminationCountsBloom (identical per-doc counts, " +
+        "bloom-prefiltered scan-local probe) or raise maxBenchGrams if the " +
+        "cluster is sized for it.")
+    }
     val bench = grams(benchmark).select("__g").distinct()
     grams(corpus).join(bench, "__g")
       .groupBy(idCol)

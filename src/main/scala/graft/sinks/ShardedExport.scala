@@ -22,9 +22,12 @@ import graft.text.TextFunctions
   * never across directories), `parquet` (columnar, default) or `json`
   * (JSONL, the interchange format training stacks ingest). The
   * `_manifest.json` sidecar — per-shard row counts + total, computed
-  * from ONE map-side-combined aggregate of the same frame — is written
-  * LAST as the commit marker: a crashed export has no manifest and
-  * readers treat it as absent.
+  * by re-reading the files ACTUALLY WRITTEN (one shard-grouped count
+  * over the output; parquet answers it from footer metadata) — is
+  * written LAST as the commit marker: a crashed export has no
+  * manifest and readers treat it as absent, and a non-deterministic
+  * input frame (or a source mutated mid-export) can never commit a
+  * manifest that disagrees with the data on disk.
   *
   * Cost at corpus scale: one hash exchange on the shard id (the
   * export shuffle a training pipeline pays anyway to get its fixed
@@ -53,8 +56,15 @@ object ShardedExport {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
       .format(format).save(dir)
-    val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // Counts come from the written output, not a re-aggregation of the
+    // input frame: a second job over a non-deterministic frame (or a
+    // source mutated between the two jobs) would commit a manifest
+    // disagreeing with the files on disk. Parquet serves this count
+    // from footer metadata; json pays one output scan — the price of
+    // the commit marker being truthful.
+    val counts = spark.read.format(format).load(dir)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
     val m = Manifest(counts, counts.values.sum)
     val json = counts.toSeq.sorted
       .map { case (s, n) => s""""$s": $n""" }

@@ -66,8 +66,13 @@ object IncrementalBm25 {
     IndexDirs.readIfExists(spark, doclenPath(statePath))
 
   /** Fold one document micro-batch. */
-  def processBatch(newDocs: DataFrame, idCol: String, textCol: String,
+  def processBatch(docsBatch: DataFrame, idCol: String, textCol: String,
                    statePath: String, params: Params = Params()): Unit = {
+    // In-batch dedup (the IncrementalDsir discipline): the anti-join
+    // replay guards below only absorb CROSS-batch duplicates — a
+    // micro-batch delivering the same doc twice would append duplicate
+    // doclen rows and permanently inflate N, avgdl and df.
+    val newDocs = docsBatch.dropDuplicates(idCol)
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
     checkParams(spark, statePath, params)

@@ -55,9 +55,13 @@ object IncrementalDecontamination {
     * `newDocs` and `bench` both carry (idCol, tokensCol) with
     * distinct-element token arrays. Single-writer per statePath, like
     * every maintained index. */
-  def processBatch(newDocs: DataFrame, idCol: String, tokensCol: String,
+  def processBatch(docsBatch: DataFrame, idCol: String, tokensCol: String,
                    bench: DataFrame, statePath: String,
                    tau: Double, containment: Boolean = false): Unit = {
+    // In-batch dedup: the flagged anti-join only absorbs CROSS-batch
+    // replays — a doc delivered twice in one batch would double every
+    // pair it generates and inflate n_bench_matches.
+    val newDocs = docsBatch.dropDuplicates(idCol)
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
     val batch = verdicts(newDocs, idCol, tokensCol, bench, tau, containment)

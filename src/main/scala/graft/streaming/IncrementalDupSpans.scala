@@ -75,8 +75,12 @@ object IncrementalDupSpans {
     IndexDirs.readIfExists(spark, gramsPath(statePath))
 
   /** Fold one document micro-batch. */
-  def processBatch(newDocs: DataFrame, idCol: String, textCol: String,
+  def processBatch(docsBatch: DataFrame, idCol: String, textCol: String,
                    statePath: String, params: Params = Params()): Unit = {
+    // In-batch dedup: the left_anti replay guard only absorbs
+    // CROSS-batch duplicates — a batch carrying the same doc twice
+    // would double its batchUniverse/occs rows and n_dup_grams.
+    val newDocs = docsBatch.dropDuplicates(idCol)
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
     checkParams(spark, statePath, params)

@@ -24,6 +24,17 @@ case class BpeEncodePiped(child: Expression, merges: Seq[(String, String)])
   // semanticEquals and subexpression elimination can share them
   // (Array fields would compare by reference and defeat it — the
   // exact cost this expression exists to avoid).
+  // The kernel applies merges per WORD, which equals Bpe.encode's
+  // whole-string replace chain only while no merge symbol can cross a
+  // word boundary or collide with the '|' piping — make the documented
+  // domain assumption a loud failure instead of a silent divergence.
+  require(merges.forall { case (a, b) =>
+      !a.contains(' ') && !b.contains(' ') &&
+      !a.contains('|') && !b.contains('|')
+    },
+    "bpe_encode merge symbols must contain neither ' ' nor '|' — " +
+    "per-word merging would silently diverge from the chained form")
+
   @transient private lazy val mergesA: Array[String] =
     merges.map(_._1).toArray
   @transient private lazy val mergesB: Array[String] =

@@ -75,6 +75,17 @@ class BpeSpec extends AnyFunSuite {
       assert(c == k, s"kernel diverged from chain on '$t'")
   }
 
+  test("kernel refuses merge symbols that cross the per-word domain") {
+    // per-word merging only equals the whole-string chain while no
+    // merge symbol contains a space (or the '|' piping) — the kernel
+    // must fail loudly, not diverge silently
+    for (bad <- Seq(("a ", "b"), ("a", " b"), ("a|", "b"), ("a", "|")))
+      intercept[IllegalArgumentException] {
+        Seq("aa bb").toDF("text")
+          .select(Bpe.encodeKernel(col("text"), Seq(bad))).collect()
+      }
+  }
+
   test("token count: merges only ever shrink it; zero merges = non-space chars") {
     val texts = Seq("join the batch", "scan scan scan", "q w e r t y", "")
     val df = texts.toDF("text")

@@ -285,6 +285,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(run(false) == run(true))
   }
 
+  test("decontamination: exact path refuses a corpus-sized benchmark instead of OOM") {
+    // ×100-shaped misuse: the "benchmark" is the whole corpus, so its
+    // distinct-gram set is join-build-side poison. With the budget at
+    // real scale this is ~15M grams and an executor OOM; here a scaled
+    // budget must trip the guard BEFORE the join is planned.
+    val docs = TestData.table(spark, sf, "documents")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.contaminationCounts(
+        docs, docs, "doc_id", "text", 5, maxBenchGrams = 100L)
+    }
+    assert(err.getMessage.contains("contaminationCountsBloom"), err.getMessage)
+    assert(err.getMessage.contains("maxBenchGrams"), err.getMessage)
+
+    // the same call under budget (or explicitly opted out) still plans
+    val n = Dedup.contaminationCounts(
+      docs.limit(20), docs.limit(20), "doc_id", "text", 5,
+      maxBenchGrams = Long.MaxValue).count()
+    assert(n > 0)
+  }
+
   test("multimodal: typed batch decode and binary plumbing shapes") {
     val docs = TestData.table(spark, sf, "documents").limit(50)
     val assets = Multimodal.assetsFromDocuments(docs)

@@ -67,6 +67,30 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(a == b, "shard assignment depended on input partitioning")
   }
 
+  test("manifest counts are pinned to the written files, not a re-evaluation") {
+    import spark.implicits._
+    // An evaluation-unstable frame: the filter admits exactly the
+    // first 60 rows it EVER evaluates (process-global counter), so the
+    // data-write job keeps 60 rows and any later re-aggregation of the
+    // same frame would keep 0 — a manifest computed from the input
+    // frame would claim 0 rows over 60 on disk.
+    ShardedExportSpec.evalCounter.set(0L)
+    val keep = udf { () =>
+      ShardedExportSpec.evalCounter.getAndIncrement() < 60L
+    }.asNondeterministic()
+    val unstable = (0L until 200L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+      .filter(keep())
+    val dir = Files.createTempDirectory("graft-export-n").toString
+    val m = ShardedExport.writeShards(unstable, "doc_id", dir, 4)
+    val onDisk = ShardedExport.readShards(spark, dir).get
+    assert(m.totalRows == onDisk.count(),
+      s"manifest total ${m.totalRows} != files ${onDisk.count()}")
+    val perShard = onDisk.groupBy("shard").count().collect()
+      .map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
+    assert(m.shards == perShard)
+  }
+
   test("a crashed export (no manifest) is invisible") {
     val dir = Files.createTempDirectory("graft-export-c").toString
     // simulate: data written, manifest never landed
@@ -75,4 +99,10 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(ShardedExport.readShards(spark, dir).isEmpty)
     assert(ShardedExport.manifest(spark, dir).isEmpty)
   }
+}
+
+object ShardedExportSpec {
+  // test-only: drives the evaluation-unstable frame above (udf closures
+  // capture this via the companion so local-mode executors share it)
+  val evalCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 }

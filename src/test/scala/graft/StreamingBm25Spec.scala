@@ -60,6 +60,23 @@ class StreamingBm25Spec extends AnyFunSuite {
       "replay appended duplicate postings")
   }
 
+  test("a doc delivered twice IN one batch does not inflate N/avgdl/df") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+    val statePath = Files.createTempDirectory("graft-bm25-dup").toString
+    // batch = docs ∪ docs: the anti-join replay guards can't see this —
+    // only the entry dropDuplicates can
+    IncrementalBm25.processBatch(
+      docs.union(docs), "doc_id", "text", statePath)
+    val streaming = rowsOf(
+      IncrementalBm25.bm25TopK(spark, statePath, terms, 20).get)
+    val oneShot = rowsOf(
+      Retrieval.bm25TopK(docs, "doc_id", "text", terms, 20))
+    assert(streaming == oneShot, "duplicated batch rows leaked into state")
+    assert(IncrementalBm25.docLengths(spark, statePath).get.count()
+      == docs.count(), "doclen store holds duplicate rows")
+  }
+
   test("crash window (postings landed, doclen+scalars did not): replay converges") {
     val statePath = Files.createTempDirectory("graft-bm25c").toString
     val b1 = Seq((1L, "hash join hash sort extra words here"),

@@ -68,6 +68,28 @@ class StreamingDecontaminationSpec extends AnyFunSuite {
     run(containment = false)
   }
 
+  test("a doc delivered twice IN one batch does not double n_bench_matches") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+    val isBench = col("source").isin("src0", "src1")
+    val bench = docs.filter(isBench).select("doc_id", "w")
+    val corpus = docs.filter(!isBench).select("doc_id", "w")
+    val statePath = Files.createTempDirectory("graft-decon-dup").toString
+    // in-batch duplicates are invisible to the cross-batch anti-join
+    IncrementalDecontamination.processBatch(
+      corpus.union(corpus), "doc_id", "w", bench, statePath, 0.9)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val streaming = rowsOf(
+      IncrementalDecontamination.flagged(spark, statePath).get)
+    val oneShot = rowsOf(IncrementalDecontamination.flaggedBatch(
+      corpus, "doc_id", "w", bench, 0.9, containment = false))
+    assert(streaming == oneShot, "duplicated batch rows inflated verdicts")
+    assert(streaming.nonEmpty, "vacuous: no contamination at this SF")
+  }
+
   test("CONTAINMENT metric: incremental flagged set == one-shot d16 verdicts at every boundary") {
     run(containment = true)
   }

@@ -56,6 +56,18 @@ class StreamingDupSpansSpec extends AnyFunSuite {
     assert(rowsOf(IncrementalDupSpans.stats(spark, statePath).get) == before)
   }
 
+  test("a doc delivered twice IN one batch does not double its universe/occs rows") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(40)
+    val statePath = Files.createTempDirectory("graft-dspan-dup").toString
+    // in-batch duplicates are invisible to the cross-batch left_anti
+    IncrementalDupSpans.processBatch(
+      docs.union(docs), "doc_id", "text", statePath)
+    val streaming = rowsOf(IncrementalDupSpans.stats(spark, statePath).get)
+    val oneShot = rowsOf(Dedup.dupSpanStats(docs, "doc_id", "text", 5))
+    assert(streaming == oneShot, "duplicated batch rows leaked into state")
+  }
+
   test("late twin revises an OLD doc's coverage; short docs keep zero rows") {
     val statePath = Files.createTempDirectory("graft-dspan2").toString
     def run(b: Seq[(Long, String)]): Unit =
