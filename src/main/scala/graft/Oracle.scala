@@ -838,7 +838,12 @@ ORDER BY transaction_id, merchant_name, total_price"""),
 
     // STUB decoder outputs are md5-derived (md5 exists in DuckDB;
     // xxhash64 does not), so the multimodal plumbing is fully
-    // hash-checkable despite the fake codec.
+    // hash-checkable despite the fake codec. The two planted
+    // uncompressed-image rows take the REAL hand-parsed pixel path on
+    // the Spark side; their oracle rows are GOLDEN literals computed
+    // by an independent Python implementation of the pinned
+    // PixelFixtures grid + format specs (DuckDB cannot hash blobs, so
+    // literals are the honest cross-check).
     "m01_multimodal_decode" -> ("""
 WITH a AS (SELECT doc_id AS asset_id, text, md5(text) AS h FROM documents)
 SELECT asset_id,
@@ -851,7 +856,12 @@ SELECT asset_id,
        CAST(((ascii(substr(md5(text || '0'),1,1))*1000 + ascii(substr(md5(text || '0'),2,1))*100
               + ascii(substr(md5(text || '0'),3,1))*10 + ascii(substr(md5(text || '0'),4,1))) % 2000
              - 1000) / 1000.0 AS FLOAT) AS f0
-FROM a ORDER BY asset_id"""),
+FROM a
+UNION ALL SELECT 9000001, 'image/bmp', CAST(64 AS INTEGER),
+       CAST(48 AS INTEGER), CAST(9270 AS INTEGER), CAST(0.44 AS FLOAT)
+UNION ALL SELECT 9000002, 'image/x-portable-pixmap', CAST(40 AS INTEGER),
+       CAST(30 AS INTEGER), CAST(3613 AS INTEGER), CAST(0.798 AS FLOAT)
+ORDER BY asset_id"""),
 
     // ---- training-data pipeline extensions ----
     // (hash-based operators — minhash/simhash/ANN — have no SQL mirror
@@ -1745,6 +1755,11 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
     "s08_pq_planted" -> PlantedTopKSql,
     "s09_ivfpq_planted" -> PlantedTopKSql,
 
+    // Planted BMP/PPM rows: thumb values are GOLDEN literals from an
+    // independent Python implementation of the pinned box-filter
+    // thumbnail spec (both fixtures downscale to a 32×24 PPM: 13-byte
+    // header + 2304 raster bytes); frame md5s hash the documented
+    // byte windows of the fixture bytes.
     "m02_multimodal_frames" -> ("""
 SELECT doc_id AS asset_id,
        CAST(strlen(substr(text, 1, 32)) AS INTEGER) AS thumb_bytes,
@@ -1752,7 +1767,16 @@ SELECT doc_id AS asset_id,
        CAST(4 AS INTEGER) AS n_frames,
        md5(substr(text, 1, 64)) AS frame0_md5,
        md5(substr(text, 193, 64)) AS frame3_md5
-FROM documents ORDER BY asset_id"""),
+FROM documents
+UNION ALL SELECT 9000001, CAST(2317 AS INTEGER),
+       'dd5b0090f0e527b293ff02a9b24d1e22', CAST(4 AS INTEGER),
+       '8f891045dcf270230627797d0a24f08e',
+       '9cbdba840427cdc4c2485aa33a3382f3'
+UNION ALL SELECT 9000002, CAST(2317 AS INTEGER),
+       '63733e9a77ecdbaf82f162dae716cccf', CAST(4 AS INTEGER),
+       '13d200f5794aa871eddbb86ce724d93b',
+       '0971f0175f5d4d3d3a1ed1f215fd036e'
+ORDER BY asset_id"""),
 
     // m03's embedding-level dedup: identical content ⇒ identical
     // byte-n-gram feature vector (and distinct content ⇒ distinct

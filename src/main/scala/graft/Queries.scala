@@ -1613,9 +1613,14 @@ object Queries {
         .orderBy("transaction_category", "transaction_date")
     }),
 
-    // Multimodal decode plumbing over binary content (stubbed codec).
+    // Multimodal decode plumbing over binary content: text-derived
+    // assets exercise the deterministic stub codec; the two planted
+    // uncompressed-image rows (64×48 BMP, 40×30 PPM — the pinned
+    // PixelFixtures grid) exercise the REAL hand-parsed pixel decode,
+    // golden-checked against independently derived oracle literals.
     "m01_multimodal_decode" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(documents(s, d))
+        .unionByName(Multimodal.pixelFixtureAssets(s))
       assets.select(
         col("asset_id"),
         Multimodal.decodeMeta(col("content")).as("meta"),
@@ -1627,12 +1632,15 @@ object Queries {
         .orderBy("asset_id")
     }),
 
-    // Multimodal resize + frame-sample plumbing (stubbed codecs): the
-    // thumbnail and per-frame byte windows flow as binary columns whose
-    // md5s are engine-portable — the operator shape (schema, batch
-    // plumbing) is what a real libjpeg/ffmpeg swap-in would keep.
+    // Multimodal resize + frame-sample plumbing: text-derived assets
+    // keep the stubbed codecs (md5s engine-portable); the planted
+    // BMP/PPM rows go through the REAL pixel-touching thumbnail (the
+    // pinned integer box filter, PPM-encoded) — their thumb bytes/md5
+    // are golden-checked against an independent implementation of the
+    // same pinned algorithm in the oracle.
     "m02_multimodal_frames" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(documents(s, d))
+        .unionByName(Multimodal.pixelFixtureAssets(s))
       assets
         .withColumn("__frames", Multimodal.frameSample(col("content"), 4, 64))
         .select(col("asset_id"),

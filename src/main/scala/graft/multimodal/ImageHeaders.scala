@@ -38,8 +38,13 @@ object ImageHeaders {
       (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
 
   /** (mime, width, height), or null when the bytes are not a
-    * well-formed PNG/JPEG. Never throws. */
+    * well-formed PNG/JPEG/BMP/PPM. Never throws. The uncompressed
+    * formats go through the hand-rolled [[PixelDecode]] (no codec, no
+    * ImageIO — exact and strictly validated, so text content still
+    * falls through to the caller's stub). */
   def meta(bytes: Array[Byte]): Multimodal.AssetMeta = {
+    val px = PixelDecode.meta(bytes)
+    if (px != null) return px
     if (bytes == null || !(isPng(bytes) || isJpeg(bytes))) return null
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -68,6 +73,11 @@ object ImageHeaders {
     * payload); true-video frame extraction stays a stub — no mp4/webm
     * codec ships with the JDK, only GIF. */
   def thumbnail(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    // Uncompressed formats first: REAL pixels through the pinned
+    // integer box-filter ([[PixelDecode.thumbnail]], PPM-encoded) —
+    // deterministic across JDKs, golden-checkable in the m02 oracle.
+    val px = PixelDecode.thumbnail(bytes, maxDim)
+    if (px != null) return px
     if (bytes == null || maxDim <= 0 || !(isPng(bytes) || isJpeg(bytes)))
       return null
     try {

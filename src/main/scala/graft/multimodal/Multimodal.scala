@@ -33,6 +33,22 @@ object Multimodal {
       to_binary(col("text"), lit("utf-8")).as("content"),
       concat(lit("application/x-fake-"), col("source")).as("mime"))
 
+  /** Two planted REAL-image assets (the d12/s06 planted-fixture
+    * pattern): a 64×48 24-bit BMP and a 40×30 binary PPM of the
+    * [[PixelFixtures]] pinned pixel grid, at ids far above any
+    * document id. The m01/m02 catalog queries union these in so the
+    * REAL pixel decode path (hand-parsed uncompressed formats —
+    * [[PixelDecode]]) is oracle-checked end-to-end: the DuckDB side
+    * carries golden literals derived from the grid formula by an
+    * independent implementation. */
+  def pixelFixtureAssets(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (9000001L, PixelFixtures.bmp(64, 48), "image/bmp"),
+      (9000002L, PixelFixtures.ppm(40, 30), "image/x-portable-pixmap"))
+      .toDF("asset_id", "content", "mime")
+  }
+
   /** Deterministic int in [0, 4 digits) from four hex chars of an
     * md5-hex column, combined via their code points. md5 (unlike
     * xxhash64) exists in DuckDB too, so every stub output derived this

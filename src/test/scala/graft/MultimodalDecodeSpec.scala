@@ -218,6 +218,70 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(again.toSeq == got(1L).toSeq)
   }
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/fixtures/$name")
+    assert(in != null, s"missing checked-in fixture $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("PixelDecode: checked-in BMP/PPM fixtures decode to TRUE pixels, no codec") {
+    import graft.multimodal.{PixelDecode, PixelFixtures}
+    // the files were produced by an INDEPENDENT implementation of the
+    // pinned grid + format specs — agreeing pixels validate the parser
+    // against externally produced bytes, not against itself
+    val bmp = PixelDecode.decodeBmp(fixture("grid_64x48.bmp"))
+    assert(bmp != null && bmp.width == 64 && bmp.height == 48)
+    val ppm = PixelDecode.decodePpm(fixture("grid_40x30.ppm"))
+    assert(ppm != null && ppm.width == 40 && ppm.height == 30)
+    for ((p, w) <- Seq((bmp, 64), (ppm, 40)); y <- 0 until p.height;
+         x <- 0 until w) {
+      val i = (y * p.width + x) * 3
+      assert((p.rgb(i) & 0xFF) == PixelFixtures.r(x, y) &&
+        (p.rgb(i + 1) & 0xFF) == PixelFixtures.g(x, y) &&
+        (p.rgb(i + 2) & 0xFF) == PixelFixtures.b(x, y),
+        s"pixel ($x,$y) of ${p.width}x${p.height}")
+    }
+    // the Scala builders emit byte-identical files to the independent ones
+    assert(PixelFixtures.bmp(64, 48).toSeq == fixture("grid_64x48.bmp").toSeq)
+    assert(PixelFixtures.ppm(40, 30).toSeq == fixture("grid_40x30.ppm").toSeq)
+    // strictness: text, truncated payloads, wrong bpp never "decode"
+    assert(PixelDecode.decode("BM is how this text starts".getBytes) == null)
+    assert(PixelDecode.decode("P6\n4 4\n255\nshort".getBytes) == null)
+    assert(PixelDecode.decode(fixture("grid_64x48.bmp").dropRight(1)) == null)
+    assert(PixelDecode.decode(fixture("grid_40x30.ppm") :+ 0x00.toByte) == null)
+  }
+
+  test("uncompressed pixel path flows through meta/thumbnail plan surfaces") {
+    import graft.multimodal.PixelDecode
+    val rows = Seq(
+      (1L, fixture("grid_64x48.bmp")),
+      (2L, fixture("grid_40x30.ppm")),
+      (3L, "plain text that is definitely long enough".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+    val metas = rows.select(col("asset_id"),
+        Multimodal.decodeMeta(col("content")).as("m"))
+      .select(col("asset_id"), col("m.mime"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(metas(1L) == ("image/bmp", 64, 48))
+    assert(metas(2L) == ("image/x-portable-pixmap", 40, 30))
+    assert(metas(3L)._1 == "image/fake") // text keeps the stub
+
+    val thumbs = rows.select(col("asset_id"),
+        Multimodal.thumbnail(col("content"), 32).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // thumbnails are REAL pixels: decodable PPMs at the pinned dims,
+    // and the top-left output pixel is the hand-computable box mean
+    val t1 = PixelDecode.decodePpm(thumbs(1L))
+    assert(t1 != null && t1.width == 32 && t1.height == 24)
+    val t2 = PixelDecode.decodePpm(thumbs(2L))
+    assert(t2 != null && t2.width == 32 && t2.height == 24)
+    // bmp 64x48 → 2x2 blocks: mean of r(0,0),r(1,0),r(0,1),r(1,1)
+    import graft.multimodal.PixelFixtures._
+    val meanR = (r(0, 0) + r(1, 0) + r(0, 1) + r(1, 1)) / 4
+    assert((t1.rgb(0) & 0xFF) == meanR)
+  }
+
   /** Animated GIF with `n` solid-color frames (primary colors survive
     * GIF palettization exactly), via the JDK's GIF sequence writer. */
   private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
