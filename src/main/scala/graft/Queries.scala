@@ -1709,12 +1709,14 @@ object Queries {
         Multimodal.assetsFromDocuments(df)
           .select(col("asset_id"),
             Multimodal.featureEmbed(col("content"), 64).as("__v"))
-      // 16 planes / 8 tables: exact-copy recall is plane-count-immune
-      // (identical vectors share every bucket), and the finer buckets
-      // keep candidate volume linear on byte-correlated corpora
+      // 20 planes / 8 tables: near-copy recall rides the OR over
+      // tables plus hamming-1 probes (a 1-byte mutation flips at most
+      // a sign or two, and the ×100 sweep holds the full 13,514
+      // planted mappings), while the finer buckets cut sub-threshold
+      // co-bucketing of byte-correlated content exponentially
       val pairs = Similarity.cosineJoinMulti(emb(mutated), "asset_id",
         emb(docs), "asset_id", "__v", threshold = 0.8,
-        numPlanes = 16, tables = 8, center = true)
+        numPlanes = 20, tables = 8, center = true)
       Similarity.nearestFromPairsDirected(pairs)
         .select(col("id").as("query_id"), col("nn").as("src_id"))
         .orderBy("query_id")

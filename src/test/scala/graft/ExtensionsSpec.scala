@@ -285,6 +285,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(run(false) == run(true))
   }
 
+  test("hashed 8-byte gram/token keys: t21/d15/d16 forms emit identical results") {
+    val docs = TestData.table(spark, sf, "documents")
+      .select("doc_id", "source", "text")
+    // t21 source overlap
+    def t21(h: Boolean) = Dedup.sourceOverlap(
+      docs, "source", "text", 5, hashGrams = h)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(t21(false) == t21(true))
+    // d15 cross-doc gram stats
+    def d15(h: Boolean) = Dedup.crossDocGramStats(
+      docs, "doc_id", "text", 5, hashGrams = h)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d15(false) == d15(true))
+    // d16 containment decon over hashed TOKEN arrays (set containment
+    // is key-agnostic)
+    val tok = docs.select(col("doc_id"), col("source"),
+      array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+    def d16(frame: org.apache.spark.sql.DataFrame) = {
+      val isBench = col("source").isin("src0", "src1")
+      Dedup.containmentJoinAcross(
+        frame.filter(!isBench), frame.filter(isBench), "doc_id", "w", 0.9)
+        .groupBy(col("a").as("doc_id"))
+        .agg(count(lit(1)).as("n"), max(col("containment")).as("mc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    }
+    val plain = d16(tok)
+    assert(plain.nonEmpty, "vacuous: no containment matches at this SF")
+    assert(plain == d16(tok.withColumn("w",
+      transform(col("w"), t => xxhash64(t)))))
+  }
+
   test("decontamination: exact path refuses a corpus-sized benchmark instead of OOM") {
     // ×100-shaped misuse: the "benchmark" is the whole corpus, so its
     // distinct-gram set is join-build-side poison. With the budget at

@@ -9,6 +9,33 @@ class VectorDotSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("q16 blobs: approx cosine within the documented error bound; zero-norm safe") {
+    import graft.functions.vectors.{q16_cosine, vector_q16}
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = Seq.tabulate(300)(i => (i.toLong, unit(), unit())) :+
+      (300L, Array.fill(64)(0.0f), unit()) // zero vector → cosine 0.0
+    val got = rows.toDF("id", "x", "y")
+      .select(col("id"),
+        q16_cosine(vector_q16(col("x")), vector_q16(col("y"))).as("approx"),
+        {
+          val nn = sqrt(vector_dot(col("x"), col("x"))) *
+            sqrt(vector_dot(col("y"), col("y")))
+          when(nn === 0.0, 0.0)
+            .otherwise(vector_dot(col("x"), col("y")) / nn).as("exact")
+        })
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for ((id, approx, exact) <- got) {
+      val e = if (id == 300L) 0.0 else exact
+      assert(math.abs(approx - e) <= 2.5e-4,
+        s"row $id: |$approx - $e| over the q16 bound")
+    }
+  }
+
   test("native dot product: values, widening, and codegen participation") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0, 5.0, 6.0)),
