@@ -1778,6 +1778,26 @@ UNION ALL SELECT 9000002, CAST(2317 AS INTEGER),
        '0971f0175f5d4d3d3a1ed1f215fd036e'
 ORDER BY asset_id"""),
 
+    // m05: the two planted PCM clips' features are GOLDEN literals
+    // from an independent Python implementation of the pinned integer
+    // waveforms + the RIFF spec (energy / zero-crossings / peak /
+    // 4-window energy profile are all exact integers by construction);
+    // text-derived assets can never parse as PCM WAV, so the result is
+    // exactly these rows.
+    "m05_audio_features" -> ("""
+SELECT * FROM (VALUES
+  (9000003, CAST(1 AS INTEGER), CAST(8000 AS INTEGER), CAST(1600 AS BIGINT),
+   CAST(2107929559 AS BIGINT), CAST(29 AS BIGINT), CAST(2000 AS INTEGER),
+   CAST(511084143 AS BIGINT), CAST(572063600 AS BIGINT),
+   CAST(538722432 AS BIGINT), CAST(486059384 AS BIGINT)),
+  (9000004, CAST(2 AS INTEGER), CAST(16000 AS INTEGER), CAST(2048 AS BIGINT),
+   CAST(2605217128 AS BIGINT), CAST(119 AS BIGINT), CAST(1500 AS INTEGER),
+   CAST(649997320 AS BIGINT), CAST(650991842 AS BIGINT),
+   CAST(651821801 AS BIGINT), CAST(652406165 AS BIGINT)))
+  AS t(asset_id, channels, sample_rate_hz, n_frames, energy,
+       zero_crossings, peak, w0, w1, w2, w3)
+ORDER BY asset_id"""),
+
     // m03's embedding-level dedup: identical content ⇒ identical
     // byte-n-gram feature vector (and distinct content ⇒ distinct
     // vector on these corpora), so vector-equality groups ≡ md5(text)

@@ -1652,6 +1652,32 @@ object Queries {
         .orderBy("asset_id")
     }),
 
+    // REAL audio sample decode + feature extraction (hand-parsed
+    // 16-bit PCM WAV, no codec — AudioPcm): the clipping / silence /
+    // energy-profile gate a multimodal curation pipeline runs before
+    // training. Text-derived assets can never satisfy the strict RIFF
+    // structure and yield NULL; the two planted clips (pinned integer
+    // waveforms, WavFixtures) decode to integer-exact features the
+    // oracle golden-checks from an independent implementation. The
+    // decode is a scan-local projection: one pass, no shuffle until
+    // the |audio|-row result.
+    "m05_audio_features" -> ((s, d) => {
+      val assets = Multimodal.assetsFromDocuments(documents(s, d))
+        .unionByName(Multimodal.audioFixtureAssets(s))
+      assets
+        .select(col("asset_id"),
+          Multimodal.audioFeatures(col("content"), 4).as("f"))
+        .filter(col("f").isNotNull)
+        .select(col("asset_id"), col("f.channels"), col("f.sample_rate_hz"),
+          col("f.n_frames"), col("f.energy"), col("f.zero_crossings"),
+          col("f.peak"),
+          element_at(col("f.window_energy"), 1).as("w0"),
+          element_at(col("f.window_energy"), 2).as("w1"),
+          element_at(col("f.window_energy"), 3).as("w2"),
+          element_at(col("f.window_energy"), 4).as("w3"))
+        .orderBy("asset_id")
+    }),
+
     // REAL content embedding (byte-n-gram signed feature hashing,
     // codegen — no stub) driving content-level dedup over binary
     // assets: two assets are duplicates iff their embeddings are

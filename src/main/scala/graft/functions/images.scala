@@ -16,6 +16,13 @@ object images {
   def audio_meta(content: Column): Column =
     org.apache.spark.sql.graft.AudioMetaExpr.audioMeta(content)
 
+  /** REAL audio SAMPLE decode + feature extraction (hand-parsed 16-bit
+    * PCM WAV — no codec): struct(channels, sample_rate_hz, n_frames,
+    * energy, zero_crossings, peak, window_energy[windows]) — every
+    * field integer-exact, NULL for non-PCM-WAV bytes. */
+  def audio_features(content: Column, windows: Int): Column =
+    org.apache.spark.sql.graft.AudioFeaturesExpr.audioFeatures(content, windows)
+
   /** REAL MP4 header decode (pure-JVM ISO-BMFF moov/mvhd/tkhd box
     * walk — no codec): struct(mime, width, height, duration_ms,
     * n_tracks), NULL when the bytes are not well-formed MP4. Frame

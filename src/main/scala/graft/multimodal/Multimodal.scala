@@ -49,6 +49,23 @@ object Multimodal {
       .toDF("asset_id", "content", "mime")
   }
 
+  /** Two planted PCM WAV clips ([[WavFixtures]], pinned integer
+    * waveforms) for the m05 sample-decode + feature-extraction row —
+    * same planted-fixture discipline as [[pixelFixtureAssets]]. */
+  def audioFixtureAssets(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (9000003L, WavFixtures.monoClip, "audio/wav"),
+      (9000004L, WavFixtures.stereoClip, "audio/wav"))
+      .toDF("asset_id", "content", "mime")
+  }
+
+  /** REAL audio feature extraction over binary content (hand-parsed
+    * 16-bit PCM — [[AudioPcm]]): integer-exact energy / zero-crossing
+    * / peak / windowed-energy bundle, NULL for non-audio bytes. */
+  def audioFeatures(content: Column, windows: Int): Column =
+    graft.functions.images.audio_features(content, windows)
+
   /** Deterministic int in [0, 4 digits) from four hex chars of an
     * md5-hex column, combined via their code points. md5 (unlike
     * xxhash64) exists in DuckDB too, so every stub output derived this

@@ -282,6 +282,50 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert((t1.rgb(0) & 0xFF) == meanR)
   }
 
+  test("AudioPcm: checked-in WAV fixtures decode to TRUE samples and exact features") {
+    import graft.multimodal.{AudioPcm, WavFixtures}
+    // files produced by an independent Python implementation of the
+    // pinned waveforms + RIFF spec
+    val monoBytes = fixture("clip_mono_8k.wav")
+    val stereoBytes = fixture("clip_stereo_16k.wav")
+    assert(WavFixtures.monoClip.toSeq == monoBytes.toSeq)
+    assert(WavFixtures.stereoClip.toSeq == stereoBytes.toSeq)
+    val m = AudioPcm.decode(monoBytes)
+    assert(m != null && m.channels == 1 && m.sampleRateHz == 8000)
+    assert(m.samples.length == 1600)
+    for (i <- 0 until 1600)
+      assert(m.samples(i) == WavFixtures.mono(i), s"sample $i")
+    val s2 = AudioPcm.decode(stereoBytes)
+    assert(s2 != null && s2.channels == 2 && s2.sampleRateHz == 16000)
+    for (f <- 0 until 2048) {
+      assert(s2.samples(2 * f) == WavFixtures.left(f))
+      assert(s2.samples(2 * f + 1) == WavFixtures.right(f))
+    }
+    // strictness: javax-parsable junk, truncation, wrong depth → null
+    assert(AudioPcm.decode("RIFF is how this text starts".getBytes) == null)
+    assert(AudioPcm.decode(monoBytes.dropRight(1)) == null)
+    assert(AudioPcm.decode(monoBytes :+ 0x00.toByte) == null)
+
+    // plan surface: features are integer-exact, text assets are NULL
+    val rows = Seq((1L, monoBytes), (2L, stereoBytes),
+      (3L, "plain text that is definitely long enough".getBytes("UTF-8")))
+      .toDF("asset_id", "content")
+      .select(col("asset_id"),
+        Multimodal.audioFeatures(col("content"), 4).as("f"))
+    assert(rows.filter(col("f").isNull).select("asset_id")
+      .head().getLong(0) == 3L)
+    val got = rows.filter(col("f").isNotNull)
+      .select(col("asset_id"), col("f.energy"), col("f.zero_crossings"),
+        col("f.peak"), col("f.window_energy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getSeq[Long](4))).sortBy(_._1)
+    // goldens from the independent Python implementation
+    assert(got(0) == ((1L, 2107929559L, 29L, 2000,
+      Seq(511084143L, 572063600L, 538722432L, 486059384L))))
+    assert(got(1) == ((2L, 2605217128L, 119L, 1500,
+      Seq(649997320L, 650991842L, 651821801L, 652406165L))))
+  }
+
   /** Animated GIF with `n` solid-color frames (primary colors survive
     * GIF palettization exactly), via the JDK's GIF sequence writer. */
   private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
