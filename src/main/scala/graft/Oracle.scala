@@ -1759,7 +1759,12 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
     // independent Python implementation of the pinned box-filter
     // thumbnail spec (both fixtures downscale to a 32×24 PPM: 13-byte
     // header + 2304 raster bytes); frame md5s hash the documented
-    // byte windows of the fixture bytes.
+    // byte windows of the fixture bytes. The planted AVI row
+    // (9000005) is the REAL video-frame path: its frame md5s hash the
+    // PPM encodings of TRUE decoded pixels of evenly-strided frames
+    // 0/3/6/9 (pinned time-varying grid, independent Python goldens);
+    // its thumb is the 32-byte container window (thumbnail stays a
+    // pixel-format/image concern).
     "m02_multimodal_frames" -> ("""
 SELECT doc_id AS asset_id,
        CAST(strlen(substr(text, 1, 32)) AS INTEGER) AS thumb_bytes,
@@ -1776,6 +1781,10 @@ UNION ALL SELECT 9000002, CAST(2317 AS INTEGER),
        '63733e9a77ecdbaf82f162dae716cccf', CAST(4 AS INTEGER),
        '13d200f5794aa871eddbb86ce724d93b',
        '0971f0175f5d4d3d3a1ed1f215fd036e'
+UNION ALL SELECT 9000005, CAST(32 AS INTEGER),
+       'a5e25e076eb60568df19d1407b254501', CAST(4 AS INTEGER),
+       '78b07fffa08696630effdbb4bfe25039',
+       '704471c23af7f89aa03b0eb2a7b666f1'
 ORDER BY asset_id"""),
 
     // m05: the two planted PCM clips' features are GOLDEN literals

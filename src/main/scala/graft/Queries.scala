@@ -1641,6 +1641,7 @@ object Queries {
     "m02_multimodal_frames" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(documents(s, d))
         .unionByName(Multimodal.pixelFixtureAssets(s))
+        .unionByName(Multimodal.videoFixtureAssets(s))
       assets
         .withColumn("__frames", Multimodal.frameSample(col("content"), 4, 64))
         .select(col("asset_id"),

@@ -42,6 +42,12 @@ object images {
   def image_frames(content: Column, n: Int): Column =
     org.apache.spark.sql.graft.ImageFrames.imageFrames(content, n)
 
+  /** REAL video frame pixels (hand-parsed uncompressed-RGB AVI — no
+    * codec): ≤ n evenly-strided frames as binary PPMs of the true
+    * pixels, NULL for non-AVI bytes. */
+  def video_frames(content: Column, n: Int): Column =
+    org.apache.spark.sql.graft.VideoFramesExpr.videoFrames(content, n)
+
   /** REAL content embedding: dim-width L2-normalized signed feature
     * hashing (the hashing trick) over sliding byte n-grams —
     * array<float>, row-local, codegen. Identical bytes ⇒ identical

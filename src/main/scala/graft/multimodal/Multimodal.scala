@@ -66,6 +66,14 @@ object Multimodal {
   def audioFeatures(content: Column, windows: Int): Column =
     graft.functions.images.audio_features(content, windows)
 
+  /** One planted uncompressed-RGB AVI clip ([[AviFixtures]], pinned
+    * time-varying pixel grid) for m02's REAL video-frame row. */
+  def videoFixtureAssets(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((9000005L, AviFixtures.clip, "video/x-msvideo"))
+      .toDF("asset_id", "content", "mime")
+  }
+
   /** Deterministic int in [0, 4 digits) from four hex chars of an
     * md5-hex column, combined via their code points. md5 (unlike
     * xxhash64) exists in DuckDB too, so every stub output derived this
@@ -128,15 +136,18 @@ object Multimodal {
   /** Frame sampling — array<binary>. GIF content REALLY decodes
     * (ImageIO sequence decode via the codegen'd
     * [[graft.functions.images.image_frames]] — ≤ `frames` evenly
-    * strided frames, each re-encoded PNG); anything else keeps the
-    * n fixed-stride byte windows (STUB DECODER for the video codecs
-    * this environment lacks). The GIF magic is printable ASCII, but
-    * the full decode rejects non-GIF structure, so text-derived
-    * assets always take the stub — which keeps the m02 oracle
-    * exact. */
+    * strided frames, each re-encoded PNG); uncompressed-RGB AVI
+    * content REALLY decodes to TRUE frame pixels with no codec at all
+    * (hand-parsed RIFF/AVI — [[VideoFrames]], frames PPM-encoded);
+    * anything else keeps the n fixed-stride byte windows (STUB
+    * DECODER for the compressed-video codecs this environment lacks).
+    * The GIF/RIFF magics are printable ASCII, but the full decodes
+    * reject non-conforming structure, so text-derived assets always
+    * take the stub — which keeps the m02 oracle exact. */
   def frameSample(content: Column, frames: Int, frameBytes: Int): Column =
     coalesce(
       graft.functions.images.image_frames(content, frames),
+      graft.functions.images.video_frames(content, frames),
       transform(sequence(lit(0), lit(frames - 1)),
         i => content.substr(i * frameBytes + 1, lit(frameBytes))))
 

@@ -127,3 +127,38 @@ object ImageFrames {
   def imageFrames(content: Column, n: Int): Column =
     ExpressionUtils.column(ImageFrames(ExpressionUtils.expression(content), n))
 }
+
+/** Native expression for REAL video frame decode: ≤ n evenly-strided
+  * frames of an uncompressed-RGB AVI as binary PPMs of the TRUE
+  * pixels ([[graft.multimodal.VideoFrames]] — codec-free by format),
+  * NULL for anything else. Same construction as [[ImageFrames]]. */
+case class VideoFramesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    graft.multimodal.VideoFrames.framesData(v.asInstanceOf[Array[Byte]], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      s"""
+         |${ev.value} = graft.multimodal.VideoFrames.framesData($b, $n);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VideoFramesExpr =
+    copy(child = newChild)
+}
+
+object VideoFramesExpr {
+  /** Column API: real uncompressed-AVI frame pixels as PPMs (≤ n,
+    * evenly strided), null for non-AVI content. */
+  def videoFrames(content: Column, n: Int): Column =
+    ExpressionUtils.column(VideoFramesExpr(ExpressionUtils.expression(content), n))
+}

@@ -326,6 +326,46 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Seq(649997320L, 650991842L, 651821801L, 652406165L))))
   }
 
+  test("VideoFrames: checked-in AVI decodes TRUE frame pixels; even stride; junk is null") {
+    import graft.multimodal.{AviFixtures, PixelDecode, VideoFrames}
+    val clip = fixture("clip_8x6.avi") // independent Python build
+    assert(AviFixtures.clip.toSeq == clip.toSeq)
+    val dec = VideoFrames.decode(clip)
+    assert(dec != null && dec.width == 8 && dec.height == 6 &&
+      dec.frames.length == 10)
+    for (f <- 0 until 10; y <- 0 until 6; x <- 0 until 8) {
+      val i = (y * 8 + x) * 3
+      assert((dec.frames(f)(i) & 0xFF) == AviFixtures.r(x, y, f) &&
+        (dec.frames(f)(i + 1) & 0xFF) == AviFixtures.g(x, y, f) &&
+        (dec.frames(f)(i + 2) & 0xFF) == AviFixtures.b(x, y, f),
+        s"frame $f pixel ($x,$y)")
+    }
+    // strictness: printable RIFF text, truncation, size drift → null
+    assert(VideoFrames.decode("RIFF text that is not an avi".getBytes) == null)
+    assert(VideoFrames.decode(clip.dropRight(1)) == null)
+    assert(VideoFrames.decode(clip :+ 0x00.toByte) == null)
+
+    // plan surface: frameSample takes the REAL path — 4 evenly-strided
+    // frames (0/3/6/9) as PPMs decodable by PixelDecode
+    val sampled = Seq((1L, clip)).toDF("asset_id", "content")
+      .select(Multimodal.frameSample(col("content"), 4, 64).as("fr"))
+      .head().getSeq[Array[Byte]](0)
+    assert(sampled.length == 4)
+    for ((bytes, j) <- sampled.zipWithIndex) {
+      val f = Seq(0, 3, 6, 9)(j)
+      val p = PixelDecode.decodePpm(bytes)
+      assert(p != null && p.width == 8 && p.height == 6, s"sampled $j")
+      assert((p.rgb(0) & 0xFF) == AviFixtures.r(0, 0, f),
+        s"sampled $j is not frame $f")
+    }
+    // text content still takes the byte-window stub
+    val stub = Seq((2L, "plain text that is definitely long enough x"
+        .getBytes("UTF-8"))).toDF("asset_id", "content")
+      .select(Multimodal.frameSample(col("content"), 4, 8).as("fr"))
+      .head().getSeq[Array[Byte]](0)
+    assert(stub.length == 4 && new String(stub.head, "UTF-8") == "plain te")
+  }
+
   /** Animated GIF with `n` solid-color frames (primary colors survive
     * GIF palettization exactly), via the JDK's GIF sequence writer. */
   private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
