@@ -2387,9 +2387,13 @@ object Queries {
       val ranked = scored.withColumn("r2",
         rank().over(byScore).cast("long") * lit(2L) +
           count(lit(1)).over(ties) - lit(1L))
-      // Exact half-up num/den → 1e4 grid; `div` keeps it in BIGINT.
+      // Exact half-up num/den → 1e4 grid; `div` keeps it in BIGINT, and
+      // the grid integer is scaled into DECIMAL(9,4) by exact decimal
+      // multiplication (g × 0.0001BD) — never through a double — so no
+      // engine or float formatter can disagree on the emitted value.
       def grid4(num: String, den: String): Column =
-        expr(s"(20000 * ($num) + ($den)) div (2 * ($den))") / lit(10000.0)
+        (expr(s"cast((20000 * ($num) + ($den)) div (2 * ($den)) as decimal(5,0))")
+          * expr("0.0001BD")).cast("decimal(9,4)")
       ranked.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),

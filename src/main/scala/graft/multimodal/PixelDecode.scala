@@ -26,10 +26,11 @@ object PixelDecode {
     (b(i) & 0xFFL) | ((b(i + 1) & 0xFFL) << 8) |
       ((b(i + 2) & 0xFFL) << 16) | ((b(i + 3) & 0xFFL) << 24)
 
-  /** BMP: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, 24 bpp,
-    * BI_RGB (no compression), positive height (bottom-up rows, each
-    * padded to 4 bytes, pixels stored BGR). Anything else → null. */
-  def decodeBmp(b: Array[Byte]): Pixels = {
+  /** Header + exact-payload-length validation only, no raster copy:
+    * Array(width, height, pixelDataOffset, rowBytes), or null. All
+    * size arithmetic is done in Long so a crafted header whose
+    * w*h*3 wraps mod 2^32 cannot pass the length check. */
+  private def bmpHeader(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
     if (u32(b, 2) != b.length) return null              // exact file size
     val off = u32(b, 10).toInt
@@ -40,6 +41,17 @@ object PixelDecode {
     if (u32(b, 30) != 0L) return null                    // BI_RGB
     val rowBytes = (w * 3 + 3) / 4 * 4
     if (off < 54 || off.toLong + rowBytes.toLong * h != b.length) return null
+    Array(w, h, off, rowBytes)
+  }
+
+  /** BMP: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, 24 bpp,
+    * BI_RGB (no compression), positive height (bottom-up rows, each
+    * padded to 4 bytes, pixels stored BGR). Anything else → null. */
+  def decodeBmp(b: Array[Byte]): Pixels = {
+    val hdr = bmpHeader(b)
+    if (hdr == null) return null
+    val w = hdr(0); val h = hdr(1); val off = hdr(2); val rowBytes = hdr(3)
+    // w*h*3 <= payload bytes <= b.length here, so Int math is safe.
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -55,10 +67,12 @@ object PixelDecode {
     Pixels(w, h, rgb)
   }
 
-  /** Binary PPM: "P6", whitespace-separated ASCII width / height /
-    * maxval 255 ('#' comments allowed per spec), ONE whitespace byte,
-    * then exactly width*height*3 raw RGB bytes. Anything else → null. */
-  def decodePpm(b: Array[Byte]): Pixels = {
+  /** Header + exact-payload-length validation only, no raster copy:
+    * Array(width, height, rasterOffset), or null. The payload-length
+    * comparison is done in Long — a crafted header like
+    * "P6\n1048576 4096\n255\n" has w*h*3 ≡ 0 mod 2^32 and must NOT
+    * pass by Int wraparound (text must never masquerade as an image). */
+  private def ppmHeader(b: Array[Byte]): Array[Int] = {
     if (b == null || b.length < 11 || b(0) != 'P' || b(1) != '6') return null
     var i = 2
     def skipWs(): Boolean = {
@@ -95,7 +109,18 @@ object PixelDecode {
     val c = b(i)
     if (c != ' ' && c != '\n' && c != '\r' && c != '\t') return null
     i += 1
-    if (b.length - i != w * h * 3) return null
+    if ((b.length - i).toLong != w.toLong * h * 3) return null
+    Array(w, h, i)
+  }
+
+  /** Binary PPM: "P6", whitespace-separated ASCII width / height /
+    * maxval 255 ('#' comments allowed per spec), ONE whitespace byte,
+    * then exactly width*height*3 raw RGB bytes. Anything else → null. */
+  def decodePpm(b: Array[Byte]): Pixels = {
+    val hdr = ppmHeader(b)
+    if (hdr == null) return null
+    val w = hdr(0); val h = hdr(1); val i = hdr(2)
+    // w*h*3 == b.length - i (an Int) here, so Int math is safe.
     val rgb = new Array[Byte](w * h * 3)
     System.arraycopy(b, i, rgb, 0, rgb.length)
     Pixels(w, h, rgb)
@@ -106,16 +131,15 @@ object PixelDecode {
     if (bmp != null) bmp else decodePpm(b)
   }
 
-  /** Metadata without copying the raster (the BMP path validates the
-    * payload length from the header alone; PPM must walk the header). */
+  /** Metadata without copying the raster: both paths validate the
+    * header and the exact payload length only — no pixels are
+    * materialized, so m01-style meta queries decode each image once. */
   def meta(b: Array[Byte]): Multimodal.AssetMeta = {
-    if (decodeBmp(b) != null) {
-      Multimodal.AssetMeta("image/bmp", u32(b, 18).toInt, u32(b, 22).toInt)
-    } else {
-      val p = decodePpm(b)
-      if (p == null) null
-      else Multimodal.AssetMeta("image/x-portable-pixmap", p.width, p.height)
-    }
+    val bmp = bmpHeader(b)
+    if (bmp != null) return Multimodal.AssetMeta("image/bmp", bmp(0), bmp(1))
+    val ppm = ppmHeader(b)
+    if (ppm == null) null
+    else Multimodal.AssetMeta("image/x-portable-pixmap", ppm(0), ppm(1))
   }
 
   /** REAL pixel-touching thumbnail with a PINNED integer algorithm

@@ -41,8 +41,14 @@ object VideoFrames {
     if (u32(b, 4) + 8 != b.length) return null
     var w = 0; var h = 0; var ok = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    // walk chunks; LIST bodies recurse (hdrl for headers, movi for data)
-    def walk(from: Int, to: Int): Boolean = {
+    // walk chunks; LIST bodies recurse (hdrl for headers, movi for data).
+    // Legitimate AVIs nest ≤ ~3 LIST levels (RIFF→hdrl→strl, RIFF→movi→rec);
+    // a hostile blob can nest one level per 12 bytes, so bound the depth —
+    // beyond it we reject rather than risk StackOverflowError (an Error no
+    // caller catches), preserving the "never throws" contract.
+    val maxDepth = 8
+    def walk(from: Int, to: Int, depth: Int): Boolean = {
+      if (depth > maxDepth) return false
       var i = from
       while (i + 8 <= to) {
         val id = fourCc(b, i)
@@ -51,7 +57,7 @@ object VideoFrames {
         val body = i + 8
         if (id == "LIST") {
           if (len < 4) return false
-          if (!walk(body + 4, body + len.toInt)) return false
+          if (!walk(body + 4, body + len.toInt, depth + 1)) return false
         } else if (id == "strf" && len >= 40 && u32(b, body) == 40L &&
             u16(b, body + 12) == 1 && u16(b, body + 14) == 24 &&
             u32(b, body + 16) == 0L) {
@@ -82,7 +88,7 @@ object VideoFrames {
       }
       true
     }
-    if (!walk(12, b.length)) return null
+    if (!walk(12, b.length, 0)) return null
     if (!ok || frames.isEmpty) return null
     AviClip(w, h, frames.toArray)
   }

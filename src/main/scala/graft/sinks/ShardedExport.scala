@@ -61,8 +61,11 @@ object ShardedExport {
     // source mutated between the two jobs) would commit a manifest
     // disagreeing with the files on disk. Parquet serves this count
     // from footer metadata; json pays one output scan — the price of
-    // the commit marker being truthful.
-    val counts = spark.read.format(format).load(dir)
+    // the commit marker being truthful. The schema is passed explicitly:
+    // a 0-row export writes no data files, and schema inference over an
+    // empty dir throws instead of yielding the empty frame we want (it
+    // also costs json a full inference pass on top of the count scan).
+    val counts = spark.read.schema(sharded.schema).format(format).load(dir)
       .groupBy("shard").agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString.toInt -> r.getLong(1)).toMap
     val m = Manifest(counts, counts.values.sum)

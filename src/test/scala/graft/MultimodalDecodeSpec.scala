@@ -251,6 +251,41 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(PixelDecode.decode(fixture("grid_40x30.ppm") :+ 0x00.toByte) == null)
   }
 
+  test("hostile headers never pass by Int wraparound or deep recursion") {
+    import graft.multimodal.{PixelDecode, VideoFrames}
+    // 1048576 * 4096 * 3 == 3 * 2^32 ≡ 0 mod 2^32: a zero-payload PPM
+    // whose header passes an Int-arithmetic length check by wraparound.
+    // It must NOT decode (and meta/thumbnail must not see an image).
+    val wrap = "P6\n1048576 4096\n255\n".getBytes("US-ASCII")
+    assert(PixelDecode.decodePpm(wrap) == null)
+    assert(PixelDecode.meta(wrap) == null)
+    assert(PixelDecode.thumbnail(wrap, 16) == null)
+    // same trick with a few payload bytes (w*h*3 + k mod 2^32 == k)
+    assert(PixelDecode.decodePpm(wrap ++ Array[Byte](1, 2, 3)) == null)
+
+    // A RIFF/AVI blob nesting one LIST per 12 bytes: tens of thousands
+    // of levels in ~240 KB. Unbounded recursion would StackOverflow
+    // (an Error, killing the task); the walk must return null instead.
+    val depth = 20000
+    val total = 12 + 12 * depth
+    val b = new Array[Byte](total)
+    def put4(i: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, b, i, 4)
+    def putLen(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    put4(0, "RIFF"); putLen(4, total - 8); put4(8, "AVI ")
+    var off = 12
+    var d = 0
+    while (d < depth) {
+      put4(off, "LIST"); putLen(off + 4, total - off - 8)
+      put4(off + 8, "hdrl") // list type, then nested chunks follow
+      off += 12; d += 1
+    }
+    assert(VideoFrames.decode(b) == null) // rejected, not thrown
+  }
+
   test("uncompressed pixel path flows through meta/thumbnail plan surfaces") {
     import graft.multimodal.PixelDecode
     val rows = Seq(

@@ -91,6 +91,20 @@ class ShardedExportSpec extends AnyFunSuite {
     assert(m.shards == perShard)
   }
 
+  test("a 0-row export commits an empty manifest (both formats)") {
+    // partitionBy writes no data files for an empty frame, so the
+    // count-back read must use the known schema instead of inference
+    // (which throws over an empty dir) — regression for the case where
+    // an upstream filter legitimately keeps nothing.
+    for (fmt <- Seq("parquet", "json")) {
+      val dir = Files.createTempDirectory(s"graft-export-0$fmt").toString
+      val m = ShardedExport.writeShards(
+        docs.filter(lit(false)), "doc_id", dir, 4, fmt)
+      assert(m.totalRows == 0L && m.shards.isEmpty)
+      assert(ShardedExport.manifest(spark, dir).contains(m))
+    }
+  }
+
   test("a crashed export (no manifest) is invisible") {
     val dir = Files.createTempDirectory("graft-export-c").toString
     // simulate: data written, manifest never landed
