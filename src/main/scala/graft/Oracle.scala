@@ -28,6 +28,23 @@ SELECT c.vec_id,
 FROM corpus c, q
 ORDER BY cosine DESC, c.vec_id LIMIT 10"""
 
+  /** The s02–s05 variant of [[PlantedTopKSql]]: query = vec_id 1,
+    * planted copies at 2000001–2000010 (an independent planting, so
+    * the coarse/narrow-parameter catalog entries don't share a cached
+    * index or corpus with the default-parameter s06–s09 rows). */
+  private val PlantedTopKQ1Sql: String = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 1),
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 1
+  UNION ALL
+  SELECT 2000000 + i AS vec_id, qe AS e FROM q, range(1, 11) r(i))
+SELECT c.vec_id,
+       ROUND(list_dot_product(c.e, q.qe)
+             / (sqrt(list_dot_product(c.e, c.e))
+                * sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine
+FROM corpus c, q
+ORDER BY cosine DESC, c.vec_id LIMIT 10"""
+
   /** Shared CTE chain of the semantic curation pipeline: scoring,
     * lexical + embedding dup clusters, decontamination, split buckets,
     * and the survivor set `surv`. The c03 catalog entry selects the
@@ -1396,6 +1413,45 @@ SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
        CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN a USING (doc_id) ORDER BY t.doc_id"""),
 
+    // d02 = the planted minhash corpus at shingleLen = 2 (bigram
+    // shingles — the explode/hash-agg signature path; d12 pins the
+    // 1-gram codegen path). The oracle reproduces the construction
+    // and brute-forces bigram-set jaccard; the duplicate's different
+    // SURFACE form (upper-case, double-spaced) normalizes to the same
+    // bigram set, so the oracle uses the base token list for it.
+    "d02_minhash_neardups" -> ("""
+WITH ids AS (SELECT DISTINCT doc_id FROM documents),
+corpus AS (
+  SELECT CAST(doc_id AS BIGINT) AS id,
+         list_transform(range(0, 10),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR)) AS w
+  FROM ids
+  UNION ALL
+  SELECT doc_id + 1000000000,
+         list_transform(range(0, 10),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+  FROM ids WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000000,
+         list_transform(range(0, 5),
+           j -> 't' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+         || list_transform(range(0, 5),
+           j -> 'u' || CAST(doc_id AS VARCHAR) || '_' || CAST(j AS VARCHAR))
+  FROM ids WHERE doc_id % 11 = 0),
+big AS (
+  SELECT id, list_distinct(list_transform(range(1, len(w)),
+           i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM corpus),
+tok AS (SELECT id, len(g) AS n, unnest(g) AS t FROM big),
+cand AS (
+  SELECT x.id AS a, y.id AS b, COUNT(*) AS si, MAX(x.n) AS nx, MAX(y.n) AS ny
+  FROM tok x JOIN tok y ON x.t = y.t AND x.id < y.id
+  GROUP BY x.id, y.id)
+SELECT a, b, ROUND(1.0 * si / (nx + ny - si), 4) AS jaccard
+FROM cand
+WHERE 1.0 * si / (nx + ny - si) >= 0.7
+ORDER BY a, b"""),
+
     "d12_minhash_planted" -> ("""
 WITH ids AS (SELECT DISTINCT doc_id FROM documents),
 corpus AS (
@@ -1754,6 +1810,14 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10"""),
     "s07_ivf_planted" -> PlantedTopKSql,
     "s08_pq_planted" -> PlantedTopKSql,
     "s09_ivfpq_planted" -> PlantedTopKSql,
+
+    // s02–s05: the same four index families at coarse/narrow
+    // parameters over the independent vec_id-1 planting — one exact
+    // SQL oracles all four (the planted ten are the unique top-10).
+    "s02_ann_topk" -> PlantedTopKQ1Sql,
+    "s03_ivf_topk" -> PlantedTopKQ1Sql,
+    "s04_pq_topk" -> PlantedTopKQ1Sql,
+    "s05_ivfpq_topk" -> PlantedTopKQ1Sql,
 
     // Planted BMP/PPM rows: thumb values are GOLDEN literals from an
     // independent Python implementation of the pinned box-filter

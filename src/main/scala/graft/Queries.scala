@@ -291,16 +291,18 @@ object Queries {
     * share the construction. */
   private val plantedCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, Seq[Float])]
-  private def plantedEmbeddings(s: SparkSession,
-                                d: String): (DataFrame, Seq[Float]) =
-    plantedCache.getOrElseUpdate((s, d), {
+      .empty[(SparkSession, String, Long), (DataFrame, Seq[Float])]
+  private def plantedEmbeddings(s: SparkSession, d: String,
+                                qId: Long = 0L, idBase: Long = 1000000L)
+      : (DataFrame, Seq[Float]) =
+    plantedCache.getOrElseUpdate((s, d, qId), {
       val emb = TestData.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
+      val q = emb.filter(col("vec_id") === qId)
         .select("embedding").head().getSeq[Float](0)
-      val base = emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding")
+      val base = emb.filter(col("vec_id") =!= qId)
+        .select("vec_id", "embedding")
       val planted = s.range(1, 11)
-        .select((col("id") + lit(1000000L)).as("vec_id"),
+        .select((col("id") + lit(idBase)).as("vec_id"),
           typedLit(q.toSeq).as("embedding"))
       (base.unionByName(planted).cache(), q)
     })
@@ -940,17 +942,45 @@ object Queries {
       Dedup.exactCounts(documents(s, d), "doc_id", "text")
         .select("doc_id", "dup_count").orderBy("doc_id")),
 
-    // MinHash + banded LSH near-dup (hash-based: no SQL oracle on the
-    // natural corpus; gated on the shipped corpora by
-    // DedupRecallGateSpec — subset of the exact pair set, identical
-    // jaccard values, pinned recall floor — and shadowed by the
-    // planted-corpus sibling d12, whose pair set has a FULL
-    // brute-force oracle over the same code path).
-    "d02_minhash_neardups" -> ((s, d) =>
-      Dedup.nearDuplicates(documents(s, d), "doc_id", "text",
-        shingleLen = 1, numHashes = 32, numBands = 4, threshold = 0.7,
+    // MinHash + banded LSH near-dup over a planted corpus whose pair
+    // set is PROVABLE, so the brute-force bigram-jaccard join is a
+    // FULL oracle (the d12 trick, at the OTHER signature path): this
+    // entry runs shingleLen = 2 — the explode + hash-agg signature
+    // stage, vs d12's 1-gram row-local codegen kernel — so together
+    // the two rows pin both minhash implementations end to end.
+    // Construction (reproduced verbatim by the DuckDB oracle): each
+    // doc_id contributes a base doc of ten id-scoped tokens
+    // ("t<id>_0".."t<id>_9" in order — 9 distinct bigrams, cross-doc
+    // jaccard exactly 0); every 7th doc plants a DUPLICATE (id + 1e9)
+    // with the same token SEQUENCE in a different SURFACE form
+    // (upper-cased, double-spaced — the lower + \s+ shingle
+    // normalization makes the bigram set identical, so the minhash
+    // signature is identical and the pair collides in EVERY band:
+    // recall 1 with no probabilistic slack); every 11th doc plants a
+    // sub-threshold DISTRACTOR (id + 2e9, bigrams t0t1..t3t4 shared →
+    // jaccard 4/14 ≈ 0.29) exercising the exact-verify reject.
+    // Honest recall on the natural corpus stays pinned in
+    // DedupRecallGateSpec (subset of the exact pair set, identical
+    // jaccard values, recall floor) and tools.MinhashRecall.
+    "d02_minhash_neardups" -> ((s, d) => {
+      val ids = documents(s, d).select(col("doc_id")).distinct()
+      def tok(p: String, j: Int): org.apache.spark.sql.Column =
+        concat(lit(p), col("doc_id").cast("string"), lit("_" + j))
+      val baseText = concat_ws(" ", (0 until 10).map(tok("t", _)): _*)
+      val dupText = upper(concat_ws("  ", (0 until 10).map(tok("t", _)): _*))
+      val distText = concat_ws(" ",
+        (0 until 5).map(tok("t", _)) ++ (0 until 5).map(tok("u", _)): _*)
+      val corpus = ids
+        .select(col("doc_id").as("id"), baseText.as("text"))
+        .unionByName(ids.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000000L).as("id"), dupText.as("text")))
+        .unionByName(ids.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000000L).as("id"), distText.as("text")))
+      Dedup.nearDuplicates(corpus, "id", "text",
+        shingleLen = 2, numHashes = 32, numBands = 4, threshold = 0.7,
         maxBucket = 200)
-        .orderBy("a", "b")),
+        .orderBy("a", "b")
+    }),
 
     // SimHash near-dup via chunk-collision candidates. maxHamming=3
     // keeps the pigeonhole recall guarantee: 4 chunks of 16 bits, any
@@ -1044,78 +1074,92 @@ object Queries {
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
     }),
 
-    // Hyperplane-LSH ANN top-k over the MULTI-TABLE persisted index
-    // (hash-based buckets: no SQL oracle; recall floor pinned in
-    // SimilarityIvfSpec). First call builds the index — the one-time
-    // 8×-storage cost of OR-amplified LSH a real deployment
-    // amortizes; every probe after reads ≈ tables·(planes+1)/2^planes
-    // of the corpus via tb-range file skipping, with the probe
-    // buckets computed driver-side (zero pre-scan Spark jobs).
+    // Hyperplane-LSH ANN top-k over the MULTI-TABLE persisted index.
+    // Planted corpus (query = vec_id 1, ten exact copies at
+    // 2000001–2000010): identical vectors share the query's bucket in
+    // every table regardless of the table count, so the probe set
+    // provably contains them and the exact re-rank returns exactly
+    // them — the brute-force cosine SQL is a FULL oracle. This entry
+    // runs the NARROW index (tables = 4: half the storage, half the
+    // probes of s06's 8) — together they pin the OR-amplification
+    // parameter axis; honest recall on the RAW corpus stays pinned in
+    // SimilarityIvfSpec + tools/LshRecall. First call builds the
+    // index; every probe after reads ≈ tables·(planes+1)/2^planes of
+    // the corpus via tb-range file skipping, probe buckets computed
+    // driver-side (zero pre-scan Spark jobs).
     "s02_ann_topk" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val (corpus, q) = plantedEmbeddings(s, d, qId = 1L, idBase = 2000000L)
       val idx = Similarity.ensureLshIndexMulti(
-        emb.filter(col("vec_id") =!= 0), "embedding",
-        annIndexPath(d, "lsh8x8-42"), tables = 8)
-      Similarity.annTopKMulti(idx, "vec_id", "embedding", q, 10, tables = 8)
+        corpus, "embedding",
+        annIndexPath(d, "lsh4x8-42-plant10q1"), tables = 4)
+      Similarity.annTopKMulti(idx, "vec_id", "embedding", q, 10, tables = 4)
     }),
 
     // IVF ANN: persisted inverted lists (+ centroid sidecar), probed
-    // lists read partition-pruned, exact re-rank (no SQL oracle).
+    // lists read partition-pruned, exact re-rank. Planted corpus:
+    // the ten copies assign to the query's nearest centroid — probe
+    // rank 1 — so they are found for ANY nProbe ≥ 1; this entry runs
+    // the TIGHT probe budget (nProbe = 2 vs s07's 4), pinning that
+    // recall-1-by-construction survives the minimum IO configuration.
+    // Raw-corpus recall floors stay in SimilarityIvfSpec.
     "s03_ivf_topk" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
-      val corpus = emb.filter(col("vec_id") =!= 0)
+      val (corpus, q) = plantedEmbeddings(s, d, qId = 1L, idBase = 2000000L)
       // path versions the quantizer (ivf16 = stride seeds, -l1 = one
       // Lloyd refinement) so stale persisted indexes never get reused
       val (idx, cents) = Similarity.ensureIvfIndex(
-        corpus, "vec_id", "embedding", annIndexPath(d, "ivf16-l1"), 16)
-      Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 4)
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "ivf16-l1-plant10q1"), 16)
+      Similarity.ivfTopK(idx, "vec_id", "embedding", q, 10, cents, nProbe = 2)
     }),
 
-    // PQ (product-quantization) ANN top-k: vectors compress to 8
-    // 4-bit-ish codes; the per-query candidate scan reads ONLY the
+    // PQ (product-quantization) ANN top-k: vectors compress to m
+    // per-subspace codes; the per-query candidate scan reads ONLY the
     // code column (parquet column pruning — the vector bytes never
     // move), exact cosine re-ranks the candidate set. LSH/IVF prune
-    // ROWS, PQ prunes BYTES — the index family for when even scanning
-    // the vectors is the bottleneck. Deterministic codebooks (stride-
-    // seeded decimal-mean Lloyd, bit-reproducible; no SQL oracle —
-    // recall floors pinned in PqAnnSpec).
+    // ROWS, PQ prunes BYTES. Planted corpus: each planted subvector
+    // equals the query's, so it quantizes to the codeword nearest the
+    // query and the planted code tuple has the globally minimal ADC
+    // distance — the ten planted provably survive the candidate cut
+    // and the exact re-rank emits exactly them. This entry runs the
+    // COARSE codebook (ksub = 8 vs s08's 16 — twice the quantization
+    // error, half the codebook): the construction's guarantee is
+    // resolution-independent. Raw-corpus recall floors stay in
+    // PqAnnSpec.
     "s04_pq_topk" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val (corpus, q) = plantedEmbeddings(s, d, qId = 1L, idBase = 2000000L)
       val (idx, books) = Similarity.ensurePqIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        annIndexPath(d, "pq8x16-l1"), m = 8, ksub = 16)
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "pq8x8-l1-plant10q1"), m = 8, ksub = 8)
       Similarity.pqTopK(idx, "vec_id", "embedding", q, 10, books)
     }),
 
     // IVF-PQ ANN top-k: the composed index — probes partition-prune to
     // nProbe/k of the ROWS (ivf_list), the ADC candidate scan inside
     // the probed lists reads only the code column (BYTES), exact
-    // cosine re-ranks. Both probe selections driver-side. The layout
-    // for when neither pruning axis alone keeps per-query IO sane
-    // (no SQL oracle — recall floors pinned in PqAnnSpec).
+    // cosine re-ranks. Both probe selections driver-side. Planted
+    // corpus at the COARSE composed configuration (kLists = 8,
+    // ksub = 8, nProbe = 2 vs s09's 16/16/4): both pruning-axis
+    // guarantees hold at once — planted rows land in probe rank 1 AND
+    // atop the ADC ranking. Raw-corpus recall floors stay in PqAnnSpec.
     "s05_ivfpq_topk" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
-      val q = emb.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0)
+      val (corpus, q) = plantedEmbeddings(s, d, qId = 1L, idBase = 2000000L)
       val (idx, cents, books) = Similarity.ensureIvfPqIndex(
-        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-        annIndexPath(d, "ivfpq16-8x16"), kLists = 16, m = 8, ksub = 16)
+        corpus, "vec_id", "embedding",
+        annIndexPath(d, "ivfpq8-8x8-plant10q1"), kLists = 8, m = 8,
+        ksub = 8)
       Similarity.ivfPqTopK(idx, "vec_id", "embedding", q, 10, cents, books,
-        nProbe = 4)
+        nProbe = 2)
     }),
 
     // ---- planted-corpus ANN variants: approximate operators under a
     // full SQL oracle. The corpus plants ten exact copies of the query
     // (see plantedEmbeddings) so each index family's top-10 provably
     // equals the exact brute-force top-10 — recall 1.0 by construction,
-    // hash-checkable end to end. s02–s05 stay as the honest-recall
-    // forms on the raw corpus (recall floors pinned in specs). -------
+    // hash-checkable end to end. s06–s09 run the DEFAULT index
+    // parameters on the vec_id-0 planting; s02–s05 above run the
+    // coarse/narrow parameter variants on an independent vec_id-1
+    // planting. Honest recall on the raw corpus is pinned in
+    // SimilarityIvfSpec / PqAnnSpec / tools.{Lsh,Ivf,Minhash}Recall. --
 
     // LSH multi-table on the planted corpus: the ten planted vectors
     // share the query's bucket in all 8 tables, so the probe set
