@@ -352,9 +352,10 @@ object Dedup {
                       threshold: Double,
                       partitionCols: Seq[String] = Nil,
                       minSize: Int = 1,
-                      bucketCap: Int = 2000): DataFrame =
+                      bucketCap: Int = 2000,
+                      sketchK: Int = 24): DataFrame =
     containmentPairs(docs.withColumn("__side", lit(0)), idCol, tokensCol,
-      threshold, partitionCols, cross = false, minSize, bucketCap)
+      threshold, partitionCols, cross = false, minSize, bucketCap, sketchK)
 
   /** The CROSS-corpus form of [[containmentJoin]] — ASYMMETRIC fuzzy
     * decontamination: every (left, right) pair with overlap coefficient
@@ -368,31 +369,42 @@ object Dedup {
   def containmentJoinAcross(left: DataFrame, right: DataFrame,
                             idCol: String, tokensCol: String,
                             threshold: Double, minSize: Int = 1,
-                            bucketCap: Int = 2000): DataFrame = {
+                            bucketCap: Int = 2000,
+                            sketchK: Int = 24): DataFrame = {
     val l = left.select(col(idCol), col(tokensCol))
       .withColumn("__side", lit(0))
     val r = right.select(col(idCol), col(tokensCol))
       .withColumn("__side", lit(1))
     containmentPairs(l.unionByName(r), idCol, tokensCol, threshold, Nil,
-      cross = true, minSize, bucketCap)
+      cross = true, minSize, bucketCap, sketchK)
   }
 
-  /** Candidate generation carries only (id, side, n) — never the token
-    * arrays: the index side posts EVERY token of every doc, so rows
-    * that dragged the full array would cost n² longs per n-token doc
-    * in shuffle and bucket-buffer bytes. Arrays re-join once per
-    * DEDUPED pair for the verify (ids must be globally unique, as
-    * everywhere in the dedup suite). Bucket sizes come from ONE count
-    * window over the shared probe∪index pass — no groupBy-plus-self-
-    * join re-running the explode lineage. */
+  /** Candidate generation carries (id, side, n) plus a CONSTANT-size
+    * bottom-k sketch — never the token arrays: the index side posts
+    * EVERY token of every doc, so rows that dragged the full array
+    * would cost n² longs per n-token doc in shuffle and bucket-buffer
+    * bytes (the sketch is capped at `sketchK` ints — n·k, not n²).
+    * The sketch buys the IN-BUCKET prefilter: a provable upper bound
+    * on |x∩y| ([[graft.functions.arrays.sketch_intersect_bound]])
+    * kills sub-threshold candidates where they are born, before they
+    * cross the pair-dedup exchange — the dominant ×100 cost on
+    * frequency-flat vocabularies, where hashed keys provably don't
+    * help (BENCH_NOTES round 10). Soundness: bound ≥ true overlap, so
+    * no qualifying pair is dropped; output is bit-identical. Arrays
+    * re-join once per DEDUPED pair for the verify (ids must be
+    * globally unique, as everywhere in the dedup suite). Bucket sizes
+    * come from ONE count window over the shared probe∪index pass — no
+    * groupBy-plus-self-join re-running the explode lineage. */
   private def containmentPairs(docs: DataFrame, idCol: String,
                                tokensCol: String, threshold: Double,
                                partitionCols: Seq[String], cross: Boolean,
                                minSize: Int,
-                               bucketCap: Int): DataFrame = {
+                               bucketCap: Int,
+                               sketchK: Int = 24): DataFrame = {
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(sketchK >= 1, s"sketchK must be >= 1, got $sketchK")
     val pc = partitionCols.map(col)
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
@@ -401,13 +413,29 @@ object Dedup {
       docs.filter(size(col(tokensCol)) >= minSize),
       idCol, tokensCol, partitionCols)
       .withColumn("__n", size(col("__w")))
+      // bottom-k sketch: first k RANKED tokens (already sorted
+      // rare-first), compressed 8→4 bytes by a MONOTONE saturating
+      // pack (11-bit range-partition id, 20-bit in-partition rank;
+      // saturation and collisions only ever loosen the bound upward)
+      .withColumn("__sk", transform(slice(col("__w"), 1, sketchK),
+        sketchPack(_)))
+      // EXACT-sketch flag: the sketch covers the whole set (n ≤ k) and
+      // the pack is injective on it (no saturated entry) — then the
+      // bound below computes the TRUE intersection and the packed
+      // sketch is an order-isomorphic copy of the token set, enabling
+      // the in-bucket fast path.
+      .withColumn("__xf", size(col("__w")) <= sketchK &&
+        shiftrightunsigned(element_at(col("__w"), -1), 40) <= lit(0x7FFL) &&
+        forall(col("__w"),
+          v => v.bitwiseAND(lit((1L << 40) - 1)) <= lit(0xFFFFFL)))
 
     // Probe rows (role 0): the doc's rare-first prefix, valid when it
     // is the smaller side of a pair. Index rows (role 1): every token
     // of every doc. (In cross mode BOTH corpora probe and index —
     // either side of a pair may be the smaller one; the role filter
     // below keeps each pair to its single valid orientation.)
-    val slim = pc :+ col("__id") :+ col("__side") :+ col("__n")
+    val slim = pc :+ col("__id") :+ col("__side") :+ col("__n") :+
+      col("__sk") :+ col("__xf")
     val probe = base.select((slim :+ lit(0).as("__role")) :+
       explode(slice(col("__w"), lit(1), plen(col("__n")))).as("__pt"): _*)
     val index = base.select((slim :+ lit(1).as("__role")) :+
@@ -423,50 +451,107 @@ object Dedup {
         least(ceil(sum(when(col("__role") === 1, 1L).otherwise(0L)).over(w)
           / lit(bucketCap)), lit(128))).cast("int"))
       .select((pc :+ col("__pt") :+ col("__id") :+ col("__side") :+
-        col("__n") :+ col("__role")) :+
+        col("__n") :+ col("__sk") :+ col("__xf") :+ col("__role")) :+
         explode(when(col("__role") === 1,
             array(pmod(xxhash64(col("__id"), lit(17)), col("__nc"))
               .cast("int")))
           .otherwise(sequence(lit(0), col("__nc") - 1))).as("__c"): _*)
 
-    val member = struct(col("__id"), col("__side"), col("__n"))
+    val member = struct(col("__id"), col("__side"), col("__n"),
+      col("__sk"), col("__xf"))
     // Cross mode collects the index members SPLIT BY SIDE, so a probe
     // explodes only against the OPPOSITE side's list: same-side
     // (probe, member) combinations — the majority of bucket volume
     // when one corpus dominates — are never generated instead of
     // being generated and filtered (measured on d16: 52.5M → cross-
     // side-only generation, the single biggest term in its wall).
+    // Index lists are FURTHER split by the exact-sketch flag so the
+    // fast and slow branches below each generate only THEIR pairs
+    // (their union is all pairs exactly once — the branch split never
+    // re-explodes the other branch's volume, and on an all-exact
+    // corpus the slow branch's generate is over empty lists).
+    def isIndex(exact: Boolean): Column =
+      col("__role") === 1 && (!lit(cross) || col("__side") === 1) &&
+        (if (exact) col("__xf") else !col("__xf"))
+    def isIndex0(exact: Boolean): Column =
+      lit(cross) && col("__role") === 1 && col("__side") === 0 &&
+        (if (exact) col("__xf") else !col("__xf"))
     val buckets = chunked
       .groupBy(pc :+ col("__pt") :+ col("__c"): _*)
       .agg(collect_list(when(col("__role") === 0, member)).as("__ps"),
-           collect_list(when(col("__role") === 1 &&
-             (!lit(cross) || col("__side") === 1), member)).as("__is"),
-           collect_list(when(lit(cross) && col("__role") === 1 &&
-             col("__side") === 0, member)).as("__is0"))
+           collect_list(when(isIndex(true), member)).as("__ise"),
+           collect_list(when(isIndex(false), member)).as("__isi"),
+           collect_list(when(isIndex0(true), member)).as("__is0e"),
+           collect_list(when(isIndex0(false), member)).as("__is0i"))
       .filter(size(col("__ps")) >= 1 &&
-        size(col("__is")) + size(col("__is0")) >= 1)
+        size(col("__ise")) + size(col("__isi")) +
+          size(col("__is0e")) + size(col("__is0i")) >= 1)
 
     val nx = col("x.__n"); val ny = col("y.__n")
-    val cand = buckets
-      .select(col("__is"), col("__is0"), explode(col("__ps")).as("x"))
-      .select(col("x"), explode(
-        if (cross) when(col("x.__side") === 0, col("__is"))
-          .otherwise(col("__is0"))
-        else col("__is")).as("y"))
-      // unique roles: probe strictly smaller; equal sizes tie-break by
-      // id (self) / by side (cross, LEFT probes — generation above is
-      // already cross-side-only in cross mode).
-      .filter(
-        if (cross) nx < ny || (nx === ny && col("x.__side") < col("y.__side"))
-        else nx < ny || (nx === ny && col("x.__id") < col("y.__id")))
-      .select(
-        (if (cross) when(col("x.__side") === 0, col("x.__id"))
-           .otherwise(col("y.__id"))
-         else least(col("x.__id"), col("y.__id"))).as("a"),
-        (if (cross) when(col("x.__side") === 0, col("y.__id"))
-           .otherwise(col("x.__id"))
-         else greatest(col("x.__id"), col("y.__id"))).as("b"),
-        nx.as("__nmin"))
+    def aExpr: Column =
+      (if (cross) when(col("x.__side") === 0, col("x.__id"))
+         .otherwise(col("y.__id"))
+       else least(col("x.__id"), col("y.__id"))).as("a")
+    def bExpr: Column =
+      (if (cross) when(col("x.__side") === 0, col("y.__id"))
+         .otherwise(col("x.__id"))
+       else greatest(col("x.__id"), col("y.__id"))).as("b")
+    // the probe's opposite-side index lists (exact / inexact)
+    def yExact: Column =
+      if (cross) when(col("x.__side") === 0, col("__ise"))
+        .otherwise(col("__is0e"))
+      else col("__ise")
+    def yInexact: Column =
+      if (cross) when(col("x.__side") === 0, col("__isi"))
+        .otherwise(col("__is0i"))
+      else col("__isi")
+    // unique roles: probe strictly smaller; equal sizes tie-break by
+    // id (self) / by side (cross, LEFT probes — generation above is
+    // already cross-side-only in cross mode).
+    def roleFilter: Column =
+      if (cross) nx < ny || (nx === ny && col("x.__side") < col("y.__side"))
+      else nx < ny || (nx === ny && col("x.__id") < col("y.__id"))
+    // IN-BUCKET bound: provable upper limit on the pair's overlap —
+    // EXACT when both sketches are (the fast-path precondition), never
+    // below the truth otherwise, so filtering on it is always sound.
+    def ubound: Column = graft.functions.arrays.sketch_intersect_bound(
+      col("x.__sk"), nx, col("y.__sk"), ny)
+    val probed = buckets.select(col("__pt"), col("__ise"), col("__isi"),
+      col("__is0e"), col("__is0i"), explode(col("__ps")).as("x"))
+
+    // FAST path — both sketches EXACT (full + injectively packed):
+    // the bound IS the true overlap, so the pair's containment is
+    // known in-bucket with no array fetch; and the verify-once guard
+    // is the first-COMMON-token rule (emit only from the bucket of
+    // min(x ∩ y), which is provably within x's probe prefix whenever
+    // any common token is — the same argument that makes the prefix
+    // filter exact), so no pair-dedup exchange either. On corpora
+    // whose sets fit the sketch (benchmark items, short docs — and
+    // the entire ×100 sweep corpus) the quadratic candidate volume
+    // never leaves its bucket task.
+    val fast = probed
+      .filter(col("x.__xf"))
+      .select(col("__pt"), col("x"), explode(yExact).as("y"))
+      .filter(roleFilter)
+      .withColumn("__ub", ubound)
+      .filter(col("__ub") >= lit(threshold) * nx &&
+        sketchPack(col("__pt")) === graft.functions.arrays
+          .sorted_first_common(col("x.__sk"), col("y.__sk")))
+      .select(aExpr, bExpr,
+        round(col("__ub").cast("double") / nx, 4).as("containment"))
+
+    // SLOW path — a truncated or saturated sketch on either side (an
+    // exact probe explodes only against the INEXACT index list; an
+    // inexact probe against both): the survivors of the (still sound)
+    // prefilter dedup once per pair, re-join their full token arrays,
+    // and verify exactly.
+    val slowCand = probed
+      .select(col("__pt"), col("x"), explode(
+        when(col("x.__xf"), yInexact)
+          .otherwise(concat(yExact, yInexact))).as("y"))
+      .filter(roleFilter)
+      .filter(ubound >= lit(threshold) * nx)
+      .select(aExpr, bExpr, nx.as("__nmin"))
       // a pair reaches this point once per shared (prefix ∩ partner)
       // token × its chunk; collapse BEFORE the array fetch so the
       // verify below runs exactly once per pair
@@ -474,15 +559,26 @@ object Dedup {
 
     val aSrc = if (cross) base.filter(col("__side") === 0) else base
     val bSrc = if (cross) base.filter(col("__side") === 1) else base
-    cand
+    val slow = slowCand
       .join(aSrc.select(col("__id").as("a"), col("__w").as("__wa")), "a")
       .join(bSrc.select(col("__id").as("b"), col("__w").as("__wb")), "b")
       .withColumn("__si", graft.functions.arrays.sorted_intersect_size(
         col("__wa"), col("__wb")))
       .withColumn("containment", col("__si").cast("double") / col("__nmin"))
       .filter(col("containment") >= threshold)
-      .select(col("a"), col("b"), round(col("containment"), 4).as("containment"))
+      .select(col("a"), col("b"),
+        round(col("containment"), 4).as("containment"))
+    fast.unionByName(slow)
   }
+
+  /** MONOTONE saturating 8→4-byte compression of a rankedSets token
+    * id (pid<<40 | rank → sat11(pid)<<20 | sat20(rank)): order-
+    * preserving always, INJECTIVE whenever neither field saturates —
+    * the exact-sketch fast-path precondition checked by `__xf`. */
+  private def sketchPack(v: Column): Column =
+    (shiftleft(least(shiftrightunsigned(v, 40), lit(0x7FFL)), 20) +
+      least(v.bitwiseAND(lit((1L << 40) - 1)), lit(0xFFFFFL)))
+      .cast("int")
 
   /** Rank every token rare-first into a long id and re-assemble each
     * doc as a SORTED long array — the shared front end of the exact

@@ -22,7 +22,10 @@ object PlanMetrics {
     println(f"[metrics] $q wall ${(System.nanoTime() - t0) / 1e9}%.2f s")
     def walk(p: SparkPlan, depth: Int): Unit = {
       val rows = p.metrics.get("numOutputRows").map(_.value)
-      val tag = rows.fold("")(r => f"$r%,d rows")
+      val shuffleBytes = p.metrics.get("shuffleBytesWritten")
+        .orElse(p.metrics.get("dataSize")).map(_.value)
+      val tag = rows.fold("")(r => f"$r%,d rows") +
+        shuffleBytes.fold("")(b => f"  ${b / 1048576.0}%.1f MB")
       println(f"[metrics] ${"  " * depth}${p.nodeName}%-35s $tag")
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)

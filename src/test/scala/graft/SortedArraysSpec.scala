@@ -35,6 +35,47 @@ class SortedArraysSpec extends AnyFunSuite {
     assert(di.forall(r => r.getInt(0) == 0 && r.getBoolean(1)))
   }
 
+  test("sketch_intersect_bound: sound (never below true overlap), exact when untruncated") {
+    import graft.functions.arrays.sketch_intersect_bound
+    // sets as sorted distinct non-negative ints; sketches = first k
+    // after a MONOTONE lossy map (divide by 3 — forces duplicates, the
+    // saturation case); truth computed on the raw sets
+    val cases = Seq.fill(500) {
+      val x = Seq.fill(rnd.nextInt(40))(rnd.nextInt(120)).distinct.sorted
+      val y = Seq.fill(rnd.nextInt(40))(rnd.nextInt(120)).distinct.sorted
+      val k = 1 + rnd.nextInt(12)
+      val lossy = rnd.nextBoolean()
+      def sk(s: Seq[Int]) = s.take(k).map(v => if (lossy) v / 3 else v)
+      (sk(x), x.size, sk(y), y.size, x.intersect(y).size, k, lossy)
+    }
+    val df = cases.toDF("xsk", "nx", "ysk", "ny", "truth", "k", "lossy")
+      .withColumn("ub", sketch_intersect_bound(
+        col("xsk"), col("nx"), col("ysk"), col("ny")))
+    val rows = df.select("ub", "truth", "nx", "ny", "k", "lossy").collect()
+    rows.foreach { r =>
+      val (ub, truth, nx, ny, k, lossy) = (r.getInt(0), r.getInt(1),
+        r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(5))
+      assert(ub >= truth, s"bound $ub < true $truth (n=$nx/$ny k=$k)")
+      assert(ub <= math.min(nx, ny), s"bound $ub above min size")
+      // both sets inside the sketch and no lossy map → exact
+      if (!lossy && nx <= k && ny <= k)
+        assert(ub == truth, s"untruncated bound $ub != $truth")
+    }
+    // eval/codegen parity: interpreted projection must agree
+    val evald = cases.map { case (xsk, nx, ysk, ny, _, _, _) =>
+      org.apache.spark.sql.graft.SketchIntersectBound(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xsk, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(nx),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          ysk, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal(ny)).eval(null)
+    }
+    assert(rows.map(_.getInt(0)).toSeq == evald)
+  }
+
   test("eval and codegen paths agree on a parquet-backed frame, and participate in codegen") {
     // parquet-backed → whole-stage codegen path
     val docs = graft.sources.TestData.table(spark, sf, "documents").limit(100)
