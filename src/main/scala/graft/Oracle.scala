@@ -1849,6 +1849,10 @@ UNION ALL SELECT 9000005, CAST(32 AS INTEGER),
        'a5e25e076eb60568df19d1407b254501', CAST(4 AS INTEGER),
        '78b07fffa08696630effdbb4bfe25039',
        '704471c23af7f89aa03b0eb2a7b666f1'
+UNION ALL SELECT 9000006, CAST(32 AS INTEGER),
+       '957a27d5a50f498ba8a9c1c03da4da10', CAST(4 AS INTEGER),
+       '14984daeb4550cbb8abb7a7e0f515882',
+       '62e5b1dec71583e23c1d533165f66825'
 ORDER BY asset_id"""),
 
     // m05: the two planted PCM clips' features are GOLDEN literals

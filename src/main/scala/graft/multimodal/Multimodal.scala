@@ -70,7 +70,8 @@ object Multimodal {
     * time-varying pixel grid) for m02's REAL video-frame row. */
   def videoFixtureAssets(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    Seq((9000005L, AviFixtures.clip, "video/x-msvideo"))
+    Seq((9000005L, AviFixtures.clip, "video/x-msvideo"),
+        (9000006L, AviFixtures.mjpegClip, "video/x-msvideo"))
       .toDF("asset_id", "content", "mime")
   }
 

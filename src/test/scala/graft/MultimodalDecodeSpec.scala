@@ -401,6 +401,48 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(stub.length == 4 && new String(stub.head, "UTF-8") == "plain te")
   }
 
+  test("MJPEG AVI: real compressed-codec frame decode, decoder-invariant goldens") {
+    import graft.multimodal.{AviFixtures, PixelDecode, VideoFrames}
+    val clip = fixture("clip_mjpeg_16x8.avi") // independent Python build
+    assert(AviFixtures.mjpegClip.toSeq == clip.toSeq,
+      "Scala fixture builder diverged from the checked-in Python build")
+    val dec = VideoFrames.decode(clip)
+    assert(dec != null && dec.width == 16 && dec.height == 8 &&
+      dec.frames.length == 10)
+    // every frame is a DC-only uniform grayscale JPEG, so the decoded
+    // raster is EXACTLY flat at the planted value on any compliant
+    // decoder (no AC, no chroma, no IDCT/upsampling/gamma variance)
+    for (f <- 0 until 10) {
+      val exp = AviFixtures.mjpegGray(f)
+      assert(dec.frames(f).forall(b => (b & 0xFF) == exp),
+        s"frame $f not uniformly $exp")
+    }
+    // strictness: truncation, size drift, a corrupt JPEG chunk → null
+    assert(VideoFrames.decode(clip.dropRight(1)) == null)
+    assert(VideoFrames.decode(clip :+ 0x00.toByte) == null)
+    val corrupt = clip.clone()
+    val jpegAt = { // first 00dc payload start: corrupt its SOI marker
+      val s = clip.indexOfSlice("00dc".getBytes("US-ASCII"))
+      assert(s > 0); s + 8
+    }
+    corrupt(jpegAt) = 'A'.toByte
+    assert(VideoFrames.decode(corrupt) == null)
+
+    // plan surface: frameSample takes the REAL MJPEG path — 4 evenly-
+    // strided frames (0/3/6/9) decoded to PPMs of the planted grays
+    val sampled = Seq((1L, clip)).toDF("asset_id", "content")
+      .select(Multimodal.frameSample(col("content"), 4, 64).as("fr"))
+      .head().getSeq[Array[Byte]](0)
+    assert(sampled.length == 4)
+    for ((bytes, j) <- sampled.zipWithIndex) {
+      val f = Seq(0, 3, 6, 9)(j)
+      val p = PixelDecode.decodePpm(bytes)
+      assert(p != null && p.width == 16 && p.height == 8, s"sampled $j")
+      val exp = AviFixtures.mjpegGray(f)
+      assert(p.rgb.forall(b => (b & 0xFF) == exp), s"sampled $j != gray $exp")
+    }
+  }
+
   /** Animated GIF with `n` solid-color frames (primary colors survive
     * GIF palettization exactly), via the JDK's GIF sequence writer. */
   private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
