@@ -37,6 +37,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Environment sidecar: when a hash diverges between the builder's
+    // local check and the driver's board (the round-10 t19 episode),
+    // the first question is "same engines?" — make it answerable from
+    // the artifacts alone. The DuckDB half comes from check_oracle.py.
+    val env = Map(
+      "spark_version" -> spark.version,
+      "java_version" -> sys.props.getOrElse("java.version", "?"),
+      "java_vendor" -> sys.props.getOrElse("java.vendor", "?"),
+      "scala_version" -> util.Properties.versionNumberString,
+      "timezone" -> spark.conf.get("spark.sql.session.timeZone"),
+      "ansi" -> spark.conf.getOption("spark.sql.ansi.enabled")
+        .getOrElse("default"))
+    Files.writeString(Paths.get(s"$outDir/spark_env.json"),
+      env.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

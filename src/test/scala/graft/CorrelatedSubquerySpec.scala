@@ -61,4 +61,17 @@ class CorrelatedSubquerySpec extends AnyFunSuite {
       .except(viaSql).isEmpty && viaSql.except(
         direct.select(col("l_partkey").as("partkey"), col("n_small"))).isEmpty)
   }
+
+  test("q58: keyset pagination stays TakeOrderedAndProject (no global sort)") {
+    // The whole point of q58 is its plan shape: a keyset page at 100 TB
+    // must be a filter-pushdown + per-partition top-k merge, never a
+    // full global sort of the fact table feeding a limit. Cheap
+    // insurance that catalog growth or an optimizer change doesn't
+    // silently regress the one query that exists to pin this.
+    val p = plan("q58_keyset_page")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$p")
+    assert(!p.contains("GlobalLimit"),
+      s"limit must fold into the top-k operator, not a global sort:\n$p")
+  }
 }

@@ -37,9 +37,36 @@ def col_equal(name, e, g):
         return False
 
 
+def version_report(out=None):
+    """DuckDB engine fingerprint + dialect probes — written next to the
+    verify artifacts so a builder-vs-driver hash divergence (the t19
+    episode) is diagnosable from the JSON alone."""
+    con = duckdb.connect()
+    probes = {
+        "duckdb_version": duckdb.__version__,
+        "pandas_version": pd.__version__,
+        # dialect probes: behaviors that have shifted across versions
+        "int_div": str(con.execute("SELECT 7 // 2").fetchone()[0]),
+        "decimal_mul": str(con.execute(
+            "SELECT CAST(8231 AS DECIMAL(5,0)) * 0.0001").fetchone()[0]),
+        "round_half": str(con.execute("SELECT ROUND(2.5, 0)").fetchone()[0]),
+        "double_fmt": str(con.execute("SELECT 0.1 + 0.2").fetchone()[0]),
+    }
+    blob = json.dumps(probes, indent=2)
+    print(blob)
+    if out:
+        with open(f"{out}/check_env.json", "w") as fh:
+            fh.write(blob)
+    return probes
+
+
 def main():
+    if "--version-report" in sys.argv:
+        version_report(None)
+        return
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_smoke"
+    version_report(out)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
