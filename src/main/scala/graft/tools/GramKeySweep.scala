@@ -54,7 +54,25 @@ object GramKeySweep {
              max(col("containment")).as("max_containment"))
     }
 
+    // BM25 probe terms for the scaled corpus: the catalog t22's fixed
+    // terms don't survive the ×N vocabulary remap, so draw 2 frequent
+    // + 2 mid-frequency tokens from the corpus itself (computed here,
+    // OUTSIDE the timed thunks).
+    lazy val bm25Terms: Seq[String] = {
+      val freq = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").count()
+      val top = freq.orderBy(col("count").desc, col("t")).limit(2)
+        .collect().map(_.getString(0))
+      val mid = freq.filter(col("count").between(100, 10000))
+        .orderBy("t").limit(2).collect().map(_.getString(0))
+      (top ++ mid).toSeq
+    }
+
     val variants: Seq[(String, () => DataFrame)] = Seq(
+      "t22 bm25" -> (() =>
+        graft.text.Retrieval.bm25TopK(docs, "doc_id", "text",
+          bm25Terms, 20)),
       "t21 string" -> (() =>
         Dedup.sourceOverlap(docs, "source", "text", 5)),
       "t21 hashed" -> (() =>
@@ -67,9 +85,28 @@ object GramKeySweep {
       // hashed TOKENS: set containment is key-agnostic, so the whole
       // prefix-filter exchange runs on 8-byte keys
       "d16 hashed" -> (() => d16(tok.withColumn("w",
-        transform(col("w"), t => xxhash64(t))))))
+        transform(col("w"), t => xxhash64(t))))),
+      // c10 DSIR: raw-token features (the catalog/oracle form, model
+      // state grows with the vocabulary) vs the hashed-feature scale
+      // form (state bounded at 2^16 buckets — the paper's regime,
+      // rank agreement pinned in DsirSpec)
+      "c10 exact" -> (() =>
+        graft.text.Mixture.importanceWeights(docs, "doc_id", "text",
+            col("source") === graft.text.Mixture.DsirTargetSource)
+          .orderBy(col("logratio").desc, col("doc_id"))
+          .limit(graft.text.Mixture.DsirTopK)),
+      "c10 hashed" -> (() =>
+        graft.text.Mixture.importanceWeights(docs, "doc_id", "text",
+            col("source") === graft.text.Mixture.DsirTargetSource,
+            hashBuckets = 1 << 16)
+          .orderBy(col("logratio").desc, col("doc_id"))
+          .limit(graft.text.Mixture.DsirTopK)))
 
-    for (pass <- 1 to 2; (name, mk) <- variants) {
+    // optional arg 2+: run only variants whose name contains a token
+    val only = args.drop(1).toSeq
+    val selected = if (only.isEmpty) variants
+      else variants.filter { case (n, _) => only.exists(n.contains) }
+    for (pass <- 1 to 2; (name, mk) <- selected) {
       org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       shuffled.set(0L)
       val t0 = System.nanoTime()
