@@ -1269,6 +1269,120 @@ SELECT doc_id, ROUND(SUM(sc), 4) AS bm25,
        CAST(COUNT(*) AS BIGINT) AS n_matched_terms
 FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""),
 
+    // t23: exploded group-by formulation of the Gopher repetition
+    // filters (the Spark side is a row-local sorted-run scan — same
+    // semantics, opposite plan shape). Top-gram tie-break: count desc,
+    // gram asc, matching the run scan over the ascending sort.
+    "t23_gopher_repetition" -> ("""
+WITH raw AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm0,
+         string_split_regex(lower(trim(text)), '\s+') AS toks0
+  FROM documents),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 AND len(toks0) >= 8
+              THEN norm0 || ' ' || array_to_string(toks0[1:8], ' ')
+              ELSE norm0 END AS norm
+  FROM raw),
+tok AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks, length(norm) AS tot
+  FROM pl),
+grams AS (
+  SELECT doc_id, tot, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tok WHERE len(toks) >= 2
+  UNION ALL
+  SELECT doc_id, tot, 3 AS n,
+         unnest(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM tok WHERE len(toks) >= 3
+  UNION ALL
+  SELECT doc_id, tot, 4 AS n,
+         unnest(list_transform(range(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3])) AS gram
+  FROM tok WHERE len(toks) >= 4
+  UNION ALL
+  SELECT doc_id, tot, 5 AS n,
+         unnest(list_transform(range(1, len(toks) - 3),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM tok WHERE len(toks) >= 5),
+cnt AS (
+  SELECT doc_id, tot, n, gram, COUNT(*) AS c, length(gram) AS glen
+  FROM grams GROUP BY doc_id, tot, n, gram),
+top AS (
+  SELECT doc_id, tot, n, c, glen,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY c DESC, gram ASC) AS rn
+  FROM cnt WHERE n IN (2, 3, 4)),
+topv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN n = 2 THEN ROUND(c * glen * 1.0 / tot, 4) END) AS t2,
+         MAX(CASE WHEN n = 3 THEN ROUND(c * glen * 1.0 / tot, 4) END) AS t3,
+         MAX(CASE WHEN n = 4 THEN ROUND(c * glen * 1.0 / tot, 4) END) AS t4
+  FROM top WHERE rn = 1 GROUP BY doc_id),
+dupv AS (
+  SELECT doc_id,
+         ROUND(LEAST(1.0, SUM(c * glen) * 1.0 / ANY_VALUE(tot)), 4) AS d5
+  FROM cnt WHERE n = 5 AND c >= 2 GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(tv.t2, 0.0) AS top2_frac,
+       COALESCE(tv.t3, 0.0) AS top3_frac,
+       COALESCE(tv.t4, 0.0) AS top4_frac,
+       COALESCE(dv.d5, 0.0) AS dup5_frac
+FROM tok t LEFT JOIN topv tv USING (doc_id) LEFT JOIN dupv dv USING (doc_id)
+ORDER BY t.doc_id"""),
+
+    // t24: the derived-line corpus (5-token lines; planted "- " bullet
+    // on lines opening with "the", " ..." ellipsis on lines closing
+    // with "dup") reproduced verbatim, then the exploded line
+    // group-by.
+    "t24_line_stats" -> ("""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents),
+dec AS (
+  SELECT doc_id,
+         list_transform(
+           string_split(regexp_replace(norm, '((?:\S+ ){4}\S+) ',
+                                       '\1' || chr(10), 'g'), chr(10)),
+           l -> CASE WHEN regexp_matches(l, '( |^)dup$') THEN
+                  CASE WHEN regexp_matches(l, '^the( |$)')
+                       THEN '- ' || l || ' ...' ELSE l || ' ...' END
+                ELSE
+                  CASE WHEN regexp_matches(l, '^the( |$)')
+                       THEN '- ' || l ELSE l END
+                END) AS ls
+  FROM tok),
+pl AS (
+  SELECT doc_id,
+         list_concat(ls, CASE WHEN doc_id % 3 = 0 THEN [ls[1]]
+                              ELSE []::VARCHAR[] END) AS ls
+  FROM dec),
+ln AS (SELECT doc_id, unnest(ls) AS line FROM pl),
+cnt AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS ll
+  FROM ln GROUP BY doc_id, line),
+agg AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd,
+         SUM(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS dchars,
+         SUM(c * ll) AS tchars,
+         SUM(CASE WHEN line LIKE '- %' THEN c ELSE 0 END) AS bl,
+         SUM(CASE WHEN line LIKE '%...' THEN c ELSE 0 END) AS el
+  FROM cnt GROUP BY doc_id)
+SELECT doc_id, CAST(n AS INTEGER) AS n_lines,
+       ROUND(1.0 - nd * 1.0 / n, 4) AS dup_line_frac,
+       CASE WHEN tchars = 0 THEN 0.0
+            ELSE ROUND(LEAST(1.0, dchars * 1.0 / tchars), 4)
+       END AS dup_line_char_frac,
+       ROUND(bl * 1.0 / n, 4) AS bullet_frac,
+       ROUND(el * 1.0 / n, 4) AS ellipsis_frac
+FROM agg ORDER BY doc_id"""),
+
     "t21_source_overlap" -> ("""
 WITH t AS (
   SELECT source, string_split_regex(lower(trim(text)), '\s+') AS toks

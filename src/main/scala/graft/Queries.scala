@@ -2662,6 +2662,94 @@ object Queries {
       graft.text.Retrieval.bm25TopK(documents(s, d), "doc_id", "text",
         Seq("hash", "join", "sort", "merge"), 20)),
 
+    // Gopher repetition filters (Rae et al. 2021 §A1.1): fraction of
+    // characters covered by the most frequent {2,3,4}-gram and by
+    // duplicated 5-grams. Entirely ROW-LOCAL (sorted-run scan inside
+    // the row, TextFunctions.multisetStats) — per-doc repetition never
+    // shuffles the token stream; the DuckDB oracle is the exploded
+    // group-by formulation this shape avoids at corpus scale. The
+    // natural corpus never repeats a 5-gram intra-doc, so repetition
+    // is PLANTED at a known rate (every 4th doc re-appends its 8-token
+    // prefix — the d12 planted-construction pattern, reproduced
+    // verbatim in the oracle) to keep the duplicate path oracle-
+    // exercised.
+    "t23_gopher_repetition" -> ((s, d) => {
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val toks = split(norm, " ")
+      val planted = when(col("doc_id") % 4 === 0 && size(toks) >= 8,
+        concat(norm, lit(" "), concat_ws(" ", slice(toks, 1, 8))))
+        .otherwise(norm)
+      val st = TextFunctions.repetitionStats(planted)
+      val tot = st.getField("tot_chars")
+      def topFrac(c: org.apache.spark.sql.Column,
+                  l: org.apache.spark.sql.Column) =
+        when(c === 0, 0.0).otherwise(round(c.cast("double") * l / tot, 4))
+      documents(s, d).select(
+        col("doc_id"),
+        topFrac(st.getField("top2_cnt"), st.getField("top2_len"))
+          .as("top2_frac"),
+        topFrac(st.getField("top3_cnt"), st.getField("top3_len"))
+          .as("top3_frac"),
+        topFrac(st.getField("top4_cnt"), st.getField("top4_len"))
+          .as("top4_frac"),
+        when(st.getField("dup5_chars") === 0, 0.0)
+          .otherwise(round(least(lit(1.0),
+            st.getField("dup5_chars").cast("double") / tot), 4))
+          .as("dup5_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher LINE-level filters over a derived multi-line corpus (the
+    // documents table carries no newlines, so lines are derived
+    // deterministically: 5-token lines, a "- " bullet planted on
+    // lines opening with "the", a " ..." ellipsis on lines closing
+    // with "dup", and every 3rd doc re-appends its FIRST line so the
+    // duplicate-line path is oracle-exercised — the d12 planted-
+    // construction pattern, mirrored verbatim in the oracle).
+    // Duplicate-line fraction / char fraction, bullet-line and
+    // ellipsis-line fractions — all row-local (multisetStats run scan
+    // + filter() lambdas).
+    "t24_line_stats" -> ((s, d) => {
+      // decoration runs on the multi-line STRING ((?m) anchors, no
+      // lookaheads — RE2-parseable) rather than a per-line transform
+      // lambda: higher-order functions are CodegenFallback and drop
+      // the projection out of whole-stage codegen (measured 2.5 s →
+      // ~0.3 s at sf0.1). Bullet decoration prepends, ellipsis
+      // appends, so neither changes the region the other tests.
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val lined = regexp_replace(norm, "((?:\\S+ ){4}\\S+) ", "$1\n")
+      val dec = regexp_replace(
+        regexp_replace(lined, "(?m)^the( |$)", "- the$1"),
+        "(?m)( |^)dup$", "$1dup ...")
+      val lines0 = split(dec, "\n")
+      val isPlanted = col("doc_id") % 3 === 0
+      val lines = concat(lines0,
+        when(isPlanted, array(element_at(lines0, 1)))
+          .otherwise(array().cast("array<string>")))
+      val st = TextFunctions.multisetStats(lines)
+      val n = st.getField("n")
+      // bullet/ellipsis counts string-side (regexp_count stays in
+      // codegen); the planted copy of line 1 is adjusted for directly
+      val first = regexp_extract(dec, "^[^\n]*", 0)
+      val bullets = regexp_count(dec, lit("(?m)^- ")) +
+        when(isPlanted && first.startsWith("- "), 1).otherwise(0)
+      val ellipses = regexp_count(dec, lit("(?m)\\.\\.\\.$")) +
+        when(isPlanted && first.endsWith("..."), 1).otherwise(0)
+      documents(s, d).select(
+        col("doc_id"),
+        n.as("n_lines"),
+        round(lit(1.0) - st.getField("n_distinct").cast("double") / n, 4)
+          .as("dup_line_frac"),
+        when(st.getField("tot_chars") === 0, 0.0)
+          .otherwise(round(least(lit(1.0),
+            st.getField("dup_chars").cast("double")
+              / st.getField("tot_chars")), 4))
+          .as("dup_line_char_frac"),
+        round(bullets.cast("double") / n, 4).as("bullet_frac"),
+        round(ellipses.cast("double") / n, 4).as("ellipsis_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-source overlap matrix: shared distinct 5-grams + gram-set
     // jaccard for every source pair — one gram-keyed exchange,
     // collect_set(source) bounded by |sources|, row-local pair

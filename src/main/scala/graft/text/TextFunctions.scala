@@ -118,6 +118,77 @@ object TextFunctions {
   def minKSketch(text: Column, n: Int, k: Int): Column =
     slice(array_sort(transform(shingles(text, n), s => xxhash64(s))), 1, k)
 
+  /** Word n-gram shingles WITH duplicates — the multiset [[shingles]]
+    * deduplicates. Repetition statistics need every occurrence;
+    * documents shorter than n words yield an EMPTY array (no n-gram
+    * exists — unlike [[shingles]]' whole-document collapse, which is a
+    * signature convention, not an occurrence count). Same single-pass
+    * lookahead regex as [[shingles]]. */
+  def allShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n == 1) toks
+    else {
+      val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+      val pat = "(?:^|(?<= ))(?=((?:\\S+ ){" + (n - 1) + "}\\S+))"
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(regexp_extract_all(norm, lit(pat), lit(1)))
+    }
+  }
+
+  /** Occurrence statistics of a string multiset, computed ROW-LOCALLY:
+    * `struct(n, n_distinct, top_cnt, top_len, dup_occ, dup_chars,
+    * tot_chars)` where `top` is the most frequent element (ties broken
+    * by ascending binary element order — deterministic and engine-
+    * mirrorable), `dup_occ` counts occurrences of elements seen ≥ 2
+    * times (ALL of them, the Rae et al. 2021 "characters in duplicate
+    * n-grams" convention), `dup_chars` their summed char lengths,
+    * `tot_chars` the summed char length of every occurrence.
+    *
+    * Per-document repetition metrics must never leave the row — the
+    * explode → groupBy(doc, elem) → re-group formulation shuffles the
+    * full token stream twice, which at corpus scale is the single
+    * largest exchange in the pipeline. The implementation is a native
+    * sorted-run-scan expression ([[graft.text.RepetitionKernel
+    * .multisetStats]]) that stays inside whole-stage codegen; the
+    * sort_array + aggregate-lambda formulation it replaces is
+    * CodegenFallback and measured 10-20× slower end-to-end (t23 at
+    * sf0.1: 26 s → sub-second with the single-pass sibling).
+    * Equivalence with the exploded formulation is spec-asserted
+    * (GopherRepetitionSpec). */
+  def multisetStats(arr: Column): Column =
+    org.apache.spark.sql.graft.StringMultisetStats.multisetStats(arr)
+
+  /** Single-pass native form of the four Gopher repetition metrics
+    * over WHITESPACE-NORMALIZED text (`regexp_replace(lower(trim(t)),
+    * '\s+', ' ')`): struct(top2_cnt, top2_len, top3_cnt, top3_len,
+    * top4_cnt, top4_len, dup5_chars, tot_chars). One tokenize, grams
+    * as contiguous byte ranges (no per-gram strings) — the t23 hot
+    * path. */
+  def repetitionStats(normText: Column): Column =
+    org.apache.spark.sql.graft.RepetitionStats.repetitionStats(normText)
+
+  /** Fraction of normalized-text characters covered by the single most
+    * frequent word n-gram (count × gram length / normalized length) —
+    * the Rae et al. 2021 (Gopher) `top_n_gram` repetition filter.
+    * Ties: lexicographically smallest gram among the argmax (the
+    * sorted-run scan can only be beaten by a STRICTLY longer run). */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val st = multisetStats(allShingles(text, n))
+    val tot = length(regexp_replace(lower(trim(text)), "\\s+", " "))
+    when(tot === 0 || st.getField("n") === 0, 0.0).otherwise(
+      st.getField("top_cnt").cast("double") * st.getField("top_len") / tot)
+  }
+
+  /** Fraction of normalized-text characters inside word n-grams that
+    * occur more than once (ALL occurrences counted, overlaps not
+    * deduplicated — capped at 1.0), the Gopher `dup_n_gram` filter. */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    val st = multisetStats(allShingles(text, n))
+    val tot = length(regexp_replace(lower(trim(text)), "\\s+", " "))
+    when(tot === 0 || st.getField("n") === 0, 0.0).otherwise(
+      least(lit(1.0), st.getField("dup_chars").cast("double") / tot))
+  }
+
   /** The scrub stage of a training-data pipeline: sensitive-token
     * patterns applied IN ORDER, each replacing on the previous step's
     * output (so a digit run inside an already-masked email is not

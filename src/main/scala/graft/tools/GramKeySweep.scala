@@ -100,7 +100,14 @@ object GramKeySweep {
             col("source") === graft.text.Mixture.DsirTargetSource,
             hashBuckets = 1 << 16)
           .orderBy(col("logratio").desc, col("doc_id"))
-          .limit(graft.text.Mixture.DsirTopK)))
+          .limit(graft.text.Mixture.DsirTopK)),
+      // t23/t24 Gopher repetition: ROW-LOCAL native kernels — the
+      // expected scale row is ~linear wall with ZERO shuffle beyond
+      // the final global order (per-doc stats never exchange)
+      "t23 repetition" -> (() =>
+        graft.Queries.all("t23_gopher_repetition")(spark, dir)),
+      "t24 linestats" -> (() =>
+        graft.Queries.all("t24_line_stats")(spark, dir)))
 
     // optional arg 2+: run only variants whose name contains a token
     val only = args.drop(1).toSeq
