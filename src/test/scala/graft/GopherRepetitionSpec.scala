@@ -53,6 +53,22 @@ class GopherRepetitionSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-byte UTF-8: lengths count characters, not bytes") {
+    // "é" is 2 bytes / 1 char; "aé bé aé bé" → 2-grams [aé bé, bé aé,
+    // aé bé]: top = "aé bé" ×2, char length 5 (not 7 bytes); dup
+    // chars 10; total normalized chars 11
+    val r = stats("aé bé aé bé", 2)
+    assert(r.getAs[Int]("top_cnt") == 2)
+    assert(r.getAs[Int]("top_len") == 5)
+    assert(r.getAs[Long]("dup_chars") == 10L)
+    val one = Seq("aé bé aé bé").toDF("text")
+      .select(TextFunctions.repetitionStats(col("text")).as("st"))
+      .select("st.top2_cnt", "st.top2_len", "st.dup5_chars", "st.tot_chars")
+      .collect().head
+    assert(one.getInt(0) == 2 && one.getInt(1) == 5)
+    assert(one.getLong(2) == 0L && one.getInt(3) == 11)
+  }
+
   test("top tie-break is the lexicographically smallest argmax gram") {
     // "z z q q": 1-grams q and z both twice; top must be q (len 1
     // either way, but the pinned contract is gram-ascending)
