@@ -2554,27 +2554,23 @@ a AS (
          SUM(CASE WHEN label THEN r2 END) AS rp2
   FROM r GROUP BY source)
 SELECT source, n_docs, n_pos,
-       CAST(CAST((20000 * n_correct + n_docs) // (2 * n_docs)
-            AS DECIMAL(5,0)) * 0.0001 AS DECIMAL(9,4)) AS accuracy,
+       CAST((20000 * n_correct + n_docs) // (2 * n_docs)
+            AS BIGINT) AS accuracy_e4,
        CASE WHEN tp + fp > 0
-            THEN CAST(CAST((20000 * tp + tp + fp) // (2 * (tp + fp))
-                 AS DECIMAL(5,0)) * 0.0001 AS DECIMAL(9,4))
-       END AS prec,
+            THEN CAST((20000 * tp + tp + fp) // (2 * (tp + fp)) AS BIGINT)
+       END AS prec_e4,
        CASE WHEN n_pos > 0
-            THEN CAST(CAST((20000 * tp + n_pos) // (2 * n_pos)
-                 AS DECIMAL(5,0)) * 0.0001 AS DECIMAL(9,4))
-       END AS recall,
+            THEN CAST((20000 * tp + n_pos) // (2 * n_pos) AS BIGINT)
+       END AS recall_e4,
        CASE WHEN 2*tp + fp + fn > 0
-            THEN CAST(CAST((20000 * 2 * tp + (2*tp + fp + fn))
-                           // (2 * (2*tp + fp + fn))
-                 AS DECIMAL(5,0)) * 0.0001 AS DECIMAL(9,4))
-       END AS f1,
+            THEN CAST((20000 * 2 * tp + (2*tp + fp + fn))
+                      // (2 * (2*tp + fp + fn)) AS BIGINT)
+       END AS f1_e4,
        CASE WHEN n_pos > 0 AND n_pos < n_docs
-            THEN CAST(CAST((20000 * (rp2 - n_pos * (n_pos + 1))
-                            + 2 * n_pos * (n_docs - n_pos))
-                           // (4 * n_pos * (n_docs - n_pos))
-                 AS DECIMAL(5,0)) * 0.0001 AS DECIMAL(9,4))
-       END AS auc
+            THEN CAST((20000 * (rp2 - n_pos * (n_pos + 1))
+                       + 2 * n_pos * (n_docs - n_pos))
+                      // (4 * n_pos * (n_docs - n_pos)) AS BIGINT)
+       END AS auc_e4
 FROM a ORDER BY source"""
     },
 

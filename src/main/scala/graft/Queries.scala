@@ -2410,11 +2410,13 @@ object Queries {
     // plus ROC AUC via the rank-sum (Mann–Whitney U) identity with
     // average ranks for score ties. Everything reduces to integer
     // sums (rank sums kept on a ×2 BIGINT half-integer grid), and
-    // each final metric is exact integer half-up rounding on the 1e4
-    // grid — floor((2·10⁴·num + den)/(2·den))/1e4 — so both engines
-    // agree bit-for-bit with no double `round` at a .5 boundary;
-    // undefined metrics (no predicted/actual positives, single-class
-    // source) stay NULL rather than fabricating 0s. One doc-keyed
+    // each final metric is the exact integer half-up 1e4-grid value
+    // — floor((2·10⁴·num + den)/(2·den)) — emitted as a plain BIGINT
+    // (`*_e4` columns): int64 cannot diverge under any engine
+    // version, float formatter, or parquet encoding, unlike the
+    // DOUBLE/DECIMAL emissions of earlier rounds; undefined metrics
+    // (no predicted/actual positives, single-class source) stay NULL
+    // rather than fabricating 0s. One doc-keyed
     // join of the margin aggregate to the scan-local labels, one
     // source-keyed exchange for the rank windows, one |sources|-row
     // aggregate.
@@ -2431,13 +2433,11 @@ object Queries {
       val ranked = scored.withColumn("r2",
         rank().over(byScore).cast("long") * lit(2L) +
           count(lit(1)).over(ties) - lit(1L))
-      // Exact half-up num/den → 1e4 grid; `div` keeps it in BIGINT, and
-      // the grid integer is scaled into DECIMAL(9,4) by exact decimal
-      // multiplication (g × 0.0001BD) — never through a double — so no
-      // engine or float formatter can disagree on the emitted value.
+      // Exact half-up num/den → 1e4-grid BIGINT; `div` keeps the whole
+      // computation in int64, and int64 is the one type no DuckDB,
+      // pandas, or parquet version can re-interpret.
       def grid4(num: String, den: String): Column =
-        (expr(s"cast((20000 * ($num) + ($den)) div (2 * ($den)) as decimal(5,0))")
-          * expr("0.0001BD")).cast("decimal(9,4)")
+        expr(s"cast((20000 * ($num) + ($den)) div (2 * ($den)) as bigint)")
       ranked.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
@@ -2448,17 +2448,17 @@ object Queries {
           sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
           sum(when(col("label"), col("r2"))).as("rp2"))
         .select(col("source"), col("n_docs"), col("n_pos"),
-          grid4("n_correct", "n_docs").as("accuracy"),
+          grid4("n_correct", "n_docs").as("accuracy_e4"),
           when(col("tp") + col("fp") > 0,
-            grid4("tp", "tp + fp")).as("prec"),
-          when(col("n_pos") > 0, grid4("tp", "n_pos")).as("recall"),
+            grid4("tp", "tp + fp")).as("prec_e4"),
+          when(col("n_pos") > 0, grid4("tp", "n_pos")).as("recall_e4"),
           when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-            grid4("2 * tp", "2 * tp + fp + fn")).as("f1"),
+            grid4("2 * tp", "2 * tp + fp + fn")).as("f1_e4"),
           // U = rp − n_pos(n_pos+1)/2 on the ×2 grid: 2U = rp2 − n_pos(n_pos+1);
           // AUC = 2U / (2·n_pos·(n_docs−n_pos)).
           when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
             grid4("rp2 - n_pos * (n_pos + 1)",
-                  "2 * n_pos * (n_docs - n_pos)")).as("auc"))
+                  "2 * n_pos * (n_docs - n_pos)")).as("auc_e4"))
         .orderBy("source")
     }),
 
@@ -2487,11 +2487,17 @@ object Queries {
     // so build it as aggregate tables, not corpus windows: bigram
     // counts via one map-side-combined aggregate (only vocab-sized
     // partials cross that exchange), then context totals / fan-outs /
-    // continuation counts / T all derive from THAT table — the four
-    // derived aggregates share one physical bigram-count subplan via
-    // ReuseExchange (plan-audited in tools.ExplainT20), so the regex
-    // extraction runs once per side, and the per-bigram weight joins
-    // back to the occurrence stream in its only full-stream exchange.
+    // continuation counts / T all derive from THAT table. The count
+    // table is EAGERLY materialized (localCheckpoint) before the four
+    // derived aggregates consume it: sharing the subplan via
+    // ReuseExchange is best-effort, and when it failed to hold under
+    // load the extraction re-ran 4-5× (a measured 8× CPU blowup on
+    // the r11 driver box — at 100 TB a 4× recompute of the corpus
+    // scan is a cluster-day). With the checkpoint the worst case is
+    // bounded by construction: the corpus regex runs exactly twice —
+    // once into the vocab-sized count table, once for the scoring
+    // stream, which joins the per-bigram weights back in its only
+    // full-stream exchange (plan-guarded in QueriesSpec/ExplainT20).
     // (The window formulation sorted the whole corpus stream twice
     // and re-scanned the regex for the T scalar — measured ~2×
     // slower.) Per-bigram nats land on the 1e-6 integer grid before
@@ -2507,7 +2513,10 @@ object Queries {
         .select(col("doc_id"),
           split_part(col("bg"), lit(" "), lit(1)).as("w1"),
           split_part(col("bg"), lit(" "), lit(2)).as("w2"))
+      // Vocabulary-sized; eager so the derived aggregates read blocks,
+      // never the corpus (ContextCleaner reclaims the blocks on GC).
       val bgcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        .localCheckpoint()
       val w1tab = bgcnt.groupBy("w1")
         .agg(sum("cb").as("c1"), count(lit(1)).as("n1f"))
       val w2tab = bgcnt.groupBy("w2").agg(count(lit(1)).as("n1b"))

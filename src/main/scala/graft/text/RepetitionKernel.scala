@@ -131,13 +131,20 @@ object RepetitionKernel {
     * tot_chars L) — the native replacement for the interpreted
     * sort_array + aggregate-lambda formulation. Binary sort order
     * (UTF8String/memcmp); ties for top go to the smallest element.
-    * Null elements are not part of the contract (callers build the
-    * arrays from non-null text). */
+    * Null elements are rejected with a clear error — the function is
+    * public on arbitrary array<string> columns, and a silent NPE from
+    * the sort comparator is not a contract. */
   def multisetStats(arr: ArrayData): InternalRow = {
     val m = arr.numElements()
     val elems = new Array[UTF8String](m)
     var i = 0
-    while (i < m) { elems(i) = arr.getUTF8String(i); i += 1 }
+    while (i < m) {
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"multisetStats: null element at index $i (array<string> input " +
+            "must not contain nulls)")
+      elems(i) = arr.getUTF8String(i); i += 1
+    }
     java.util.Arrays.sort(elems, new java.util.Comparator[UTF8String] {
       override def compare(a: UTF8String, b: UTF8String): Int =
         a.binaryCompare(b)

@@ -126,7 +126,11 @@ object TextFunctions {
     * lookahead regex as [[shingles]]. */
   def allShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    if (n == 1) toks
+    // n == 1 must honor the same empty-document contract: split("")
+    // yields [""] (one empty token), which is NOT a 1-gram occurrence.
+    if (n == 1)
+      when(size(toks) === 1 && element_at(toks, 1) === "",
+        array().cast("array<string>")).otherwise(toks)
     else {
       val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
       val pat = "(?:^|(?<= ))(?=((?:\\S+ ){" + (n - 1) + "}\\S+))"

@@ -58,10 +58,18 @@ object SoakBench {
   }
 
   /** Per-batch walls → (first-quartile avg, last-quartile avg); batch 0
-    * is excluded as JIT/plan warmup. */
+    * is excluded as JIT/plan warmup. Below 8 batches the warmup-excluded
+    * quartiles would be empty or overlapping, so fall back to whole-
+    * series averages (ratio 1.0 territory — drift is not measurable
+    * at that length anyway). */
   private def flatness(walls: Seq[Double]): (Double, Double) = {
-    val q = math.max(1, walls.length / 4)
-    (walls.slice(1, 1 + q).sum / q, walls.takeRight(q).sum / q)
+    if (walls.length < 8) {
+      val avg = walls.sum / walls.length
+      (avg, avg)
+    } else {
+      val q = walls.length / 4
+      (walls.slice(1, 1 + q).sum / q, walls.takeRight(q).sum / q)
+    }
   }
 
   private def report(tag: String, walls: Seq[Double],

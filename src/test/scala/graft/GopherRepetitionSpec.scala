@@ -79,6 +79,27 @@ class GopherRepetitionSpec extends AnyFunSuite {
     assert(df.getInt(0) == 2 && df.getInt(1) == 1) // q, not zz
   }
 
+  test("multisetStats rejects null array elements with a clear error") {
+    val ex = intercept[Throwable] {
+      Seq(1).toDF("i")
+        .select(TextFunctions.multisetStats(
+          array(lit("a"), lit(null).cast("string"))).as("st"))
+        .collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("null element"), s"unexpected failure chain: $msgs")
+  }
+
+  test("allShingles n=1 honors the empty-document contract (no [\"\"] token)") {
+    // split("") yields [""] — one empty token, not a 1-gram occurrence.
+    // The n>=2 branches already return [] for short docs; n=1 must too.
+    val r = Seq("", "   ", "one").toDF("text")
+      .select(size(TextFunctions.allShingles(col("text"), 1)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(r == Seq(0, 0, 1), s"expected Seq(0, 0, 1), got $r")
+  }
+
   test("row-local stats == exploded groupBy formulation on real docs") {
     val docs = TestData.table(spark, sf, "documents")
       .select("doc_id", "text")

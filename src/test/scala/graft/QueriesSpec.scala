@@ -46,14 +46,7 @@ class QueriesSpec extends AnyFunSuite {
                                    decimals(f.dataType, s"$path.${f.name}"))
       case _                  => Nil
     }
-    // Exception: a query may emit DecimalType when its oracle SQL
-    // emits the SAME deliberate DECIMAL (t19's exact-metric contract —
-    // both engines produce DECIMAL(9,4), so the hashes agree by
-    // construction; the r06 failure class was Spark-DECIMAL vs
-    // DuckDB-DOUBLE, which this gate still forbids).
     val offenders = Queries.all.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) =>
-        Oracle.all.get(name).exists(_.contains("DECIMAL")) }
       .flatMap { case (name, fn) => decimals(fn(spark, sf).schema, name) }
     assert(offenders.isEmpty,
       s"DECIMAL-typed outputs (will hash-mismatch the DuckDB oracle): " +
@@ -127,5 +120,21 @@ class QueriesSpec extends AnyFunSuite {
     // unset filters are no-ops: the all-covering date range keeps all rows
     assert(Dashboard.applyFilters(sm, spending, "1970-01-01", "2099-12-31")
       .count() == sm.count())
+  }
+
+  test("t20: model side is checkpointed — one corpus regex in the scoring plan") {
+    // ReuseExchange sharing of the bigram-count subplan is best-effort;
+    // when it failed to hold under load the regex extraction re-ran
+    // 4-5× (the r11 driver capture's 92.6 s / 62 CPU-s repeat). The
+    // eager localCheckpoint bounds the worst case by construction:
+    // the scoring plan may contain the corpus extraction EXACTLY once,
+    // and the model side must read checkpoint blocks, not the corpus.
+    val p = Queries.all("t20_kneser_ney")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val nRegex = "regexp_extract_all".r.findAllIn(p).length
+    assert(nRegex == 1,
+      s"expected exactly 1 corpus regex extraction in the scoring plan, got $nRegex:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"model side must scan the checkpointed count table (ExistingRDD):\n$p")
   }
 }
