@@ -476,6 +476,14 @@ object Dedup {
     def isIndex0(exact: Boolean): Column =
       lit(cross) && col("__role") === 1 && col("__side") === 0 &&
         (if (exact) col("__xf") else !col("__xf"))
+    // Persisted: the fast and slow branches below are SEPARATE
+    // consumers of this frame, and relying on AQE to reuse the
+    // exchange across their union rebuilt the whole bucket lineage
+    // (vocab rank join + chunk window + collect_list agg) twice —
+    // measured +1.5-3.5 s at sf0.1 (BENCH_NOTES r11). Both branches
+    // now scan one InMemoryRelation by construction; ContextCleaner
+    // reclaims the blocks when the frame is GC'd, and MEMORY_AND_DISK
+    // spills rather than OOMs at scale (bucket rows are cap-bounded).
     val buckets = chunked
       .groupBy(pc :+ col("__pt") :+ col("__c"): _*)
       .agg(collect_list(when(col("__role") === 0, member)).as("__ps"),
@@ -486,6 +494,7 @@ object Dedup {
       .filter(size(col("__ps")) >= 1 &&
         size(col("__ise")) + size(col("__isi")) +
           size(col("__is0e")) + size(col("__is0i")) >= 1)
+      .persist()
 
     val nx = col("x.__n"); val ny = col("y.__n")
     def aExpr: Column =
