@@ -27,17 +27,13 @@ object VerifyOne {
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.Verify.q(s)
     val json = names.toSeq.flatMap(n =>
         graft.SparkEntry.oracleSql.get(n).map(n -> _))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/value_digests.json"),
+      graft.Verify.digestJson(spark, outDir, names.toSeq))
     spark.stop()
   }
 }
