@@ -1,0 +1,268 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extendible-hashing bucket directory for the maintained indexes —
+  * the answer to "`indexBuckets` is a static knob": at 100 TB nobody
+  * re-tunes a bucket count by hand, so the count grows with the state.
+  *
+  * A store's partition id is no longer `hash mod N` for a frozen N;
+  * it is the unique bucket of a prefix-free TRIE over the low bits of
+  * the 64-bit key hash: bucket `(id, depth)` owns every hash `h` with
+  * `h mod 2^depth == id`. Splitting bucket `(id, d)` produces
+  * `(id, d+1)` and `(id + 2^d, d+1)` — rows split by bit `d` of their
+  * hash, so ONLY that bucket's files are rewritten and every other
+  * bucket (and its directory name) is untouched. The probe/append
+  * side just computes the trie assignment instead of a fixed pmod;
+  * touched-bucket pruning and the replay anti-joins are unchanged.
+  *
+  * The trie is stored as a `_buckets.json` sidecar inside each
+  * [[IndexDirs]] version directory, written BEFORE the version's
+  * `_SUCCESS`, so the map is atomic with the layout it describes; a
+  * version without the sidecar (any pre-adaptive state dir) reads as
+  * the initial uniform cover, which is exactly the layout such a
+  * version was written under. The sidecar is bucket-count-sized and
+  * driver-side — the same cost class as the touched-bucket hops.
+  */
+private[graft] object BucketTrie {
+
+  /** Cap on any bucket's local depth: 2^22 buckets is far past any
+    * state this engine maintains, and keeps the int ids unambiguous. */
+  val MaxDepth = 22
+
+  final case class Trie(depths: Map[Int, Int]) {
+    def ids: Seq[Int] = depths.keys.toSeq.sorted
+    def size: Int = depths.size
+    private def depthsDesc: Seq[Int] =
+      depths.values.toSeq.distinct.sorted.reverse
+
+    /** Spark-side assignment: the bucket id of a 64-bit key-hash
+      * column. One pmod per DISTINCT local depth (splits keep that
+      * spread tiny), all codegen-friendly scalar ops; the map literal
+      * is bucket-count-sized. The fold tries deeper covers first —
+      * prefix-freeness guarantees exactly one depth matches. */
+    def bucketCol(h: Column): Column = {
+      val m = typedLit(depths)
+      depthsDesc.foldLeft(lit(null).cast("int")) { (acc, dep) =>
+        val cand = pmod(h, lit(1L << dep)).cast("int")
+        coalesce(acc, when(element_at(m, cand) === dep, cand))
+      }
+    }
+
+    /** Split one bucket one level. Local by construction: no other
+      * bucket's id, depth, or content changes. */
+    def split(id: Int): Trie = {
+      val d = depths(id)
+      require(d < MaxDepth, s"bucket $id already at max depth $d")
+      Trie(depths - id + (id -> (d + 1)) + ((id + (1 << d)) -> (d + 1)))
+    }
+
+    def json: String = depths.toSeq.sorted
+      .map { case (id, d) => s""""$id": $d""" }
+      .mkString("{", ", ", "}")
+  }
+
+  /** The uniform cover every state dir starts from (and the implied
+    * map of versions written before adaptive bucketing). */
+  def initial(n: Int): Trie = {
+    require(n >= 1 && (n & (n - 1)) == 0,
+      s"initial bucket count must be a power of two, got $n")
+    val d = java.lang.Integer.numberOfTrailingZeros(n)
+    Trie((0 until n).map(_ -> d).toMap)
+  }
+
+  val Sidecar = "_buckets.json"
+
+  private val Pair = "\"(\\d+)\"\\s*:\\s*(\\d+)".r
+
+  def fromJson(s: String): Trie =
+    Trie(Pair.findAllMatchIn(s)
+      .map(m => m.group(1).toInt -> m.group(2).toInt).toMap)
+
+  /** The trie governing the newest live version of `indexPath` — what
+    * appends, probes, and query-side pruning must compute with. */
+  def load(spark: SparkSession, indexPath: String,
+           initialBuckets: Int): Trie =
+    IndexDirs.currentDir(spark, indexPath) match {
+      case Some(dir) =>
+        val f = IndexDirs.fs(spark, indexPath)
+        val p = new Path(dir, Sidecar)
+        if (f.exists(p)) {
+          val in = f.open(p)
+          try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        } else initial(initialBuckets)
+      case None => initial(initialBuckets)
+    }
+
+  def write(spark: SparkSession, versionDir: String, trie: Trie): Unit = {
+    val f = IndexDirs.fs(spark, versionDir)
+    val out = f.create(new Path(versionDir, Sidecar), true)
+    try out.write(trie.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Selective compact-with-split of one hive-partitioned,
+    * [[IndexDirs]]-versioned store with an [[IndexDirs.L0]] delta
+    * zone — the LSM sweep all maintainers share:
+    *
+    *  1. the L0 delta files (per-batch appends since the last sweep)
+    *     merge into their target buckets;
+    *  2. every bucket whose data bytes exceed `splitBytes` splits one
+    *     level (repeated sweeps converge — doubling per sweep tracks
+    *     any ingest rate);
+    *  3. splitting, fragmented (>1 file), or L0-receiving buckets are
+    *     rewritten into one sorted run each, in ONE Spark job pruned
+    *     to exactly those partitions;
+    *  4. every other bucket is carried into the new version by raw
+    *     file copy — no decode, no shuffle, no re-encode: the work a
+    *     sweep does is proportional to what changed, not to the
+    *     accumulated state.
+    *
+    * The new version becomes live only when its `_SUCCESS` lands
+    * (after the data and the `_buckets.json` sidecar), and the
+    * previous version is retained one generation — the same
+    * crash/reader contract as the full rewrite this replaces. A crash
+    * mid-sweep leaves an unmarked directory readers ignore.
+    *
+    * `keyHash` is the store's 64-bit key-hash expression over its OWN
+    * columns (e.g. `xxhash64(band, key)`) — the same hash the append
+    * side feeds [[Trie.bucketCol]].
+    *
+    * The governing trie is the version's sidecar; for a version
+    * without one (pre-adaptive state, or no compact yet) it is
+    * INFERRED from the stored ids as the uniform cover at
+    * next-pow2(maxId+1). Sound regardless of the ORIGINAL modulus N:
+    * every stored id satisfies `id = hash mod N < P ≤ N` with both
+    * powers of two, so `hash mod P = id` too — the inferred cover
+    * assigns every stored row to the directory it is already in. */
+  def compactStore(spark: SparkSession, indexPath: String,
+                   partCol: String, keyHash: Column,
+                   sortCols: Seq[String], splitBytes: Long): Unit = {
+    val curOpt = IndexDirs.currentDir(spark, indexPath)
+    if (curOpt.isEmpty) return
+    val cur = curOpt.get
+    val f = IndexDirs.fs(spark, indexPath)
+
+    // per-bucket (bytes, files) from the directory listing — no scan
+    val PartDir = s"^${java.util.regex.Pattern.quote(partCol)}=(\\d+)$$".r
+    val bucketFiles: Map[Int, Seq[org.apache.hadoop.fs.FileStatus]] =
+      f.listStatus(new Path(cur)).toSeq
+        .filter(_.isDirectory)
+        .flatMap(d => d.getPath.getName match {
+          case PartDir(id) => Some(id.toInt ->
+            f.listStatus(d.getPath).toSeq.filter(s =>
+              s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith(".")))
+          case _ => None
+        }).toMap
+
+    val l0 = IndexDirs.readL0(spark, cur)
+    if (bucketFiles.isEmpty && l0.isEmpty) return
+
+    val sidecarPath = new Path(cur, Sidecar)
+    val trie0 =
+      if (f.exists(sidecarPath)) {
+        val in = f.open(sidecarPath)
+        try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      } else {
+        // no sidecar (pre-adaptive version, or L0-only before the
+        // first sweep): infer the uniform cover from the stored ids —
+        // sound for any original power-of-two modulus N, because every
+        // stored id < P ≤ N (both powers of two) satisfies
+        // hash mod P = id exactly as it did mod N
+        val maxStored = (bucketFiles.keys ++ l0.map(d =>
+          d.agg(max(col(partCol))).head() match {
+            case r if r.isNullAt(0) => 0
+            case r => r.getInt(0)
+          })).maxOption.getOrElse(0)
+        var p = 1
+        while (p <= maxStored) p <<= 1
+        initial(p)
+      }
+
+    // split decision sees the PENDING L0 volume too (attributed to
+    // its pre-split bucket, bytes estimated from the L0 files' size ×
+    // per-bucket row share), so a bucket filling through L0 splits in
+    // THIS sweep, not one sweep late
+    val l0BucketBytes: Map[Int, Long] = l0 match {
+      case Some(d) =>
+        val totalBytes = f.listStatus(new Path(cur, IndexDirs.L0)).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map(_.getLen).sum
+        val counts = d.select(trie0.bucketCol(keyHash).as("__pb"))
+          .groupBy("__pb").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val totalRows = math.max(1L, counts.values.sum)
+        counts.map { case (id, n) => id -> totalBytes * n / totalRows }
+      case None => Map.empty
+    }
+    val splitIds = (bucketFiles.keySet ++ l0BucketBytes.keySet).filter {
+      id =>
+        val bytes = bucketFiles.get(id).map(_.map(_.getLen).sum)
+          .getOrElse(0L) + l0BucketBytes.getOrElse(id, 0L)
+        bytes > splitBytes && trie0.depths(id) < MaxDepth
+    }
+    val trie = splitIds.foldLeft(trie0)((t, id) => t.split(id))
+    // buckets receiving L0 rows, under the POST-split assignment
+    // (driver hop, bounded by the bucket count)
+    val l0Targets: Set[Int] = l0 match {
+      case Some(d) => d.select(trie.bucketCol(keyHash).as("__pb"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      case None => Set.empty
+    }
+    val rewriteIds = bucketFiles.collect { case (id, fs)
+      if splitIds.contains(id) || fs.length > 1 ||
+        l0Targets.contains(id) => id }.toSet
+    // already one run per bucket, no pending L0, nothing over
+    // threshold: the store is compact — no version churn
+    if (rewriteIds.isEmpty && l0.isEmpty) return
+
+    val next = IndexDirs.nextDir(spark, indexPath)
+    f.mkdirs(new Path(next))
+
+    if (rewriteIds.nonEmpty || l0.nonEmpty) {
+      // one pruned job over exactly the rewritten buckets plus the L0
+      // delta, re-assigned under the post-split trie (non-split
+      // buckets keep their id). Buckets that newly appear from a
+      // split of an L0-target land here too — their parent is in
+      // rewriteIds, so no row is lost to the copy path.
+      val stage = s"$next/_stage"
+      val bucketedSrc =
+        if (rewriteIds.nonEmpty)
+          Some(spark.read.parquet(cur)
+            .filter(col(partCol).isin(rewriteIds.toSeq: _*)))
+        else None
+      val src = (bucketedSrc, l0) match {
+        case (Some(b), Some(d)) => b.unionByName(d)
+        case (b, d) => b.orElse(d).get
+      }
+      src.withColumn(partCol, trie.bucketCol(keyHash))
+        .repartition(col(partCol))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol).parquet(stage)
+      f.listStatus(new Path(stage)).toSeq.map(_.getPath)
+        .filter(p => PartDir.matches(p.getName))
+        .foreach(p => f.rename(p, new Path(next, p.getName)))
+      f.delete(new Path(stage), true)
+    }
+
+    val conf = spark.sessionState.newHadoopConf()
+    bucketFiles.foreach { case (id, files) =>
+      if (!rewriteIds.contains(id) && files.nonEmpty) {
+        val dst = new Path(next, s"$partCol=$id")
+        f.mkdirs(dst)
+        files.foreach(s => FileUtil.copy(f, s.getPath, f,
+          new Path(dst, s.getPath.getName), false, conf))
+      }
+    }
+
+    write(spark, next, trie)
+    f.create(new Path(next, "_SUCCESS")).close()
+    IndexDirs.retire(spark, indexPath)
+  }
+}

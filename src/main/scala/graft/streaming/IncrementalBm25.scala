@@ -11,11 +11,13 @@ import graft.text.TextFunctions
   * document micro-batches fold into a persisted postings relation, and
   * query-time cost is bounded by the QUERY's terms, never the corpus.
   *
-  *  - `postings/` — (term, doc_id, tf), hive-partitioned on
-  *    `tb = xxhash64(term) mod termBuckets` ([[IndexDirs]]-versioned,
-  *    append-only). A query reads ONLY its terms' buckets (partition-
-  *    pruned at planning time); per-term document frequencies fall out
-  *    of the same pruned rows (one row per (term, doc)).
+  *  - `postings/` — (term, doc_id, tf), hive-partitioned on `tb`, the
+  *    [[BucketTrie]] bucket of xxhash64(term) (initially mod
+  *    termBuckets; buckets split as the postings grow) —
+  *    [[IndexDirs]]-versioned, append-only. A query reads ONLY its
+  *    terms' buckets (partition-pruned at planning time); per-term
+  *    document frequencies fall out of the same pruned rows (one row
+  *    per (term, doc)).
   *  - `doclen/` — (doc_id, dl), hive-partitioned on
   *    `db = md5Bucket(doc_id, docParts)`: the per-doc length the BM25
   *    denominator needs, read pruned to the matching docs' buckets.
@@ -54,14 +56,23 @@ object IncrementalBm25 {
     new PartitionedReplicatedTable(spark, s"$statePath/scalars",
       Seq("db"), "sp")
 
-  private def tbOf(c: org.apache.spark.sql.Column, p: Params) =
-    pmod(xxhash64(c), lit(p.termBuckets)).cast("int")
+  /** Term-bucket assignment under the postings store's live trie:
+    * initially `xxhash64(term) mod termBuckets`, buckets splitting as
+    * the postings grow ([[BucketTrie]]) so a query term's bucket read
+    * stays bounded regardless of corpus size. */
+  private def tbOf(c: org.apache.spark.sql.Column,
+                   trie: BucketTrie.Trie) =
+    trie.bucketCol(xxhash64(c))
+  private def postingsTrie(spark: SparkSession, statePath: String,
+                           p: Params): BucketTrie.Trie =
+    BucketTrie.load(spark, postingsPath(statePath), p.termBuckets)
   private def dbOf(c: org.apache.spark.sql.Column, p: Params) =
     TextFunctions.md5Bucket(c, p.docParts).cast("int")
 
-  /** The accumulated postings / doclen stores — None pre-first-commit. */
+  /** The accumulated postings store (bucketed ∪ L0 delta) / doclen
+    * store — None pre-first-commit. */
   def postings(spark: SparkSession, statePath: String): Option[DataFrame] =
-    IndexDirs.readIfExists(spark, postingsPath(statePath))
+    IndexDirs.readWithL0(spark, postingsPath(statePath))
   def docLengths(spark: SparkSession, statePath: String): Option[DataFrame] =
     IndexDirs.readIfExists(spark, doclenPath(statePath))
 
@@ -86,7 +97,8 @@ object IncrementalBm25 {
         explode(toks).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("long").as("tf"))
-      .withColumn("tb", tbOf(col("term"), params))
+      .withColumn("tb", tbOf(col("term"),
+        postingsTrie(spark, statePath, params)))
       .localCheckpoint(true)
 
     // Orphaned-state guard (the IncrementalDupSpans discipline): in
@@ -120,8 +132,9 @@ object IncrementalBm25 {
     }
     val newPost = post.join(postProbe, Seq("term", "doc_id"), "left_anti")
     if (!newPost.isEmpty)
-      newPost.write.mode("append").partitionBy("tb")
-        .parquet(IndexDirs.prepareAppend(spark, postingsPath(statePath)))
+      // one L0 file per batch regardless of term-bucket count
+      IndexDirs.appendL0(spark, postingsPath(statePath),
+        newPost.coalesce(1))
 
     // doclen append, same discipline on the doc buckets
     val dbs = lens.select("db").distinct()
@@ -174,7 +187,8 @@ object IncrementalBm25 {
     // Spark-local eval instead of reimplementing xxhash64 on the JVM
     import spark.implicits._
     val termBuckets = terms.toDF("term")
-      .withColumn("tb", tbOf(col("term"), params))
+      .withColumn("tb", tbOf(col("term"),
+        postingsTrie(spark, statePath, params)))
       .collect().map(_.getInt(1)).distinct.toIndexedSeq
     val post = postings(spark, statePath) match {
       case Some(s) => s.filter(col("tb").isin(termBuckets: _*))
@@ -206,15 +220,22 @@ object IncrementalBm25 {
       .limit(k))
   }
 
-  /** LSM-ish maintenance: one sorted run per postings/doclen bucket. */
-  def compact(spark: SparkSession, statePath: String): Unit = {
-    IndexDirs.readIfExists(spark, postingsPath(statePath)).foreach { s =>
-      val p = postingsPath(statePath)
-      s.repartition(col("tb")).sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(IndexDirs.nextDir(spark, p))
-      IndexDirs.retire(spark, p)
-    }
+  /** Default per-bucket split threshold (see
+    * [[IncrementalNearDup.DefaultSplitBytes]]). */
+  val DefaultSplitBytes: Long = 256L << 20
+
+  /** LSM-ish maintenance: one sorted run per postings/doclen bucket,
+    * with the postings store ADAPTIVE ([[BucketTrie.compactStore]] —
+    * over-threshold term buckets split one level, only their files
+    * rewritten; untouched buckets carry forward by raw file copy).
+    * The doclen store keeps its fixed `docParts` layout: its probe is
+    * pruned to the MATCHED docs' buckets (query-sized), and the
+    * scalar table is keyed by the same ids — both bounded without
+    * splitting. */
+  def compact(spark: SparkSession, statePath: String,
+              splitBytes: Long = DefaultSplitBytes): Unit = {
+    BucketTrie.compactStore(spark, postingsPath(statePath), "tb",
+      xxhash64(col("term")), Seq("term", "doc_id"), splitBytes)
     IndexDirs.readIfExists(spark, doclenPath(statePath)).foreach { s =>
       val p = doclenPath(statePath)
       s.repartition(col("db")).sortWithinPartitions("doc_id")

@@ -24,10 +24,11 @@ import graft.similarity.Similarity
   * per table per vector (`tk = table·2^planes + key`, combined like
   * [[IncrementalAnnIndex]]'s tb), so a delta-vs-index equi-join on
   * `tk` reproduces exactly the batch candidate set across batch
-  * boundaries. Rows land hive-partitioned on `pk = tk div span`
-  * (directory prune + tb-sorted footer skip, one file per touched
-  * directory per batch); vectors land once per id, hash-partitioned
-  * on `vb` for a pruned replay guard. Verification is the same exact
+  * boundaries. Rows land hive-partitioned on `pk`, the [[BucketTrie]]
+  * bucket of `xxhash64(tk)` (directory prune + tk-sorted footer skip,
+  * one file per touched directory per batch; buckets split as the
+  * index grows); vectors land once per id, trie-bucketed the same way
+  * on `vb = bucket(xxhash64(id))` for a pruned replay guard. Verification is the same exact
   * 4dp-rounded cosine; the label fold is Δ-sized
   * ([[ConnectedComponents.addEdges]] through the star forest), and
   * commits go through [[LabelStore]]'s `_SUCCESS`-gated versions.
@@ -38,26 +39,25 @@ import graft.similarity.Similarity
 object IncrementalEmbeddingDedup {
 
   /** Fixed per state directory. Defaults match the e05 catalog entry
-    * (`Similarity.PairThreshold` / `PairTables`). */
+    * (`Similarity.PairThreshold` / `PairTables`). `indexBuckets` is
+    * only the INITIAL partition count of both stores (a power of
+    * two); [[compact]] splits over-threshold buckets automatically. */
   case class Params(threshold: Double = Similarity.PairThreshold,
                     numPlanes: Int = 8,
                     tables: Int = Similarity.PairTables,
                     seed: Long = 42L, maxBucket: Int = 4000,
                     indexBuckets: Int = 64)
 
-  private def span(p: Params): Long = {
-    val total = p.tables.toLong << p.numPlanes
-    math.max(1L, (total + p.indexBuckets - 1) / p.indexBuckets)
-  }
-
   private def bandsPath(statePath: String) = s"$statePath/bands"
   private def vectorsPath(statePath: String) = s"$statePath/vectors"
 
   /** All multi-probe keys of a vector batch: (__id, tk, pk) — one row
-    * per (table, home-or-flip key). Scan-local codegen'd bucket
-    * expression; the flips are plan-time XOR literals. */
+    * per (table, home-or-flip key), `pk` the key store's live trie
+    * bucket of xxhash64(tk). Scan-local codegen'd bucket expression;
+    * the flips are plan-time XOR literals. */
   private[graft] def keyRows(vecs: DataFrame, idCol: String,
-                             vecCol: String, p: Params): DataFrame = {
+                             vecCol: String, p: Params,
+                             trie: BucketTrie.Trie): DataFrame = {
     val homes = array(Seq.tabulate(p.tables)(t =>
       Similarity.lshBucket(col(vecCol), p.numPlanes,
         Similarity.tableSeed(p.seed, t))): _*)
@@ -67,8 +67,16 @@ object IncrementalEmbeddingDedup {
           col("__b").bitwiseXOR(lit(1L << f))): _*)).as("__k"))
       .select(col("__id"),
         (col("__t").cast("long") * (1L << p.numPlanes) + col("__k")).as("tk"))
-      .withColumn("pk", floor(col("tk") / lit(span(p))).cast("int"))
+      .withColumn("pk", trie.bucketCol(xxhash64(col("tk"))))
   }
+
+  /** [[keyRows]] under the state directory's live trie. */
+  private[graft] def keyRows(vecs: DataFrame, idCol: String,
+                             vecCol: String, p: Params,
+                             statePath: String): DataFrame =
+    keyRows(vecs, idCol, vecCol, p,
+      BucketTrie.load(vecs.sparkSession, bandsPath(statePath),
+        p.indexBuckets))
 
   /** The accumulated labeling joined onto `ids`: every id gets its
     * cluster (singletons label themselves) — e05's output shape. */
@@ -85,11 +93,15 @@ object IncrementalEmbeddingDedup {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newVecs.sparkSession
     if (newVecs.isEmpty) return
-    val deltaKeys = keyRows(newVecs, idCol, vecCol, params).cache()
+    // per-batch driver-side sidecar reads: each store's live trie
+    val ktrie = BucketTrie.load(spark, bandsPath(statePath),
+      params.indexBuckets)
+    val vtrie = BucketTrie.load(spark, vectorsPath(statePath),
+      params.indexBuckets)
+    val deltaKeys = keyRows(newVecs, idCol, vecCol, params, ktrie).cache()
     val deltaVecs = newVecs.select(col(idCol).as("__id"),
         col(vecCol).as("__v"))
-      .withColumn("vb",
-        pmod(xxhash64(col("__id")), lit(params.indexBuckets)).cast("int"))
+      .withColumn("vb", vtrie.bucketCol(xxhash64(col("__id"))))
       .cache()
     try {
       // Δ-sized driver hops: touched key directories and vector buckets
@@ -98,12 +110,12 @@ object IncrementalEmbeddingDedup {
       val touchedVb = deltaVecs.select("vb").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
 
-      val oldKeys = IndexDirs.readIfExists(spark, bandsPath(statePath))
+      val oldKeys = IndexDirs.readWithL0(spark, bandsPath(statePath))
         .map(_.filter(col("pk").isin(touchedPk: _*))
           .select("__id", "tk", "pk"))
         .getOrElse(deltaKeys.limit(0))
       val oldVecsAll = IndexDirs
-        .readIfExists(spark, vectorsPath(statePath))
+        .readWithL0(spark, vectorsPath(statePath))
         .getOrElse(deltaVecs.limit(0))
 
       // replay idempotency: rows the index already holds are dropped
@@ -143,8 +155,7 @@ object IncrementalEmbeddingDedup {
       // candidate set.
       val candVb = cand
         .select(explode(array(col("a"), col("b"))).as("__cid"))
-        .select(pmod(xxhash64(col("__cid")), lit(params.indexBuckets))
-          .cast("int").as("vb"))
+        .select(vtrie.bucketCol(xxhash64(col("__cid"))).as("vb"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
       val vecs = oldVecsAll.filter(col("vb").isin(candVb: _*))
         .select("__id", "__v")
@@ -164,42 +175,41 @@ object IncrementalEmbeddingDedup {
       val updated = ConnectedComponents.addEdges(
         LabelStore.labels(spark, statePath), edges, "a", "b")
       LabelStore.commit(spark, statePath, updated)
+      // one L0 file per batch per store regardless of bucket count
+      // ([[IndexDirs.appendL0]]); the sweep merges L0 into buckets
       if (!newKeys.isEmpty)
-        newKeys.repartition(col("pk")).sortWithinPartitions("tk")
-          .write.mode("append").partitionBy("pk")
-          .parquet(IndexDirs.prepareAppend(spark, bandsPath(statePath)))
+        IndexDirs.appendL0(spark, bandsPath(statePath),
+          newKeys.coalesce(1).sortWithinPartitions("tk"))
       if (!newVecRows.isEmpty)
-        newVecRows.repartition(col("vb"))
-          .write.mode("append").partitionBy("vb")
-          .parquet(IndexDirs.prepareAppend(spark, vectorsPath(statePath)))
+        IndexDirs.appendL0(spark, vectorsPath(statePath),
+          newVecRows.coalesce(1))
       cand.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
   }
 
-  /** LSM-ish maintenance: rewrite each state directory's accumulated
-    * per-batch files into one run per partition (keys sorted on `tk`
-    * for footer-stat skipping, vectors bucketed on `vb`), preserving
-    * content exactly. Each rewrite lands as that directory's NEXT
-    * version, visible atomically once its `_SUCCESS` exists, with the
-    * previous version retained one generation for concurrent readers
-    * ([[IndexDirs.retire]]); labels are untouched. The keys and
-    * vectors directories version independently — both orders of (old
-    * keys, new vectors) are consistent states because compaction
-    * never changes content, only file layout. */
-  def compact(spark: SparkSession, statePath: String): Unit = {
-    IndexDirs.readIfExists(spark, bandsPath(statePath)).foreach { keys =>
-      keys.repartition(col("pk")).sortWithinPartitions("tk")
-        .write.mode("overwrite").partitionBy("pk")
-        .parquet(IndexDirs.nextDir(spark, bandsPath(statePath)))
-      IndexDirs.retire(spark, bandsPath(statePath))
-    }
-    IndexDirs.readIfExists(spark, vectorsPath(statePath)).foreach { vecs =>
-      vecs.repartition(col("vb"))
-        .write.mode("overwrite").partitionBy("vb")
-        .parquet(IndexDirs.nextDir(spark, vectorsPath(statePath)))
-      IndexDirs.retire(spark, vectorsPath(statePath))
-    }
+  /** Default per-bucket split threshold (see
+    * [[IncrementalNearDup.DefaultSplitBytes]]). */
+  val DefaultSplitBytes: Long = 256L << 20
+
+  /** LSM-ish maintenance, ADAPTIVE like [[IncrementalNearDup
+    * .compact]]: over-threshold buckets split one level (only their
+    * files rewritten — [[BucketTrie]]), fragmented buckets rewrite
+    * into one sorted run (keys sorted on `tk` for footer-stat
+    * skipping), untouched buckets carry forward by raw file copy.
+    * Content is preserved exactly. Each sweep lands as that
+    * directory's NEXT version, visible atomically once its `_SUCCESS`
+    * exists, with the previous version retained one generation for
+    * concurrent readers ([[IndexDirs.retire]]); labels are untouched.
+    * The keys and vectors directories version independently — both
+    * orders of (old keys, new vectors) are consistent states because
+    * compaction never changes content, only physical layout. */
+  def compact(spark: SparkSession, statePath: String,
+              splitBytes: Long = DefaultSplitBytes): Unit = {
+    BucketTrie.compactStore(spark, bandsPath(statePath), "pk",
+      xxhash64(col("tk")), Seq("tk"), splitBytes)
+    BucketTrie.compactStore(spark, vectorsPath(statePath), "vb",
+      xxhash64(col("__id")), Seq("__id"), splitBytes)
   }
 
   /** Maintenance sweep for week-long streams: prune the label store

@@ -41,17 +41,19 @@ import graft.dedup.{ConnectedComponents, Dedup}
   *     an in-flight or crashed write is invisible).
   *
   * Scale notes. The label fold and the verification are Δ-sized, and
-  * the probe reads `touchedBuckets / indexBuckets` of the index, not
-  * all of it. `indexBuckets` is the standard bucket-count knob: size
-  * it so one bucket holds a target volume (say a few hundred MB), and
-  * grow it with the corpus — then a probe key costs ONE bucket of
-  * constant size regardless of corpus growth, the same layout/probe
-  * discipline as the e03 ANN index (`Similarity.ensureLshIndexMulti`).
-  * At a fixed bucket count the probe still degrades gracefully:
-  * touched-fraction × corpus instead of 1 × corpus. Each batch writes
-  * one file per touched bucket; the [[compact]] pass (rewrite each
-  * bucket dir into one sorted run, crash-safe swap) bounds file counts
-  * under long streams, exactly like any LSM-ish layout. Streaming ≡
+  * the probe reads only the delta's touched buckets. The bucket count
+  * is NOT a knob to re-tune as the corpus grows: `indexBuckets` is
+  * only the initial layout, and the [[compact]] sweep SPLITS any
+  * bucket whose data passes a size threshold ([[BucketTrie]] —
+  * extendible hashing on the key hash's low bits, so a split rewrites
+  * only that bucket's files), keeping per-bucket probe cost bounded
+  * regardless of corpus growth. Each batch appends ONE file to the
+  * version's L0 delta zone ([[IndexDirs.appendL0]] — never one file
+  * per touched bucket, which scales with the bucket count); probes
+  * read bucketed(pruned) ∪ L0(whole, bounded by the compaction
+  * interval); the sweep merges L0 into the buckets, rewrites
+  * fragmented buckets into one sorted run, and carries untouched
+  * buckets forward by raw file copy — exactly an LSM layout. Streaming ≡
   * batch equivalence (same pair set,
   * same clusters as one-shot [[Dedup.nearDuplicates]] + connected
   * components) is spec-checked on the real documents table
@@ -61,9 +63,10 @@ import graft.dedup.{ConnectedComponents, Dedup}
 object IncrementalNearDup {
 
   /** Tuning knobs, fixed for the lifetime of one state directory (band
-    * keys and the `pb` bucketing baked into the index depend on them).
-    * `indexBuckets` sizes the hive partitioning of the band index —
-    * scale it with the corpus so per-bucket volume stays constant. */
+    * keys and the bucketing baked into the index depend on them).
+    * `indexBuckets` is the INITIAL hive-partition count of the band
+    * index (a power of two); [[compact]] grows it automatically by
+    * splitting over-threshold buckets. */
   case class Params(shingleLen: Int = 1, numHashes: Int = 32,
                     numBands: Int = 4, threshold: Double = 0.7,
                     maxBucket: Int = 10000, indexBuckets: Int = 64)
@@ -90,27 +93,37 @@ object IncrementalNearDup {
 
   /** Exploded band rows of a document batch with their index bucket:
     * (__id, __shh, band, key, pb) — the unit the index stores and the
-    * probe joins on. `pb` is a pure function of (band, key), so every
-    * index row colliding with a delta key lives in a bucket the delta
-    * itself touches. */
+    * probe joins on. `pb` is a pure function of (band, key) UNDER THE
+    * CURRENT BUCKET TRIE (initially `hash mod indexBuckets`; buckets
+    * split as the index grows — [[BucketTrie]]), so every index row
+    * colliding with a delta key lives in a bucket the delta itself
+    * touches. */
   private[graft] def bandRows(docs: DataFrame, idCol: String,
-                              textCol: String, params: Params): DataFrame =
+                              textCol: String, params: Params,
+                              trie: BucketTrie.Trie): DataFrame =
     Dedup.bandSignatures(docs, idCol, textCol,
         params.shingleLen, params.numHashes, params.numBands)
       .withColumnRenamed(idCol, "__id")
       .select(col("__id"), col("__shh"),
         posexplode(col("__bk")).as(Seq("band", "key")))
-      .withColumn("pb",
-        pmod(xxhash64(col("band"), col("key")), lit(params.indexBuckets))
-          .cast("int"))
+      .withColumn("pb", trie.bucketCol(xxhash64(col("band"), col("key"))))
 
-  /** The accumulated band index (all buckets) — empty before the first
-    * batch. Reads the newest live version ([[IndexDirs]]); a
-    * [[compact]] that crashed mid-write left an unmarked directory
-    * this never sees. */
+  /** [[bandRows]] under the state directory's live trie. */
+  private[graft] def bandRows(docs: DataFrame, idCol: String,
+                              textCol: String, params: Params,
+                              statePath: String): DataFrame =
+    bandRows(docs, idCol, textCol, params,
+      BucketTrie.load(docs.sparkSession, indexPath(statePath),
+        params.indexBuckets))
+
+  /** The accumulated band index: bucketed store ∪ the L0 delta zone
+    * (per-batch append files, bounded by the compaction interval) —
+    * empty before the first batch. Reads the newest live version
+    * ([[IndexDirs]]); a [[compact]] that crashed mid-write left an
+    * unmarked directory this never sees. */
   private[graft] def bandIndex(spark: SparkSession,
                                statePath: String): Option[DataFrame] =
-    IndexDirs.readIfExists(spark, indexPath(statePath))
+    IndexDirs.readWithL0(spark, indexPath(statePath))
 
   /** Partition-pruned view of the index: only the `pb` buckets in
     * `touched` are read (hive partition pruning — the scan's
@@ -126,7 +139,11 @@ object IncrementalNearDup {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newDocs.sparkSession
     if (newDocs.isEmpty) return
-    val deltaBands = bandRows(newDocs, idCol, textCol, params).cache()
+    // one tiny driver-side sidecar read per batch: the live bucket
+    // trie (appends and probes must agree with the stored layout)
+    val trie = BucketTrie.load(spark, indexPath(statePath),
+      params.indexBuckets)
+    val deltaBands = bandRows(newDocs, idCol, textCol, params, trie).cache()
 
     // Δ-sized driver hop: the touched bucket ids (≤ indexBuckets ints)
     // drive the partition-pruned probe read below
@@ -204,37 +221,38 @@ object IncrementalNearDup {
     // above keeps a replayed append from duplicating index rows.
     LabelStore.commit(spark, statePath, updated)
     if (!newRows.isEmpty)
-      // one file per touched bucket per batch (repartition on the
-      // partition column), appended under its pb= directory inside the
-      // current index version (appends extend a snapshot; they never
-      // invalidate a reader's held file listing)
-      newRows.repartition(col("pb"))
-        .write.mode("append").partitionBy("pb")
-        .parquet(IndexDirs.prepareAppend(spark, indexPath(statePath)))
+      // ONE L0 file per batch regardless of bucket count (appends
+      // extend a snapshot; they never invalidate a reader's held file
+      // listing) — [[IndexDirs.appendL0]]; the sweep merges L0 into
+      // the pb= bucket directories
+      IndexDirs.appendL0(spark, indexPath(statePath), newRows.coalesce(1))
     deltaBands.unpersist()
     ()
   }
 
-  /** LSM-ish maintenance for the band index: rewrite each `pb`
-    * directory's accumulated per-batch files into one sorted run,
-    * preserving content exactly — the compaction pass the layout notes
-    * above call for under long streams. Runs between batches (same
-    * single-writer discipline as the fold); the rewrite lands as the
-    * NEXT index version, visible atomically once its `_SUCCESS`
-    * exists, and the previous version is retained one generation
-    * ([[IndexDirs.retire]]) so a concurrent reader holding the old
-    * file listing still completes — snapshot isolation at the
-    * directory-version level. A crash mid-write leaves an unmarked
-    * directory readers ignore. Labels are untouched — only the
-    * physical file layout changes. */
-  def compact(spark: SparkSession, statePath: String): Unit =
-    bandIndex(spark, statePath).foreach { idx =>
-      val p = indexPath(statePath)
-      idx.repartition(col("pb")).sortWithinPartitions("band", "key")
-        .write.mode("overwrite").partitionBy("pb")
-        .parquet(IndexDirs.nextDir(spark, p))
-      IndexDirs.retire(spark, p)
-    }
+  /** Default per-bucket split threshold: at ~256 MB a bucket probe is
+    * one comfortable task; growth past it doubles that bucket. */
+  val DefaultSplitBytes: Long = 256L << 20
+
+  /** LSM-ish maintenance for the band index, now ADAPTIVE: buckets
+    * whose data exceed `splitBytes` split one level (only THEIR files
+    * are rewritten — [[BucketTrie]] locality), fragmented buckets are
+    * rewritten into one sorted run, and untouched buckets carry
+    * forward by raw file copy. Probe cost per touched key therefore
+    * stays bounded by the split threshold as the corpus grows —
+    * `indexBuckets` is only the STARTING layout, not a knob to
+    * re-tune. Runs between batches (same single-writer discipline as
+    * the fold); the sweep lands as the NEXT index version, visible
+    * atomically once its `_SUCCESS` exists, with the previous version
+    * retained one generation ([[IndexDirs.retire]]) — snapshot
+    * isolation at the directory-version level. A crash mid-write
+    * leaves an unmarked directory readers ignore. Labels are
+    * untouched — only the physical layout (and the bucket trie)
+    * changes. */
+  def compact(spark: SparkSession, statePath: String,
+              splitBytes: Long = DefaultSplitBytes): Unit =
+    BucketTrie.compactStore(spark, indexPath(statePath), "pb",
+      xxhash64(col("band"), col("key")), Seq("band", "key"), splitBytes)
 
   /** Maintenance sweep for week-long streams: prune the label store
     * to its retention window (committed versions beyond the newest

@@ -117,6 +117,78 @@ private[graft] object IndexDirs {
                    markers: Seq[String] = Nil): Option[DataFrame] =
     currentDir(spark, path, markers).map(spark.read.parquet)
 
+  /** L0 delta zone: per-batch appends land as ONE file per batch in
+    * `<version>/_l0` (underscore-hidden from the bucketed read)
+    * instead of one file per touched hive bucket. The probe reads
+    * bucketed(pruned) ∪ L0(whole) — L0 is bounded by the compaction
+    * interval, so the probe stays Δ+interval-bounded while appends
+    * stop scaling with the BUCKET COUNT: with thousands of buckets a
+    * per-bucket append writes thousands of tiny files per batch (the
+    * classic small-file death at 100 TB; measured 10× fold-wall
+    * inflation at soak scale), whereas an L0 batch is one file
+    * regardless. [[BucketTrie.compactStore]] merges L0 into the
+    * bucketed store each sweep. */
+  val L0 = "_l0"
+
+  private def hasDataFiles(spark: SparkSession, p: Path): Boolean = {
+    val f = fs(spark, p.toString)
+    f.exists(p) && f.listStatus(p).exists(s =>
+      !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+  }
+
+  /** Visible data files directly under `p` (Spark's hidden-path rule
+    * skips a directory literally NAMED `_l0`, even as an explicit
+    * read root — list its part files and pass them individually). */
+  private[graft] def dataFiles(spark: SparkSession, p: Path): Seq[String] = {
+    val f = fs(spark, p.toString)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  private[graft] def readL0(spark: SparkSession,
+                            versionDir: String): Option[DataFrame] = {
+    val files = dataFiles(spark, new Path(versionDir, L0))
+    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+  }
+
+  /** [[readIfExists]] for an L0-disciplined store: the newest live
+    * version's bucketed data unioned with its L0 delta files. The
+    * bucket column comes from hive partition discovery on the
+    * bucketed side and travels as a plain data column in L0 rows, so
+    * a bucket-column filter partition-prunes the bucketed scan and
+    * row-filters the (bounded) L0 scan. */
+  def readWithL0(spark: SparkSession, path: String,
+                 markers: Seq[String] = Nil): Option[DataFrame] =
+    currentDir(spark, path, markers).flatMap { dir =>
+      val bucketed =
+        if (hasDataFiles(spark, new Path(dir)))
+          Some(spark.read.parquet(dir))
+        else None
+      val l0 = readL0(spark, dir)
+      (bucketed, l0) match {
+        case (Some(b), Some(d)) => Some(b.unionByName(d))
+        case (b, d) => b.orElse(d)
+      }
+    }
+
+  /** Append one batch to the L0 delta zone of the newest live version
+    * (creating `v0` on the first append — made live by an explicit
+    * root `_SUCCESS` once the L0 job committed; a crash in between
+    * leaves an unmarked dir the [[prepareAppend]] hygiene sweeps on
+    * replay). Caller passes the frame WITH its bucket column. */
+  def appendL0(spark: SparkSession, path: String, df: DataFrame,
+               markers: Seq[String] = Nil): Unit = {
+    val dir = prepareAppend(spark, path, markers)
+    df.write.mode("append").parquet(s"$dir/$L0")
+    val f = fs(spark, path)
+    val succ = new Path(dir, "_SUCCESS")
+    if (!f.exists(succ)) { f.create(succ).close(); () }
+  }
+
   /** Staging target for a full rewrite: one past the highest existing
     * version number (live or not — a crashed rewrite's leftover is
     * never reused). Invisible to readers until its markers land. */

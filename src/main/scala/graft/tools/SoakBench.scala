@@ -35,7 +35,12 @@ import graft.text.Retrieval
   * one-shot reference is exact.
   *
   * Usage: runMain graft.tools.SoakBench [which] [nBatches] [batchSize]
-  *        [compactEvery]   — which ∈ neardup|bm25|embdedup|all
+  *        [compactEvery] [splitKB]
+  *        — which ∈ neardup|bm25|embdedup|all; splitKB is the
+  *        per-bucket split threshold for the adaptive sweeps
+  *        ([[graft.streaming.BucketTrie]]), scaled down from the
+  *        256 MB production default so splits actually fire at soak
+  *        scale (0 = never split, the fixed-bucket baseline).
   */
 object SoakBench {
 
@@ -127,7 +132,7 @@ object SoakBench {
   // ---- the three soaks ----------------------------------------------
 
   def soakNearDup(spark: SparkSession, nBatches: Int, batchSize: Int,
-                  compactEvery: Int): Unit = {
+                  compactEvery: Int, splitBytes: Long): Unit = {
     import spark.implicits._
     val p = IncrementalNearDup.Params()
     val statePath = Files.createTempDirectory("graft-soak-neardup").toString
@@ -142,7 +147,7 @@ object SoakBench {
         batch(b), "doc_id", "text", statePath, p))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalNearDup.compact(spark, statePath)
+          IncrementalNearDup.compact(spark, statePath, splitBytes)
           IncrementalNearDup.vacuum(spark, statePath)
         }
         compactWalls += cw
@@ -182,7 +187,7 @@ object SoakBench {
   }
 
   def soakBm25(spark: SparkSession, nBatches: Int, batchSize: Int,
-               compactEvery: Int): Unit = {
+               compactEvery: Int, splitBytes: Long): Unit = {
     import spark.implicits._
     val terms = Seq("hash", "join", "sort", "merge")
     val statePath = Files.createTempDirectory("graft-soak-bm25").toString
@@ -201,7 +206,7 @@ object SoakBench {
         batch(b), "doc_id", "text", statePath))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalBm25.compact(spark, statePath)
+          IncrementalBm25.compact(spark, statePath, splitBytes)
           IncrementalBm25.vacuum(spark, statePath)
         }
         compactWalls += cw
@@ -228,7 +233,7 @@ object SoakBench {
   }
 
   def soakEmbDedup(spark: SparkSession, nBatches: Int, batchSize: Int,
-                   compactEvery: Int): Unit = {
+                   compactEvery: Int, splitBytes: Long): Unit = {
     import spark.implicits._
     val p = IncrementalEmbeddingDedup.Params(
       threshold = 0.9, numPlanes = 8, tables = 4, seed = 42L,
@@ -245,7 +250,7 @@ object SoakBench {
         batch(b), "vec_id", "embedding", statePath, p))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalEmbeddingDedup.compact(spark, statePath)
+          IncrementalEmbeddingDedup.compact(spark, statePath, splitBytes)
           IncrementalEmbeddingDedup.vacuum(spark, statePath)
         }
         compactWalls += cw
@@ -282,17 +287,20 @@ object SoakBench {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(200)
     val batchSize = args.lift(2).map(_.toInt).getOrElse(500)
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(25)
+    val splitBytes = args.lift(4).map(_.toLong * 1024)
+      .filter(_ > 0).getOrElse(Long.MaxValue)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if (which == "neardup" || which == "all")
-      soakNearDup(spark, nBatches, batchSize, compactEvery)
+      soakNearDup(spark, nBatches, batchSize, compactEvery, splitBytes)
     if (which == "bm25" || which == "all")
-      soakBm25(spark, nBatches, batchSize, compactEvery)
+      soakBm25(spark, nBatches, batchSize, compactEvery, splitBytes)
     if (which == "embdedup" || which == "all")
-      soakEmbDedup(spark, nBatches, math.max(1, batchSize / 2), compactEvery)
+      soakEmbDedup(spark, nBatches, math.max(1, batchSize / 2), compactEvery,
+        splitBytes)
     spark.stop()
   }
 }

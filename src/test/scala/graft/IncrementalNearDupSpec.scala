@@ -101,12 +101,22 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     val before = clusterMap()
     val rowsBefore = IncrementalNearDup.bandIndex(spark, statePath).get.count()
     val dirBefore = liveDir()
-    val filesBefore = fileCount(dirBefore)
+    // pre-compact: appends are ONE L0 file per batch (never one per
+    // bucket — the small-file discipline), nothing bucketed yet
+    assert(fileCount(new java.io.File(dirBefore, "_l0")) == parts.length,
+      "expected one L0 file per appended batch")
     IncrementalNearDup.compact(spark, statePath)
     val dirAfter = liveDir()
     assert(dirAfter != dirBefore, "compaction did not land a new version")
-    assert(fileCount(dirAfter) < filesBefore,
-      s"compaction did not reduce live files ($filesBefore)")
+    // post-compact: L0 drained into the bucketed store, one sorted
+    // run per bucket
+    assert(fileCount(new java.io.File(dirAfter, "_l0")) == 0,
+      "compaction left L0 files behind")
+    val bucketDirs = dirAfter.listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
+    assert(bucketDirs.nonEmpty &&
+      bucketDirs.forall(d => fileCount(d) == 1),
+      "compaction did not leave one sorted run per bucket")
     assert(dirBefore.exists,
       "previous version not retained for in-flight readers")
     assert(IncrementalNearDup.bandIndex(spark, statePath).get.count()

@@ -115,6 +115,9 @@ class StreamingBm25Spec extends AnyFunSuite {
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     IncrementalBm25.processBatch(docs, "doc_id", "text", statePath)
+    // drain L0 into the bucketed layout: partition-pruning is the
+    // POST-sweep steady state (pre-sweep probes read the bounded L0)
+    IncrementalBm25.compact(spark, statePath)
 
     val pruned = IncrementalBm25.postings(spark, statePath).get
       .filter(col("tb").isin(0, 1))

@@ -29,10 +29,15 @@ class StreamingDedupScaleSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
 
   private def feed(statePath: String, p: IncrementalNearDup.Params,
-                   total: Int, batch: Int): Unit =
+                   total: Int, batch: Int): Unit = {
     (0 until total by batch).foreach(b =>
       IncrementalNearDup.processBatch(
         docs(b, math.min(batch, total - b)), "doc_id", "text", statePath, p))
+    // drain L0 into the bucketed layout: partition-pruning claims are
+    // about the POST-sweep steady state (pre-sweep probes read the
+    // bounded L0 delta in full, by design)
+    IncrementalNearDup.compact(spark, statePath)
+  }
 
   private def scanOf(df: DataFrame): FileSourceScanExec =
     df.queryExecution.executedPlan.collectFirst {
@@ -45,7 +50,8 @@ class StreamingDedupScaleSpec extends AnyFunSuite {
     feed(statePath, p, total = 240, batch = 80)
 
     val delta = docs(100000, 3)
-    val touched = IncrementalNearDup.bandRows(delta, "doc_id", "text", p)
+    val touched = IncrementalNearDup
+      .bandRows(delta, "doc_id", "text", p, statePath)
       .select("pb").distinct().collect().map(_.getInt(0)).toIndexedSeq
     assert(touched.length <= 3 * p.numBands) // Δ-sized, ≤ one per band key
 
@@ -84,7 +90,8 @@ class StreamingDedupScaleSpec extends AnyFunSuite {
 
     val delta = docs(200000, 2)
     def prunedRows(statePath: String, p: IncrementalNearDup.Params): Long = {
-      val touched = IncrementalNearDup.bandRows(delta, "doc_id", "text", p)
+      val touched = IncrementalNearDup
+        .bandRows(delta, "doc_id", "text", p, statePath)
         .select("pb").distinct().collect().map(_.getInt(0)).toIndexedSeq
       IncrementalNearDup.prunedIndex(
         IncrementalNearDup.bandIndex(spark, statePath).get, touched).count()

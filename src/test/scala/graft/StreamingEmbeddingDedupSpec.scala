@@ -80,9 +80,11 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     assert(got == ref)
 
     // replayed appends left no duplicate key or vector rows
-    val bands = spark.read.parquet(s"$statePath/bands")
+    val bands = graft.streaming.IndexDirs
+      .readWithL0(spark, s"$statePath/bands").get
     assert(bands.count() == bands.dropDuplicates("__id", "tk").count())
-    val vecs = spark.read.parquet(s"$statePath/vectors")
+    val vecs = graft.streaming.IndexDirs
+      .readWithL0(spark, s"$statePath/vectors").get
     assert(vecs.count() == vecs.dropDuplicates("__id").count())
     assert(vecs.count() == emb.count())
 
@@ -130,7 +132,7 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
       walk(dir).count(_.getName.endsWith(".parquet"))
     }
     def liveCount(dir: String): Long =
-      graft.streaming.IndexDirs.readIfExists(spark, dir).get.count()
+      graft.streaming.IndexDirs.readWithL0(spark, dir).get.count()
     val ids = (0L until 300L).toSeq.toDF("vec_id")
     def clusterMap() = IncrementalEmbeddingDedup
       .clusters(ids, "vec_id", statePath)
@@ -141,11 +143,22 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     val vecsBefore = liveCount(s"$statePath/vectors")
     val dirsBefore =
       Seq(liveDir(s"$statePath/bands"), liveDir(s"$statePath/vectors"))
-    val filesBefore = dirsBefore.map(fileCount).sum
+    // pre-compact: one L0 file per batch per store, nothing bucketed
+    assert(dirsBefore.forall(d =>
+      fileCount(new java.io.File(d, "_l0")) == 3),
+      "expected one L0 file per appended batch per store")
     IncrementalEmbeddingDedup.compact(spark, statePath)
-    assert(fileCount(liveDir(s"$statePath/bands"))
-      + fileCount(liveDir(s"$statePath/vectors")) < filesBefore,
-      s"compaction did not reduce live files ($filesBefore)")
+    val dirsAfter =
+      Seq(liveDir(s"$statePath/bands"), liveDir(s"$statePath/vectors"))
+    // post-compact: L0 drained, one sorted run per bucket dir
+    dirsAfter.foreach { d =>
+      assert(fileCount(new java.io.File(d, "_l0")) == 0,
+        s"compaction left L0 files behind in $d")
+      val buckets = d.listFiles().filter(f =>
+        f.isDirectory && f.getName.contains("=")).toSeq
+      assert(buckets.nonEmpty && buckets.forall(b => fileCount(b) == 1),
+        s"compaction did not leave one run per bucket in $d")
+    }
     assert(dirsBefore.forall(_.exists),
       "previous versions not retained for in-flight readers")
     assert(liveCount(s"$statePath/bands") == bandsBefore)
@@ -213,16 +226,18 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite {
     def perKeyLoad(statePath: String,
                    p: IncrementalEmbeddingDedup.Params): Double = {
       val keys = IncrementalEmbeddingDedup
-        .keyRows(delta, "vec_id", "embedding", p)
+        .keyRows(delta, "vec_id", "embedding", p, statePath)
         .select("tk").distinct()
       val rows = keys
-        .join(spark.read.parquet(s"$statePath/bands"), Seq("tk"))
+        .join(graft.streaming.IndexDirs
+          .readWithL0(spark, s"$statePath/bands").get, Seq("tk"))
         .count()
       rows.toDouble / keys.count()
     }
     val l1 = perKeyLoad(s1, small)
     val l2 = perKeyLoad(s2, big)
-    val i2 = spark.read.parquet(s"$s2/bands").count()
+    val i2 = graft.streaming.IndexDirs.readWithL0(spark, s"$s2/bands")
+      .get.count()
     assert(i2 == 2000L * big.tables * (big.numPlanes + 1),
       s"big key index wrong size: $i2")
     // expected ≈ 200·5/16 = 62.5 vs 2000·9/256 ≈ 70 — flat within
