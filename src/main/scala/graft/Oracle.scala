@@ -1969,12 +1969,14 @@ UNION ALL SELECT 9000006, CAST(32 AS INTEGER),
        '62e5b1dec71583e23c1d533165f66825'
 ORDER BY asset_id"""),
 
-    // m05: the two planted PCM clips' features are GOLDEN literals
-    // from an independent Python implementation of the pinned integer
-    // waveforms + the RIFF spec (energy / zero-crossings / peak /
-    // 4-window energy profile are all exact integers by construction);
-    // text-derived assets can never parse as PCM WAV, so the result is
-    // exactly these rows.
+    // m05: the four planted clips' features are GOLDEN literals from
+    // independent Python implementations of the pinned integer
+    // waveforms + the RIFF spec — two 16-bit PCM clips, and two IMA
+    // ADPCM clips (a real compressed codec; bit-exact integer decode,
+    // fixture bytes + features from tools/build_adpcm_fixture.py).
+    // Energy / zero-crossings / peak / 4-window energy profile are
+    // all exact integers by construction; text-derived assets can
+    // never parse as WAV, so the result is exactly these rows.
     "m05_audio_features" -> ("""
 SELECT * FROM (VALUES
   (9000003, CAST(1 AS INTEGER), CAST(8000 AS INTEGER), CAST(1600 AS BIGINT),
@@ -1984,7 +1986,15 @@ SELECT * FROM (VALUES
   (9000004, CAST(2 AS INTEGER), CAST(16000 AS INTEGER), CAST(2048 AS BIGINT),
    CAST(2605217128 AS BIGINT), CAST(119 AS BIGINT), CAST(1500 AS INTEGER),
    CAST(649997320 AS BIGINT), CAST(650991842 AS BIGINT),
-   CAST(651821801 AS BIGINT), CAST(652406165 AS BIGINT)))
+   CAST(651821801 AS BIGINT), CAST(652406165 AS BIGINT)),
+  (9000007, CAST(1 AS INTEGER), CAST(8000 AS INTEGER), CAST(2020 AS BIGINT),
+   CAST(930336102 AS BIGINT), CAST(21 AS BIGINT), CAST(1259 AS INTEGER),
+   CAST(220669245 AS BIGINT), CAST(252484128 AS BIGINT),
+   CAST(247402795 AS BIGINT), CAST(209779934 AS BIGINT)),
+  (9000008, CAST(2 AS INTEGER), CAST(16000 AS INTEGER), CAST(996 AS BIGINT),
+   CAST(444316714 AS BIGINT), CAST(34 AS BIGINT), CAST(949 AS INTEGER),
+   CAST(106832171 AS BIGINT), CAST(112784106 AS BIGINT),
+   CAST(106563163 AS BIGINT), CAST(118137274 AS BIGINT)))
   AS t(asset_id, channels, sample_rate_hz, n_frames, energy,
        zero_crossings, peak, w0, w1, w2, w3)
 ORDER BY asset_id"""),

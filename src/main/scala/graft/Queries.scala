@@ -1698,14 +1698,16 @@ object Queries {
     }),
 
     // REAL audio sample decode + feature extraction (hand-parsed
-    // 16-bit PCM WAV, no codec — AudioPcm): the clipping / silence /
-    // energy-profile gate a multimodal curation pipeline runs before
-    // training. Text-derived assets can never satisfy the strict RIFF
-    // structure and yield NULL; the two planted clips (pinned integer
-    // waveforms, WavFixtures) decode to integer-exact features the
-    // oracle golden-checks from an independent implementation. The
-    // decode is a scan-local projection: one pass, no shuffle until
-    // the |audio|-row result.
+    // RIFF — AudioPcm): 16-bit PCM WAV plus IMA ADPCM, a real
+    // COMPRESSED codec decoded bit-exactly in pure integer math — the
+    // clipping / silence / energy-profile gate a multimodal curation
+    // pipeline runs before training. Text-derived assets can never
+    // satisfy the strict RIFF structure and yield NULL; the four
+    // planted clips (pinned integer waveforms, WavFixtures; ADPCM
+    // twin tools/build_adpcm_fixture.py) decode to integer-exact
+    // features the oracle golden-checks from independent
+    // implementations. The decode is a scan-local projection: one
+    // pass, no shuffle until the |audio|-row result.
     "m05_audio_features" -> ((s, d) => {
       val assets = Multimodal.assetsFromDocuments(documents(s, d))
         .unionByName(Multimodal.audioFixtureAssets(s))

@@ -49,14 +49,20 @@ object Multimodal {
       .toDF("asset_id", "content", "mime")
   }
 
-  /** Two planted PCM WAV clips ([[WavFixtures]], pinned integer
+  /** Four planted WAV clips ([[WavFixtures]], pinned integer
     * waveforms) for the m05 sample-decode + feature-extraction row —
-    * same planted-fixture discipline as [[pixelFixtureAssets]]. */
+    * same planted-fixture discipline as [[pixelFixtureAssets]]. Two
+    * are UNCOMPRESSED 16-bit PCM; two are IMA ADPCM, a real
+    * compressed codec decoded bit-exactly in pure JVM integer math
+    * ([[AudioPcm]]), with the fixture bytes and golden features
+    * reproduced by the independent `tools/build_adpcm_fixture.py`. */
   def audioFixtureAssets(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
       (9000003L, WavFixtures.monoClip, "audio/wav"),
-      (9000004L, WavFixtures.stereoClip, "audio/wav"))
+      (9000004L, WavFixtures.stereoClip, "audio/wav"),
+      (9000007L, WavFixtures.adpcmMonoClip, "audio/wav"),
+      (9000008L, WavFixtures.adpcmStereoClip, "audio/wav"))
       .toDF("asset_id", "content", "mime")
   }
 

@@ -361,6 +361,53 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       Seq(649997320L, 650991842L, 651821801L, 652406165L))))
   }
 
+  test("AudioPcm: IMA ADPCM (compressed) decodes bit-exactly; fixture " +
+      "bytes match the independent builder; junk is null") {
+    import graft.multimodal.{AudioPcm, WavFixtures}
+    val mono = WavFixtures.adpcmMonoClip
+    val stereo = WavFixtures.adpcmStereoClip
+    // byte-identical to tools/build_adpcm_fixture.py (independent
+    // implementation of the pinned waveforms + encoder spec)
+    def md5(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    assert(mono.length == 1084 &&
+      md5(mono) == "a50d20e97ebf111aca1ef2d9a59919f2")
+    assert(stereo.length == 1084 &&
+      md5(stereo) == "b7f4d9f9bcbb0a0d6c7071a991d9e224")
+
+    val m = AudioPcm.decode(mono)
+    assert(m != null && m.channels == 1 && m.sampleRateHz == 8000 &&
+      m.samples.length == 2020)
+    // block headers carry the input sample verbatim: exact at every
+    // block start; elsewhere the codec is lossy but bit-pinned
+    for (blk <- 0 until 4)
+      assert(m.samples(blk * 505) == WavFixtures.adpcmMono(blk * 505))
+    val s2 = AudioPcm.decode(stereo)
+    assert(s2 != null && s2.channels == 2 && s2.sampleRateHz == 16000 &&
+      s2.samples.length == 996 * 2)
+
+    // strictness: truncation, size drift, depth-4 PCM confusion → null
+    assert(AudioPcm.decode(mono.dropRight(1)) == null)
+    assert(AudioPcm.decode(mono :+ 0x00.toByte) == null)
+    val badReserved = mono.clone()
+    badReserved(12 + 28 + 12 + 8 + 3) = 1 // header reserved byte
+    assert(AudioPcm.decode(badReserved) == null)
+
+    // feature goldens from the independent Python decoder
+    val got = Seq((7L, mono), (8L, stereo)).toDF("asset_id", "content")
+      .select(col("asset_id"),
+        Multimodal.audioFeatures(col("content"), 4).as("f"))
+      .select(col("asset_id"), col("f.n_frames"), col("f.energy"),
+        col("f.zero_crossings"), col("f.peak"), col("f.window_energy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getSeq[Long](5))).sortBy(_._1)
+    assert(got(0) == ((7L, 2020L, 930336102L, 21L, 1259,
+      Seq(220669245L, 252484128L, 247402795L, 209779934L))))
+    assert(got(1) == ((8L, 996L, 444316714L, 34L, 949,
+      Seq(106832171L, 112784106L, 106563163L, 118137274L))))
+  }
+
   test("VideoFrames: checked-in AVI decodes TRUE frame pixels; even stride; junk is null") {
     import graft.multimodal.{AviFixtures, PixelDecode, VideoFrames}
     val clip = fixture("clip_8x6.avi") // independent Python build
