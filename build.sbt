@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Long-haul properties (soak sequences, crash kill matrices) carry
+// the graft.Slow tag and stay OUT of the per-commit `sbt test` loop;
+// GRAFT_SLOW=1 runs the full contract (required before a round
+// close). `sbt "testOnly * -- -n graft.Slow"` runs only the slow set.
+Test / testOptions ++= (
+  if (sys.env.get("GRAFT_SLOW").contains("1")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Slow")))
 // The driver parses graft.Bench's one JSON stdout line; sbt's default
 // LoggedOutput would prefix every forked-process line with "[info] ",
 // breaking any line-anchored parse. Inherit stdout/stderr directly.

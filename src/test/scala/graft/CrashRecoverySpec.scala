@@ -77,7 +77,7 @@ class CrashRecoverySpec extends AnyFunSuite {
     all.grouped(math.max(1, all.length / n)).toSeq.take(n)
   }
 
-  test("bm25: postings | doclen | scalars boundaries all recover") {
+  test("bm25: postings | doclen | scalars boundaries all recover", Slow) {
     val terms = Seq("hash", "join", "sort", "merge")
     val batches = docBatches(2)
     killBetweenStores("bm25", Seq("postings", "doclen", "scalars"), 2,
@@ -88,7 +88,7 @@ class CrashRecoverySpec extends AnyFunSuite {
         .toSeq)
   }
 
-  test("dup-spans: grams | results boundary recovers") {
+  test("dup-spans: grams | results boundary recovers", Slow) {
     val batches = docBatches(2)
     killBetweenStores("dupspans", Seq("grams", "results"), 2,
       (i, sp) => IncrementalDupSpans.processBatch(
@@ -98,7 +98,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           r.getLong(3), r.getDouble(4))).sortBy(_._1).toSeq)
   }
 
-  test("cross-doc-grams: grams | results boundary recovers") {
+  test("cross-doc-grams: grams | results boundary recovers", Slow) {
     val batches = docBatches(2)
     killBetweenStores("xdoc", Seq("grams", "results"), 2,
       (i, sp) => IncrementalCrossDocGrams.processBatch(
@@ -108,7 +108,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           r.getDouble(3))).sortBy(_._1).toSeq)
   }
 
-  test("dsir: docs | main(scores) boundary recovers") {
+  test("dsir: docs | main(scores) boundary recovers", Slow) {
     val all = TestData.table(spark, sf, "documents")
       .select("doc_id", "text", "source").as[(Long, String, String)]
       .collect().sortBy(_._1).take(240).toSeq
@@ -124,7 +124,7 @@ class CrashRecoverySpec extends AnyFunSuite {
         .sortBy(_._1).toSeq)
   }
 
-  test("near-dup: labels | index boundary recovers (results-FIRST ordering)") {
+  test("near-dup: labels | index boundary recovers (results-FIRST ordering)", Slow) {
     val batches = docBatches(2)
     val ids = TestData.table(spark, sf, "documents")
       .select(col("doc_id")).limit(240)
@@ -135,7 +135,7 @@ class CrashRecoverySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
 
-  test("containment: pairs | docs | postings boundaries all recover") {
+  test("containment: pairs | docs | postings boundaries all recover", Slow) {
     val all = TestData.table(spark, sf, "documents")
       .select(col("doc_id"),
         array_distinct(graft.text.TextFunctions.tokens(col("text")))
@@ -150,7 +150,7 @@ class CrashRecoverySpec extends AnyFunSuite {
         .sortBy(p => (p._1, p._2)).toSeq)
   }
 
-  test("segment-dedup: claims | results boundary recovers") {
+  test("segment-dedup: claims | results boundary recovers", Slow) {
     val batches = docBatches(2)
     killBetweenStores("segdedup", Seq("claims", "results"), 2,
       (i, sp) => IncrementalSegmentDedup.processBatch(
@@ -161,7 +161,7 @@ class CrashRecoverySpec extends AnyFunSuite {
           r.getString(3))).sortBy(_._1).toSeq)
   }
 
-  test("embedding-dedup: bands | vectors | labels boundaries all recover") {
+  test("embedding-dedup: bands | vectors | labels boundaries all recover", Slow) {
     val emb = TestData.table(spark, sf, "embeddings")
       .select("vec_id", "embedding")
     val all = emb.as[(Long, Seq[Float])].collect().sortBy(_._1)

@@ -51,7 +51,7 @@ class DedupRecallGateSpec extends AnyFunSuite {
     docs.unpersist(); exact.unpersist(); d02.unpersist()
   }
 
-  test("cluster-level robustness of the capped pair set is pinned (sf0.01 + sf0.1)") {
+  test("cluster-level robustness of the capped pair set is pinned (sf0.01 + sf0.1)", Slow) {
     // The level users consume is CLUSTERS (d05/d06), not pairs. Two
     // distinct effects can split a cluster built from d02's pairs
     // instead of the exact pair set, and this gate pins both:

@@ -22,7 +22,7 @@ class DynamicAggregateSpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       s"$hint: incremental aggregate and full recompute diverge")
 
-  test("property: incremental aggregate ≡ full groupBy over random sequences") {
+  test("property: incremental aggregate ≡ full groupBy over random sequences", Slow) {
     def viewOf(f: DataFrame): DataFrame =
       f.groupBy("grp").agg(sum(col("qty")).as("total"),
                            count(lit(1)).as("n"))

@@ -79,7 +79,7 @@ class DynamicTableSpec extends AnyFunSuite {
     }
   }
 
-  test("property: dynamic tables compose into a DAG — two-hop incremental ≡ full") {
+  test("property: dynamic tables compose into a DAG — two-hop incremental ≡ full", Slow) {
     // tier 1: the usual dim-join view; tier 2 reads tier 1's OUTPUT as
     // its fact (filter + derived column, row-local in the tier-1 key).
     // Each refresh returns the view-change batch it applied; feeding

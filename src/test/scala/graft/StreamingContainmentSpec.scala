@@ -23,7 +23,7 @@ class StreamingContainmentSpec extends AnyFunSuite {
     df.select("a", "b", "containment")
       .as[(Long, Long, Double)].collect().toSet
 
-  test("streaming pair set == one-shot j03 at every boundary; replay adds nothing") {
+  test("streaming pair set == one-shot j03 at every boundary; replay adds nothing", Slow) {
     val params = IncrementalContainment.Params(threshold = 0.9)
     val docs = TestData.table(spark, sf, "documents")
       .select(col("doc_id"),

@@ -26,7 +26,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     df.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSeq
 
-  test("streaming curated view == batch curation at every batch boundary") {
+  test("streaming curated view == batch curation at every batch boundary", Slow) {
     val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
     val statePath = Files.createTempDirectory("graft-curation-s").toString
     val all = docs.as[(Long, String)].collect().sortBy(_._1)
@@ -63,7 +63,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(finalView.select("doc_id").distinct().count() == finalView.count())
   }
 
-  test("streaming SEMANTIC curation (both dedup axes) == batch c03 composition at every boundary") {
+  test("streaming SEMANTIC curation (both dedup axes) == batch c03 composition at every boundary", Slow) {
     val docs = TestData.table(spark, sf, "documents").select("doc_id", "text")
     val emb = TestData.table(spark, sf, "embeddings")
       .select("vec_id", "embedding")
@@ -108,7 +108,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     assert(both < lexOnly, s"semantic stage filtered nothing: $both vs $lexOnly")
   }
 
-  test("streaming DECONTAMINATED curation == batch c02-shape at every boundary") {
+  test("streaming DECONTAMINATED curation == batch c02-shape at every boundary", Slow) {
     import graft.dedup.Dedup
     val docs = TestData.table(spark, sf, "documents")
       .select("doc_id", "source", "text")
@@ -157,7 +157,7 @@ class StreamingCurationSpec extends AnyFunSuite {
     benchDf.unpersist()
   }
 
-  test("streaming EXPORT view (curate -> mix -> pack) == batch composition at every boundary") {
+  test("streaming EXPORT view (curate -> mix -> pack) == batch composition at every boundary", Slow) {
     import graft.text.Mixture
     val docs = TestData.table(spark, sf, "documents")
       .select("doc_id", "source", "text")

@@ -90,7 +90,7 @@ class StreamingDecontaminationSpec extends AnyFunSuite {
     assert(streaming.nonEmpty, "vacuous: no contamination at this SF")
   }
 
-  test("CONTAINMENT metric: incremental flagged set == one-shot d16 verdicts at every boundary") {
+  test("CONTAINMENT metric: incremental flagged set == one-shot d16 verdicts at every boundary", Slow) {
     run(containment = true)
   }
 

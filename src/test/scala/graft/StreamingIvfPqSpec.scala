@@ -29,7 +29,7 @@ class StreamingIvfPqSpec extends AnyFunSuite {
     (emb.filter(col("vec_id") =!= 0).select("vec_id", "embedding"), q)
   }
 
-  test("streaming batches probe identically to a one-shot build on frozen artifacts") {
+  test("streaming batches probe identically to a one-shot build on frozen artifacts", Slow) {
     val (corpus, q) = corpusAndQuery()
     val statePath = Files.createTempDirectory("graft-incivfpq-s").toString
 
@@ -72,7 +72,7 @@ class StreamingIvfPqSpec extends AnyFunSuite {
       == all.length.toLong)
   }
 
-  test("replay idempotent; probe prunes lists and skips vector bytes; retrain deterministic") {
+  test("replay idempotent; probe prunes lists and skips vector bytes; retrain deterministic", Slow) {
     val (corpus, q) = corpusAndQuery()
     val statePath = Files.createTempDirectory("graft-incivfpq-b").toString
     val parts = corpus.as[(Long, Seq[Float])].collect().sortBy(_._1)

@@ -9,7 +9,7 @@ class TextClassifierSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
-  test("training separates a planted two-class corpus") {
+  test("training separates a planted two-class corpus", Slow) {
     val rnd = new scala.util.Random(3)
     val good = Seq("crisp", "lucid", "cogent", "vivid", "polished")
     val bad = Seq("garbled", "spammy", "mangled", "rambling", "hollow")
