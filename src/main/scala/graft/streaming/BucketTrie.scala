@@ -40,16 +40,23 @@ private[graft] object BucketTrie {
       depths.values.toSeq.distinct.sorted.reverse
 
     /** Spark-side assignment: the bucket id of a 64-bit key-hash
-      * column. One pmod per DISTINCT local depth (splits keep that
-      * spread tiny), all codegen-friendly scalar ops; the map literal
-      * is bucket-count-sized. The fold tries deeper covers first —
-      * prefix-freeness guarantees exactly one depth matches. */
+      * column — ONE O(1) array lookup per row: `lut[h mod 2^maxDepth]`
+      * where the precomputed table expands every bucket to its
+      * aliases at the deepest level. (`element_at` on a MAP literal
+      * is a LINEAR scan of ArrayBasedMapData — with thousands of
+      * buckets × a lookup per distinct depth per row, the earlier
+      * map-walk formulation measured 45 s compaction sweeps.) The
+      * table is 4·2^maxDepth bytes driver-side — 16 MB at the
+      * MaxDepth cap, int-array-literal-sized like a centroid set. */
     def bucketCol(h: Column): Column = {
-      val m = typedLit(depths)
-      depthsDesc.foldLeft(lit(null).cast("int")) { (acc, dep) =>
-        val cand = pmod(h, lit(1L << dep)).cast("int")
-        coalesce(acc, when(element_at(m, cand) === dep, cand))
+      val maxD = depths.values.max
+      val lut = new Array[Int](1 << maxD)
+      depths.foreach { case (id, d) =>
+        var alias = id
+        while (alias < lut.length) { lut(alias) = id; alias += 1 << d }
       }
+      element_at(typedLit(lut.toSeq),
+        (pmod(h, lit(1L << maxD)) + 1L).cast("int"))
     }
 
     /** Split one bucket one level. Local by construction: no other

@@ -133,8 +133,7 @@ object IncrementalBm25 {
     val newPost = post.join(postProbe, Seq("term", "doc_id"), "left_anti")
     if (!newPost.isEmpty)
       // one L0 file per batch regardless of term-bucket count
-      IndexDirs.appendL0(spark, postingsPath(statePath),
-        newPost.coalesce(1))
+      IndexDirs.appendL0(spark, postingsPath(statePath), newPost)
 
     // doclen append, same discipline on the doc buckets
     val dbs = lens.select("db").distinct()

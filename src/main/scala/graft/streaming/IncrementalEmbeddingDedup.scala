@@ -178,11 +178,10 @@ object IncrementalEmbeddingDedup {
       // one L0 file per batch per store regardless of bucket count
       // ([[IndexDirs.appendL0]]); the sweep merges L0 into buckets
       if (!newKeys.isEmpty)
-        IndexDirs.appendL0(spark, bandsPath(statePath),
-          newKeys.coalesce(1).sortWithinPartitions("tk"))
+        IndexDirs.appendL0(spark, bandsPath(statePath), newKeys,
+          sortCols = Seq("tk"))
       if (!newVecRows.isEmpty)
-        IndexDirs.appendL0(spark, vectorsPath(statePath),
-          newVecRows.coalesce(1))
+        IndexDirs.appendL0(spark, vectorsPath(statePath), newVecRows)
       cand.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }

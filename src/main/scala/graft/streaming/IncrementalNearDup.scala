@@ -225,7 +225,7 @@ object IncrementalNearDup {
       // extend a snapshot; they never invalidate a reader's held file
       // listing) — [[IndexDirs.appendL0]]; the sweep merges L0 into
       // the pb= bucket directories
-      IndexDirs.appendL0(spark, indexPath(statePath), newRows.coalesce(1))
+      IndexDirs.appendL0(spark, indexPath(statePath), newRows)
     deltaBands.unpersist()
     ()
   }
