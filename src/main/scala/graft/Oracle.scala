@@ -229,6 +229,98 @@ customer_spending AS (
   FROM spending)
 """
 
+  /** Shared CTE prefix of the t19 family (control + round-13 bisect
+    * probes): t02's quality formula → label, t17's exact micro-unit
+    * margin → pred, one row per doc in CTE `s`. Factored so the fresh
+    * keys (t19a/b/c) are BY CONSTRUCTION the same SQL text as the
+    * control's corresponding fragments. */
+  private def classifierScoredSql: String = {
+    val w = graft.text.TextClassifier.DefaultWeightsMicro
+      .mkString("[", ", ", "]")
+    val b = graft.text.TextClassifier.DefaultBiasMicro
+    s"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, source, text, toks,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
+         END AS punct_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
+                   / len(toks)
+         END AS stopword_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+         END AS mwl
+  FROM t),
+q AS (
+  SELECT doc_id, source,
+         ROUND((least(length(text) / 500.0, 1.0)
+                + CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio / 0.2 END
+                + least(stopword_ratio * 4.0, 1.0)
+                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
+           AS quality_score
+  FROM c),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+h AS (
+  SELECT doc_id,
+         (ascii(substr(md5(tk), 1, 1)) * 1000
+          + ascii(substr(md5(tk), 2, 1)) * 100
+          + ascii(substr(md5(tk), 3, 1)) * 10
+          + ascii(substr(md5(tk), 4, 1))) % 64 AS h
+  FROM tok),
+m AS (
+  SELECT doc_id, SUM(($w)[h + 1]) + ($b) AS mi FROM h GROUP BY doc_id),
+s AS (
+  SELECT q.source, q.quality_score >= 0.72 AS label, m.mi > 0 AS pred, m.mi
+  FROM m JOIN q USING (doc_id))"""
+  }
+
+  /** The per-source rank CTE (average-tie rank on the ×2 BIGINT grid). */
+  private val classifierRankSql: String = """,
+r AS (
+  SELECT source, label, pred, mi,
+         2 * RANK() OVER (PARTITION BY source ORDER BY mi)
+           + COUNT(*) OVER (PARTITION BY source, mi) - 1 AS r2
+  FROM s)"""
+
+  /** Full t19 report SQL — shared verbatim by `t19_classifier_eval`
+    * (control) and `t19c_eval_v2` (fresh key, round-13 bisect). */
+  private def classifierEvalSql: String =
+    classifierScoredSql + classifierRankSql + """,
+a AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+         SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
+         SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
+         SUM(CASE WHEN label THEN r2 END) AS rp2
+  FROM r GROUP BY source)
+SELECT source, n_docs, n_pos,
+       CAST((20000 * n_correct + n_docs) // (2 * n_docs)
+            AS BIGINT) AS accuracy_e4,
+       CASE WHEN tp + fp > 0
+            THEN CAST((20000 * tp + tp + fp) // (2 * (tp + fp)) AS BIGINT)
+       END AS prec_e4,
+       CASE WHEN n_pos > 0
+            THEN CAST((20000 * tp + n_pos) // (2 * n_pos) AS BIGINT)
+       END AS recall_e4,
+       CASE WHEN 2*tp + fp + fn > 0
+            THEN CAST((20000 * 2 * tp + (2*tp + fp + fn))
+                      // (2 * (2*tp + fp + fn)) AS BIGINT)
+       END AS f1_e4,
+       CASE WHEN n_pos > 0 AND n_pos < n_docs
+            THEN CAST((20000 * (rp2 - n_pos * (n_pos + 1))
+                       + 2 * n_pos * (n_docs - n_pos))
+                      // (4 * n_pos * (n_docs - n_pos)) AS BIGINT)
+       END AS auc_e4
+FROM a ORDER BY source"""
+
   val all: Map[String, String] = Map(
     // transaction_id is not unique in the synthetic testdata, so every
     // positional-order-sensitive query sorts by a key set that
@@ -2505,84 +2597,26 @@ FROM m GROUP BY doc_id ORDER BY doc_id"""),
     // t19 = t17's margin CTE × t02's quality formula, confusion
     // counts + Mann–Whitney rank-sum AUC with average tie ranks; NULL
     // where a metric is undefined.
-    "t19_classifier_eval" -> {
-      val w = graft.text.TextClassifier.DefaultWeightsMicro
-        .mkString("[", ", ", "]")
-      val b = graft.text.TextClassifier.DefaultBiasMicro
-      s"""
-WITH t AS (
-  SELECT doc_id, source, text,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks
-  FROM documents),
-c AS (
-  SELECT doc_id, source, text, toks,
-         CASE WHEN length(text) = 0 THEN 0.0
-              ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text)
-         END AS punct_ratio,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(toks, x -> list_contains(
-                     ['the','a','an','of','to','and','in','is','it','that'], x))) AS DOUBLE)
-                   / len(toks)
-         END AS stopword_ratio,
-         CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-         END AS mwl
-  FROM t),
-q AS (
-  SELECT doc_id, source,
-         ROUND((least(length(text) / 500.0, 1.0)
-                + CASE WHEN punct_ratio > 0.2 THEN 0.0 ELSE 1.0 - punct_ratio / 0.2 END
-                + least(stopword_ratio * 4.0, 1.0)
-                + CASE WHEN mwl >= 3.0 AND mwl <= 8.0 THEN 1.0 ELSE 0.5 END) / 4.0, 4)
-           AS quality_score
-  FROM c),
-tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
-h AS (
-  SELECT doc_id,
-         (ascii(substr(md5(tk), 1, 1)) * 1000
-          + ascii(substr(md5(tk), 2, 1)) * 100
-          + ascii(substr(md5(tk), 3, 1)) * 10
-          + ascii(substr(md5(tk), 4, 1))) % 64 AS h
-  FROM tok),
-m AS (
-  SELECT doc_id, SUM(($w)[h + 1]) + ($b) AS mi FROM h GROUP BY doc_id),
-s AS (
-  SELECT q.source, q.quality_score >= 0.72 AS label, m.mi > 0 AS pred, m.mi
-  FROM m JOIN q USING (doc_id)),
-r AS (
-  SELECT source, label, pred, mi,
-         2 * RANK() OVER (PARTITION BY source ORDER BY mi)
-           + COUNT(*) OVER (PARTITION BY source, mi) - 1 AS r2
-  FROM s),
-a AS (
-  SELECT source, COUNT(*) AS n_docs,
-         SUM(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
-         SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS n_correct,
-         SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS tp,
-         SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
-         SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
-         SUM(CASE WHEN label THEN r2 END) AS rp2
-  FROM r GROUP BY source)
-SELECT source, n_docs, n_pos,
-       CAST((20000 * n_correct + n_docs) // (2 * n_docs)
-            AS BIGINT) AS accuracy_e4,
-       CASE WHEN tp + fp > 0
-            THEN CAST((20000 * tp + tp + fp) // (2 * (tp + fp)) AS BIGINT)
-       END AS prec_e4,
-       CASE WHEN n_pos > 0
-            THEN CAST((20000 * tp + n_pos) // (2 * n_pos) AS BIGINT)
-       END AS recall_e4,
-       CASE WHEN 2*tp + fp + fn > 0
-            THEN CAST((20000 * 2 * tp + (2*tp + fp + fn))
-                      // (2 * (2*tp + fp + fn)) AS BIGINT)
-       END AS f1_e4,
-       CASE WHEN n_pos > 0 AND n_pos < n_docs
-            THEN CAST((20000 * (rp2 - n_pos * (n_pos + 1))
-                       + 2 * n_pos * (n_docs - n_pos))
-                      // (4 * n_pos * (n_docs - n_pos)) AS BIGINT)
-       END AS auc_e4
-FROM a ORDER BY source"""
-    },
+    "t19_classifier_eval" -> classifierEvalSql,
+
+    // Round-13 driver bisect of the t19 red row (see Queries.scala):
+    // fresh catalog keys over the SAME shared SQL fragments.
+    "t19a_confusion" -> (classifierScoredSql + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM s GROUP BY source ORDER BY source"""),
+
+    "t19b_ranksum" -> (classifierScoredSql + classifierRankSql + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN label THEN r2 END) AS BIGINT) AS rp2
+FROM r GROUP BY source ORDER BY source"""),
+
+    "t19c_eval_v2" -> classifierEvalSql,
 
     // Temperature mixing: shares/budgets on the exact integer grid
     // (sqrt is correctly rounded IEEE; the budget is one integer

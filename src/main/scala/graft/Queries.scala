@@ -314,6 +314,65 @@ object Queries {
   private val summaryOrder = Seq("transaction_id", "product_id",
     "merchant_id", "quantity", "transaction_category").map(col)
 
+  /** Shared scored frame for the t19 family: one row per doc with its
+    * t02-heuristic label and the frozen t17 classifier's exact integer
+    * margin/prediction. Factored into a def so `t19c_eval_v2` (a fresh
+    * catalog key — round-13 driver-staleness bisect) is BY CONSTRUCTION
+    * the identical computation as the `t19_classifier_eval` control. */
+  private def classifierScored(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val m = TextClassifier.marginMicro(docs, "doc_id", "text")
+    docs.select(col("doc_id"), col("source"),
+        (TextFunctions.qualityScore(col("text")) >= 0.72).as("label"))
+      .join(m, "doc_id")
+      .withColumn("pred", col("score_micro") > 0)
+  }
+
+  /** [[classifierScored]] + the ×2-grid average tie rank
+    * r2 = 2·rank + ties − 1 (exact BIGINT) used by the Mann–Whitney
+    * AUC — the one per-source window in the t19 family. */
+  private def classifierRanked(s: SparkSession, d: String): DataFrame = {
+    val byScore = Window.partitionBy("source").orderBy("score_micro")
+    val ties = Window.partitionBy("source", "score_micro")
+    classifierScored(s, d).withColumn("r2",
+      rank().over(byScore).cast("long") * lit(2L) +
+        count(lit(1)).over(ties) - lit(1L))
+  }
+
+  /** Exact half-up num/den → 1e4-grid BIGINT: floor((2·10⁴·num+den)/(2·den)).
+    * `div` keeps the whole computation in int64 — the one type no
+    * engine version, float formatter, or parquet encoding can
+    * re-interpret. */
+  private def metricGrid4(num: String, den: String): Column =
+    expr(s"cast((20000 * ($num) + ($den)) div (2 * ($den)) as bigint)")
+
+  /** Full per-source classifier evaluation report; shared verbatim by
+    * `t19_classifier_eval` (the control key) and `t19c_eval_v2` (the
+    * fresh key). See the catalog comments on those entries. */
+  private def classifierEval(s: SparkSession, d: String): DataFrame =
+    classifierRanked(s, d).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("label"), col("r2"))).as("rp2"))
+      .select(col("source"), col("n_docs"), col("n_pos"),
+        metricGrid4("n_correct", "n_docs").as("accuracy_e4"),
+        when(col("tp") + col("fp") > 0,
+          metricGrid4("tp", "tp + fp")).as("prec_e4"),
+        when(col("n_pos") > 0, metricGrid4("tp", "n_pos")).as("recall_e4"),
+        when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          metricGrid4("2 * tp", "2 * tp + fp + fn")).as("f1_e4"),
+        // U = rp − n_pos(n_pos+1)/2 on the ×2 grid: 2U = rp2 − n_pos(n_pos+1);
+        // AUC = 2U / (2·n_pos·(n_docs−n_pos)).
+        when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
+          metricGrid4("rp2 - n_pos * (n_pos + 1)",
+                "2 * n_pos * (n_docs - n_pos)")).as("auc_e4"))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 J1-J3 + §2.2 P1/P2: the flagship 4-way star join.
     "q01_purchase_summary" -> ((s, d) =>
@@ -2422,47 +2481,35 @@ object Queries {
     // join of the margin aggregate to the scan-local labels, one
     // source-keyed exchange for the rank windows, one |sources|-row
     // aggregate.
-    "t19_classifier_eval" -> ((s, d) => {
-      val docs = documents(s, d)
-      val m = TextClassifier.marginMicro(docs, "doc_id", "text")
-      val scored = docs.select(col("doc_id"), col("source"),
-          (TextFunctions.qualityScore(col("text")) >= 0.72).as("label"))
-        .join(m, "doc_id")
-        .withColumn("pred", col("score_micro") > 0)
-      val byScore = Window.partitionBy("source").orderBy("score_micro")
-      val ties = Window.partitionBy("source", "score_micro")
-      // r2 = 2·(average tie rank) — an exact BIGINT: 2·rank + ties − 1.
-      val ranked = scored.withColumn("r2",
-        rank().over(byScore).cast("long") * lit(2L) +
-          count(lit(1)).over(ties) - lit(1L))
-      // Exact half-up num/den → 1e4-grid BIGINT; `div` keeps the whole
-      // computation in int64, and int64 is the one type no DuckDB,
-      // pandas, or parquet version can re-interpret.
-      def grid4(num: String, den: String): Column =
-        expr(s"cast((20000 * ($num) + ($den)) div (2 * ($den)) as bigint)")
-      ranked.groupBy("source").agg(
+    "t19_classifier_eval" -> ((s, d) => classifierEval(s, d)),
+
+    // Round-13 driver bisect of the t19 red row (three rounds of
+    // locally-green value rewrites; every oracle construct is
+    // sibling-green on the driver board — the remaining hypothesis is
+    // a stale per-query driver artifact, and a FRESH key cannot hit a
+    // stale cache). Three probes, t19 kept unchanged as the control:
+    //   t19a — confusion counts only (no window, pure counting);
+    //   t19b — the rank-sum window only (isolates RANK + ties);
+    //   t19c — the full t19 computation verbatim under a new key.
+    "t19a_confusion" -> ((s, d) =>
+      classifierScored(s, d).groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
           sum(when(col("pred") === col("label"), 1L).otherwise(0L))
             .as("n_correct"),
           sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
           sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
-          sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"))
+        .orderBy("source")),
+
+    "t19b_ranksum" -> ((s, d) =>
+      classifierRanked(s, d).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
           sum(when(col("label"), col("r2"))).as("rp2"))
-        .select(col("source"), col("n_docs"), col("n_pos"),
-          grid4("n_correct", "n_docs").as("accuracy_e4"),
-          when(col("tp") + col("fp") > 0,
-            grid4("tp", "tp + fp")).as("prec_e4"),
-          when(col("n_pos") > 0, grid4("tp", "n_pos")).as("recall_e4"),
-          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-            grid4("2 * tp", "2 * tp + fp + fn")).as("f1_e4"),
-          // U = rp − n_pos(n_pos+1)/2 on the ×2 grid: 2U = rp2 − n_pos(n_pos+1);
-          // AUC = 2U / (2·n_pos·(n_docs−n_pos)).
-          when(col("n_pos") > 0 && col("n_pos") < col("n_docs"),
-            grid4("rp2 - n_pos * (n_pos + 1)",
-                  "2 * n_pos * (n_docs - n_pos)")).as("auc_e4"))
-        .orderBy("source")
-    }),
+        .orderBy("source")),
+
+    "t19c_eval_v2" -> ((s, d) => classifierEval(s, d)),
 
     // Corpus bigram language model with add-1 smoothing, scoring each
     // doc by the mean negative log-likelihood of its bigram
