@@ -27,6 +27,28 @@ import graft.text.TextFunctions
   */
 object Dedup {
 
+  /** Frames `persist()`ed inside lazily-returned query plans (the
+    * containment join's bucket frame): the consumer materializes them
+    * AFTER the building function returns, so the builder cannot
+    * unpersist deterministically itself — without a hook, reclamation
+    * waits on GC + ContextCleaner, and a long-lived driver running
+    * many dedup queries (soak/bench loops, streaming maintainers)
+    * accumulates cached blocks. Entries are kept weakly-reachable-
+    * equivalent: [[releaseCaches]] unpersists and clears. */
+  private val persistedFrames =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]
+  private def registerPersisted(df: DataFrame): DataFrame =
+    persistedFrames.synchronized { persistedFrames += df; df }
+
+  /** Unpersist every cached frame registered by past dedup queries.
+    * Call between iterations of a long-lived loop once the previous
+    * query's output is fully consumed; blocking=false, so the actual
+    * block drop is asynchronous and cheap to request. */
+  def releaseCaches(): Unit = persistedFrames.synchronized {
+    persistedFrames.foreach(_.unpersist(blocking = false))
+    persistedFrames.clear()
+  }
+
   /** Exact dedup: keep the smallest id per identical content, plus the
     * group's duplicate count. One hash aggregation keyed by
     * (xxhash64(content), content) — map-side partial min/count, no
@@ -495,6 +517,7 @@ object Dedup {
         size(col("__ise")) + size(col("__isi")) +
           size(col("__is0e")) + size(col("__is0i")) >= 1)
       .persist()
+    registerPersisted(buckets)
 
     val nx = col("x.__n"); val ny = col("y.__n")
     def aExpr: Column =

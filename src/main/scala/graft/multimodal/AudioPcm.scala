@@ -139,6 +139,12 @@ object AudioPcm {
                           factSamples: Long): Pcm = {
     if (blockAlign <= 4 * channels || dataLen % blockAlign != 0)
       return null
+    // the decoder reads whole 4-byte words per channel: a block whose
+    // data region is not a multiple of 4·channels would silently drop
+    // its tail bytes (well-formed but wrong samples) — strict
+    // validation rejects it instead
+    if ((blockAlign - 4 * channels) % (4 * channels) != 0)
+      return null
     // the canonical relation between block size and its sample count
     if (samplesPerBlock != (blockAlign - 4 * channels) * 2 / channels + 1)
       return null

@@ -36,8 +36,6 @@ private[graft] object BucketTrie {
   final case class Trie(depths: Map[Int, Int]) {
     def ids: Seq[Int] = depths.keys.toSeq.sorted
     def size: Int = depths.size
-    private def depthsDesc: Seq[Int] =
-      depths.values.toSeq.distinct.sorted.reverse
 
     /** Spark-side assignment: the bucket id of a 64-bit key-hash
       * column — ONE O(1) array lookup per row: `lut[h mod 2^maxDepth]`
@@ -111,6 +109,34 @@ private[graft] object BucketTrie {
     try out.write(trie.json.getBytes("UTF-8")) finally out.close()
   }
 
+  /** True iff the newest live version holds hive-bucketed data
+    * (`partCol=N` directories with data files) but NO `_buckets.json`
+    * sidecar. Under the current code that state is unreachable —
+    * bucket directories are created only by [[compactStore]], which
+    * writes the sidecar before `_SUCCESS` — so it uniquely identifies
+    * a store written by a PRE-adaptive code version, whose partition
+    * function is unknown to the reader (it may not be `hash mod N` at
+    * all). Maintainers whose pre-adaptive scheme differed from
+    * hash-mod (e.g. the embedding-dedup bands store's old
+    * `tk div span` layout) must refuse to probe such a store and
+    * migrate it through [[compactStore]] first, which verifies the
+    * inferred cover against the stored rows and force-rewrites on
+    * mismatch. */
+  def hasUnverifiedBucketedLayout(spark: SparkSession, indexPath: String,
+                                  partCol: String): Boolean =
+    IndexDirs.currentDir(spark, indexPath) match {
+      case Some(dir) =>
+        val f = IndexDirs.fs(spark, indexPath)
+        if (f.exists(new Path(dir, Sidecar))) false
+        else {
+          val PartDir =
+            s"^${java.util.regex.Pattern.quote(partCol)}=(\\d+)$$".r
+          f.listStatus(new Path(dir)).exists(d =>
+            d.isDirectory && PartDir.matches(d.getPath.getName))
+        }
+      case None => false
+    }
+
   /** Selective compact-with-split of one hive-partitioned,
     * [[IndexDirs]]-versioned store with an [[IndexDirs.L0]] delta
     * zone — the LSM sweep all maintainers share:
@@ -170,26 +196,47 @@ private[graft] object BucketTrie {
     if (bucketFiles.isEmpty && l0.isEmpty) return
 
     val sidecarPath = new Path(cur, Sidecar)
+    val hadSidecar = f.exists(sidecarPath)
     val trie0 =
-      if (f.exists(sidecarPath)) {
+      if (hadSidecar) {
         val in = f.open(sidecarPath)
         try fromJson(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       } else {
         // no sidecar (pre-adaptive version, or L0-only before the
         // first sweep): infer the uniform cover from the stored ids —
-        // sound for any original power-of-two modulus N, because every
-        // stored id < P ≤ N (both powers of two) satisfies
-        // hash mod P = id exactly as it did mod N
+        // sound when the original layout was `hash mod N` for a
+        // power-of-two N, because every stored id < P ≤ N (both
+        // powers of two) satisfies hash mod P = id exactly as it did
+        // mod N. That premise is NOT checkable from the listing alone
+        // (a pre-adaptive store may have used any partition function,
+        // e.g. the old div-span bands layout), so it is VERIFIED
+        // against the stored rows below and a mismatch forces a full
+        // rewrite under the inferred cover instead of a raw copy.
         val maxStored = (bucketFiles.keys ++ l0.map(d =>
           d.agg(max(col(partCol))).head() match {
             case r if r.isNullAt(0) => 0
             case r => r.getInt(0)
           })).maxOption.getOrElse(0)
         var p = 1
-        while (p <= maxStored) p <<= 1
+        while (p <= maxStored && (p << 1) <= (1 << MaxDepth)) p <<= 1
         initial(p)
       }
+
+    // One-time inference check (only a sidecar-less store with
+    // bucketed data pays it, once per store lifetime): does every
+    // stored row actually live in the bucket the inferred cover
+    // assigns it? A clean pass certifies the hash-mod premise; any
+    // mismatch means a legacy layout under a different partition
+    // function — migrate by rewriting EVERY bucket under the inferred
+    // trie rather than silently carrying mislabeled directories into
+    // the new version (which would break probe pruning and the replay
+    // anti-joins forever after).
+    val legacyLayout = !hadSidecar && bucketFiles.nonEmpty && {
+      !spark.read.parquet(cur)
+        .filter(trie0.bucketCol(keyHash) =!= col(partCol))
+        .isEmpty
+    }
 
     // split decision sees the PENDING L0 volume too (attributed to
     // its pre-split bucket, bytes estimated from the L0 files' size ×
@@ -212,9 +259,14 @@ private[graft] object BucketTrie {
       id =>
         val bytes = bucketFiles.get(id).map(_.map(_.getLen).sum)
           .getOrElse(0L) + l0BucketBytes.getOrElse(id, 0L)
-        bytes > splitBytes && trie0.depths(id) < MaxDepth
+        bytes > splitBytes && trie0.depths.getOrElse(id, MaxDepth) < MaxDepth
     }
-    val trie = splitIds.foldLeft(trie0)((t, id) => t.split(id))
+    // A legacy migration sweep only relayouts (stored sizes say
+    // nothing about the post-rehash distribution); splits resume on
+    // the next sweep over the verified layout.
+    val trie =
+      if (legacyLayout) trie0
+      else splitIds.foldLeft(trie0)((t, id) => t.split(id))
     // buckets receiving L0 rows, under the POST-split assignment
     // (driver hop, bounded by the bucket count)
     val l0Targets: Set[Int] = l0 match {
@@ -222,12 +274,19 @@ private[graft] object BucketTrie {
         .distinct().collect().map(_.getInt(0)).toSet
       case None => Set.empty
     }
-    val rewriteIds = bucketFiles.collect { case (id, fs)
-      if splitIds.contains(id) || fs.length > 1 ||
-        l0Targets.contains(id) => id }.toSet
+    val rewriteIds =
+      if (legacyLayout) bucketFiles.keySet
+      else bucketFiles.collect { case (id, fs)
+        if splitIds.contains(id) || fs.length > 1 ||
+          l0Targets.contains(id) => id }.toSet
     // already one run per bucket, no pending L0, nothing over
-    // threshold: the store is compact — no version churn
-    if (rewriteIds.isEmpty && l0.isEmpty) return
+    // threshold: the store is compact — no version churn. The
+    // now-verified inference is stamped into the live version so
+    // neither the verification scan nor the inference ever reruns.
+    if (rewriteIds.isEmpty && l0.isEmpty) {
+      if (!hadSidecar) write(spark, cur, trie)
+      return
+    }
 
     val next = IndexDirs.nextDir(spark, indexPath)
     f.mkdirs(new Path(next))

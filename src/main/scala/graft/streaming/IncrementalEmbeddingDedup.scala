@@ -93,6 +93,22 @@ object IncrementalEmbeddingDedup {
                    statePath: String, params: Params = Params()): Unit = {
     val spark = newVecs.sparkSession
     if (newVecs.isEmpty) return
+    // Refuse to probe a store whose bucketed layout predates the
+    // sidecar (pre-adaptive state dirs): the bands store's OLD
+    // partition function was `tk div span`, NOT the hash-mod cover
+    // `BucketTrie.load` would assume, so probing it silently misses
+    // index rows (missed duplicate pairs, duplicated rows on replay).
+    // One `compact(spark, statePath)` verifies-and-migrates such a
+    // store (BucketTrie.compactStore force-rewrites on layout
+    // mismatch); after that this guard never fires again.
+    Seq(bandsPath(statePath) -> "pk", vectorsPath(statePath) -> "vb")
+      .foreach { case (p, c) =>
+        require(!BucketTrie.hasUnverifiedBucketedLayout(spark, p, c),
+          s"$p holds bucketed data with no ${BucketTrie.Sidecar} sidecar " +
+            "(a pre-adaptive state dir, possibly under the old div-span " +
+            "layout). Run IncrementalEmbeddingDedup.compact on this state " +
+            "path once to verify/migrate it before appending batches.")
+      }
     // per-batch driver-side sidecar reads: each store's live trie
     val ktrie = BucketTrie.load(spark, bandsPath(statePath),
       params.indexBuckets)

@@ -137,4 +137,82 @@ class BucketTrieSpec extends AnyFunSuite {
     assert(IndexDirs.currentDir(spark, s"$statePath/index").get == v1,
       "no-op sweep still rewrote a version")
   }
+
+  /** Hand-build a live version dir: hive `pk=` partitions from the
+    * given assignment column, `_SUCCESS`, NO sidecar — the shape of a
+    * pre-adaptive store. */
+  private def writeLegacyStore(path: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    df.repartition(1).write.partitionBy("pk").parquet(s"$path/v0")
+    // partitionBy's own _SUCCESS lands at the version root already;
+    // ensure it exists either way (the liveness marker)
+    val f = new java.io.File(s"$path/v0/_SUCCESS")
+    if (!f.exists()) { f.createNewFile(); () }
+    val side = new java.io.File(s"$path/v0/${BucketTrie.Sidecar}")
+    if (side.exists()) { side.delete(); () }
+  }
+
+  test("compactStore detects a legacy (non-hash-mod) layout and " +
+      "force-migrates it instead of copying mislabeled buckets") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-trie-legacy").toString + "/idx"
+    // div-span layout: pk = tk / 16 — NOT the hash-mod cover the
+    // sidecar-less inference assumes
+    val rows = (0L until 64L).map(tk => (tk, s"p$tk")).toDF("tk", "v")
+      .withColumn("pk", (col("tk") / 16).cast("int"))
+    writeLegacyStore(path, rows)
+    assert(BucketTrie.hasUnverifiedBucketedLayout(spark, path, "pk"),
+      "legacy store not flagged as unverified")
+
+    BucketTrie.compactStore(spark, path, "pk", xxhash64(col("tk")),
+      Seq("tk"), splitBytes = Long.MaxValue)
+
+    val dir = IndexDirs.currentDir(spark, path).get
+    assert(dir.endsWith("v1"), s"migration did not write a new version: $dir")
+    assert(!BucketTrie.hasUnverifiedBucketedLayout(spark, path, "pk"))
+    val trie = BucketTrie.load(spark, path, 4)
+    val got = spark.read.parquet(dir)
+      .select(col("tk"), col("v"), col("pk"),
+        trie.bucketCol(xxhash64(col("tk"))).as("want"))
+      .collect()
+    assert(got.length == 64, "migration lost or duplicated rows")
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq.sorted ==
+      (0L until 64L).map(tk => (tk, s"p$tk")).sorted)
+    got.foreach(r => assert(r.getInt(2) == r.getInt(3),
+      s"row tk=${r.getLong(0)} stored in pk=${r.getInt(2)} " +
+        s"but hashes to ${r.getInt(3)}"))
+  }
+
+  test("compactStore verifies a sidecar-less hash-mod store and stamps " +
+      "the sidecar without version churn") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-trie-stamp").toString + "/idx"
+    val rows = (0L until 64L).map(tk => (tk, s"p$tk")).toDF("tk", "v")
+      .withColumn("pk", pmod(xxhash64(col("tk")), lit(4L)).cast("int"))
+    writeLegacyStore(path, rows)
+    val v0 = IndexDirs.currentDir(spark, path).get
+    BucketTrie.compactStore(spark, path, "pk", xxhash64(col("tk")),
+      Seq("tk"), splitBytes = Long.MaxValue)
+    assert(IndexDirs.currentDir(spark, path).get == v0,
+      "verified no-op sweep still rewrote a version")
+    assert(new java.io.File(s"$v0/${BucketTrie.Sidecar}").exists(),
+      "verified inference was not stamped")
+    assert(BucketTrie.load(spark, path, 4).depths ==
+      BucketTrie.initial(4).depths)
+  }
+
+  test("embedding-dedup refuses to probe an unverified bucketed store") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-embdedup-legacy").toString
+    val rows = (0L until 8L).map(tk => (tk, tk, s"x"))
+      .toDF("__id", "tk", "v")
+      .withColumn("pk", (col("tk") / 2).cast("int"))
+    writeLegacyStore(s"$state/bands", rows.select("__id", "tk", "pk"))
+    val vecs = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IncrementalEmbeddingDedup.processBatch(
+        vecs, "vec_id", "embedding", state)
+    }
+    assert(e.getMessage.contains("pre-adaptive"), e.getMessage)
+  }
 }

@@ -393,6 +393,11 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     val badReserved = mono.clone()
     badReserved(12 + 28 + 12 + 8 + 3) = 1 // header reserved byte
     assert(AudioPcm.decode(badReserved) == null)
+    // blockAlign whose data region is not whole 4-byte words per
+    // channel (mono 6: spb=5 passes the consistency check but 2 tail
+    // bytes per block would silently decode as zeros) → strict null
+    assert(AudioPcm.decode(WavFixtures.adpcmWav(1, 8000, 6, 1,
+      (f, _) => WavFixtures.adpcmMono(f))) == null)
 
     // feature goldens from the independent Python decoder
     val got = Seq((7L, mono), (8L, stereo)).toDF("asset_id", "content")
