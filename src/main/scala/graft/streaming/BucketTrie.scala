@@ -33,6 +33,16 @@ private[graft] object BucketTrie {
     * state this engine maintains, and keeps the int ids unambiguous. */
   val MaxDepth = 22
 
+  /** Default floor on a split's CHILD size: a bucket splits only when
+    * both halves would still clear this, so the directory can never
+    * split itself into the regime where per-file open/list constants
+    * dominate fold cost (the r12 soak measured exactly that at
+    * 10-25 KB bucket files: a 2.9× first-to-last-quartile fold-wall
+    * drift from 16.7k tiny files, none of it probe volume). 4 MB
+    * amortizes file constants to noise while staying 64× under the
+    * production 256 MB split threshold. */
+  val DefaultMinBucketBytes: Long = 4L << 20
+
   final case class Trie(depths: Map[Int, Int]) {
     def ids: Seq[Int] = depths.keys.toSeq.sorted
     def size: Int = depths.size
@@ -173,7 +183,8 @@ private[graft] object BucketTrie {
     * assigns every stored row to the directory it is already in. */
   def compactStore(spark: SparkSession, indexPath: String,
                    partCol: String, keyHash: Column,
-                   sortCols: Seq[String], splitBytes: Long): Unit = {
+                   sortCols: Seq[String], splitBytes: Long,
+                   minBucketBytes: Long = DefaultMinBucketBytes): Unit = {
     val curOpt = IndexDirs.currentDir(spark, indexPath)
     if (curOpt.isEmpty) return
     val cur = curOpt.get
@@ -255,11 +266,15 @@ private[graft] object BucketTrie {
         counts.map { case (id, n) => id -> totalBytes * n / totalRows }
       case None => Map.empty
     }
+    // split only when both children would still clear the size floor
+    // (bytes/2 ≥ minBucketBytes): bucket count can never outrun
+    // file-size amortization, whatever splitBytes the caller tunes
     val splitIds = (bucketFiles.keySet ++ l0BucketBytes.keySet).filter {
       id =>
         val bytes = bucketFiles.get(id).map(_.map(_.getLen).sum)
           .getOrElse(0L) + l0BucketBytes.getOrElse(id, 0L)
-        bytes > splitBytes && trie0.depths.getOrElse(id, MaxDepth) < MaxDepth
+        bytes > splitBytes && bytes >= 2L * minBucketBytes &&
+          trie0.depths.getOrElse(id, MaxDepth) < MaxDepth
     }
     // A legacy migration sweep only relayouts (stored sizes say
     // nothing about the post-rehash distribution); splits resume on

@@ -232,9 +232,11 @@ object IncrementalBm25 {
     * scalar table is keyed by the same ids — both bounded without
     * splitting. */
   def compact(spark: SparkSession, statePath: String,
-              splitBytes: Long = DefaultSplitBytes): Unit = {
+              splitBytes: Long = DefaultSplitBytes,
+              minBucketBytes: Long = BucketTrie.DefaultMinBucketBytes): Unit = {
     BucketTrie.compactStore(spark, postingsPath(statePath), "tb",
-      xxhash64(col("term")), Seq("term", "doc_id"), splitBytes)
+      xxhash64(col("term")), Seq("term", "doc_id"), splitBytes,
+      minBucketBytes)
     IndexDirs.readIfExists(spark, doclenPath(statePath)).foreach { s =>
       val p = doclenPath(statePath)
       s.repartition(col("db")).sortWithinPartitions("doc_id")
@@ -246,9 +248,16 @@ object IncrementalBm25 {
 
   /** Retention sweep: retire superseded store generations, vacuum the
     * scalar table. */
-  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
-    IndexDirs.retire(spark, postingsPath(statePath), keep = keep)
-    IndexDirs.retire(spark, doclenPath(statePath), keep = keep)
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2,
+             readerGraceMs: Option[Long] = None): Unit = {
+    readerGraceMs match {
+      case Some(g) =>
+        IndexDirs.retireAged(spark, postingsPath(statePath), graceMs = g)
+        IndexDirs.retireAged(spark, doclenPath(statePath), graceMs = g)
+      case None =>
+        IndexDirs.retire(spark, postingsPath(statePath), keep = keep)
+        IndexDirs.retire(spark, doclenPath(statePath), keep = keep)
+    }
     val sc = scalarsTable(spark, statePath)
     if (sc.isSnapshotDone) sc.vacuum(keepManifests = keep)
   }

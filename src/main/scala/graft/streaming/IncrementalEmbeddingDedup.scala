@@ -220,11 +220,12 @@ object IncrementalEmbeddingDedup {
     * orders of (old keys, new vectors) are consistent states because
     * compaction never changes content, only physical layout. */
   def compact(spark: SparkSession, statePath: String,
-              splitBytes: Long = DefaultSplitBytes): Unit = {
+              splitBytes: Long = DefaultSplitBytes,
+              minBucketBytes: Long = BucketTrie.DefaultMinBucketBytes): Unit = {
     BucketTrie.compactStore(spark, bandsPath(statePath), "pk",
-      xxhash64(col("tk")), Seq("tk"), splitBytes)
+      xxhash64(col("tk")), Seq("tk"), splitBytes, minBucketBytes)
     BucketTrie.compactStore(spark, vectorsPath(statePath), "vb",
-      xxhash64(col("__id")), Seq("__id"), splitBytes)
+      xxhash64(col("__id")), Seq("__id"), splitBytes, minBucketBytes)
   }
 
   /** Maintenance sweep for week-long streams: prune the label store
@@ -233,10 +234,17 @@ object IncrementalEmbeddingDedup {
     * leftovers) and retire superseded generations of both index
     * directories. Same single-writer + reader-grace contract as
     * [[compact]]; run between batches. */
-  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2,
+             readerGraceMs: Option[Long] = None): Unit = {
     LabelStore.vacuum(spark, statePath, keep)
-    IndexDirs.retire(spark, bandsPath(statePath), keep = keep)
-    IndexDirs.retire(spark, vectorsPath(statePath), keep = keep)
+    readerGraceMs match {
+      case Some(g) =>
+        IndexDirs.retireAged(spark, bandsPath(statePath), graceMs = g)
+        IndexDirs.retireAged(spark, vectorsPath(statePath), graceMs = g)
+      case None =>
+        IndexDirs.retire(spark, bandsPath(statePath), keep = keep)
+        IndexDirs.retire(spark, vectorsPath(statePath), keep = keep)
+    }
   }
 
   /** Attach to a streaming vector source: one [[processBatch]] per

@@ -250,9 +250,11 @@ object IncrementalNearDup {
     * untouched — only the physical layout (and the bucket trie)
     * changes. */
   def compact(spark: SparkSession, statePath: String,
-              splitBytes: Long = DefaultSplitBytes): Unit =
+              splitBytes: Long = DefaultSplitBytes,
+              minBucketBytes: Long = BucketTrie.DefaultMinBucketBytes): Unit =
     BucketTrie.compactStore(spark, indexPath(statePath), "pb",
-      xxhash64(col("band"), col("key")), Seq("band", "key"), splitBytes)
+      xxhash64(col("band"), col("key")), Seq("band", "key"), splitBytes,
+      minBucketBytes)
 
   /** Maintenance sweep for week-long streams: prune the label store
     * to its retention window (committed versions beyond the newest
@@ -260,9 +262,14 @@ object IncrementalNearDup {
     * linger forever — [[LabelStore.vacuum]]) and retire superseded
     * index generations ([[IndexDirs.retire]]). Same single-writer +
     * reader-grace contract as [[compact]]; run between batches. */
-  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2): Unit = {
+  def vacuum(spark: SparkSession, statePath: String, keep: Int = 2,
+             readerGraceMs: Option[Long] = None): Unit = {
     LabelStore.vacuum(spark, statePath, keep)
-    IndexDirs.retire(spark, indexPath(statePath), keep = keep)
+    readerGraceMs match {
+      case Some(g) =>
+        IndexDirs.retireAged(spark, indexPath(statePath), graceMs = g)
+      case None => IndexDirs.retire(spark, indexPath(statePath), keep = keep)
+    }
   }
 
   /** Attach to a streaming document source: one [[processBatch]] per

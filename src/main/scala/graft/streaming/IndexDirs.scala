@@ -221,6 +221,30 @@ private[graft] object IndexDirs {
       .foreach { case (_, p) => f.delete(p, true) }
   }
 
+  /** [[retire]] with a READER-GRACE window instead of a fixed
+    * generation count: once the newest live version has been live for
+    * `graceMs` (its `_SUCCESS` mtime — any reader that resolved the
+    * previous version has had that long to finish its scan), the
+    * superseded generation retires too (keep=1). Until then the
+    * previous version is kept exactly as [[retire]]'s keep=2 would.
+    * Halves the directories every maintenance fold lists once a store
+    * reaches steady state, without narrowing the crash/reader
+    * contract: the grace window IS the keep=2 guarantee, bounded in
+    * time instead of in sweeps. */
+  def retireAged(spark: SparkSession, path: String,
+                 markers: Seq[String] = Nil, graceMs: Long): Unit = {
+    val f = fs(spark, path)
+    val keep = versions(spark, path, markers).lastOption match {
+      case Some(newest) =>
+        val succ = new Path(s"$path/v$newest", "_SUCCESS")
+        val age = System.currentTimeMillis() -
+          f.getFileStatus(succ).getModificationTime
+        if (age >= graceMs) 1 else 2
+      case None => 2
+    }
+    retire(spark, path, markers, keep)
+  }
+
   /** Verify the caller's serialized params against the frozen
     * `_params` sidecar if one exists — the READ-ONLY check every
     * maintainer's query/score path uses. Stored layouts (bucket

@@ -35,7 +35,7 @@ import graft.text.Retrieval
   * one-shot reference is exact.
   *
   * Usage: runMain graft.tools.SoakBench [which] [nBatches] [batchSize]
-  *        [compactEvery] [splitKB]
+  *        [compactEvery] [splitKB] [minBucketKB] [graceSec]
   *        — which ∈ neardup|bm25|embdedup|all; splitKB is the
   *        per-bucket split threshold for the adaptive sweeps
   *        ([[graft.streaming.BucketTrie]]), scaled down from the
@@ -132,7 +132,8 @@ object SoakBench {
   // ---- the three soaks ----------------------------------------------
 
   def soakNearDup(spark: SparkSession, nBatches: Int, batchSize: Int,
-                  compactEvery: Int, splitBytes: Long): Unit = {
+                  compactEvery: Int, splitBytes: Long,
+                  minBucketBytes: Long, graceMs: Option[Long]): Unit = {
     import spark.implicits._
     val p = IncrementalNearDup.Params()
     val statePath = Files.createTempDirectory("graft-soak-neardup").toString
@@ -147,8 +148,10 @@ object SoakBench {
         batch(b), "doc_id", "text", statePath, p))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalNearDup.compact(spark, statePath, splitBytes)
-          IncrementalNearDup.vacuum(spark, statePath)
+          IncrementalNearDup.compact(spark, statePath, splitBytes,
+            minBucketBytes)
+          IncrementalNearDup.vacuum(spark, statePath,
+            readerGraceMs = graceMs)
         }
         compactWalls += cw
         val (bytes, files) = dirStats(statePath)
@@ -187,7 +190,8 @@ object SoakBench {
   }
 
   def soakBm25(spark: SparkSession, nBatches: Int, batchSize: Int,
-               compactEvery: Int, splitBytes: Long): Unit = {
+               compactEvery: Int, splitBytes: Long,
+               minBucketBytes: Long, graceMs: Option[Long]): Unit = {
     import spark.implicits._
     val terms = Seq("hash", "join", "sort", "merge")
     val statePath = Files.createTempDirectory("graft-soak-bm25").toString
@@ -206,8 +210,9 @@ object SoakBench {
         batch(b), "doc_id", "text", statePath))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalBm25.compact(spark, statePath, splitBytes)
-          IncrementalBm25.vacuum(spark, statePath)
+          IncrementalBm25.compact(spark, statePath, splitBytes,
+            minBucketBytes)
+          IncrementalBm25.vacuum(spark, statePath, readerGraceMs = graceMs)
         }
         compactWalls += cw
         val (bytes, files) = dirStats(statePath)
@@ -233,7 +238,8 @@ object SoakBench {
   }
 
   def soakEmbDedup(spark: SparkSession, nBatches: Int, batchSize: Int,
-                   compactEvery: Int, splitBytes: Long): Unit = {
+                   compactEvery: Int, splitBytes: Long,
+                   minBucketBytes: Long, graceMs: Option[Long]): Unit = {
     import spark.implicits._
     val p = IncrementalEmbeddingDedup.Params(
       threshold = 0.9, numPlanes = 8, tables = 4, seed = 42L,
@@ -250,8 +256,10 @@ object SoakBench {
         batch(b), "vec_id", "embedding", statePath, p))
       if ((b + 1) % compactEvery == 0) {
         val (_, cw) = time {
-          IncrementalEmbeddingDedup.compact(spark, statePath, splitBytes)
-          IncrementalEmbeddingDedup.vacuum(spark, statePath)
+          IncrementalEmbeddingDedup.compact(spark, statePath, splitBytes,
+            minBucketBytes)
+          IncrementalEmbeddingDedup.vacuum(spark, statePath,
+            readerGraceMs = graceMs)
         }
         compactWalls += cw
         val (bytes, files) = dirStats(statePath)
@@ -289,18 +297,30 @@ object SoakBench {
     val compactEvery = args.lift(3).map(_.toInt).getOrElse(25)
     val splitBytes = args.lift(4).map(_.toLong * 1024)
       .filter(_ > 0).getOrElse(Long.MaxValue)
+    // split-child size floor: -1 = production default (4 MB);
+    // 0 disables the floor (the pre-r13 limits-probe geometry)
+    val minBucketBytes = args.lift(5).map(_.toLong) match {
+      case Some(v) if v >= 0 => v * 1024
+      case _ => graft.streaming.BucketTrie.DefaultMinBucketBytes
+    }
+    // reader-grace for keep=1 version retirement; negative/absent =
+    // the legacy fixed keep=2
+    val graceMs = args.lift(6).map(_.toLong).filter(_ >= 0)
+      .map(_ * 1000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if (which == "neardup" || which == "all")
-      soakNearDup(spark, nBatches, batchSize, compactEvery, splitBytes)
+      soakNearDup(spark, nBatches, batchSize, compactEvery, splitBytes,
+        minBucketBytes, graceMs)
     if (which == "bm25" || which == "all")
-      soakBm25(spark, nBatches, batchSize, compactEvery, splitBytes)
+      soakBm25(spark, nBatches, batchSize, compactEvery, splitBytes,
+        minBucketBytes, graceMs)
     if (which == "embdedup" || which == "all")
       soakEmbDedup(spark, nBatches, math.max(1, batchSize / 2), compactEvery,
-        splitBytes)
+        splitBytes, minBucketBytes, graceMs)
     spark.stop()
   }
 }

@@ -93,8 +93,9 @@ class BucketTrieSpec extends AnyFunSuite {
       .bandIndex(spark, statePath).get.count()
     assert(liveBuckets().forall(_ < 4))
 
-    // threshold of 1 byte: every bucket is over it -> all split
-    IncrementalNearDup.compact(spark, statePath, splitBytes = 1L)
+    // threshold of 1 byte, size floor disabled: every bucket splits
+    IncrementalNearDup.compact(spark, statePath, splitBytes = 1L,
+      minBucketBytes = 0L)
     val split1 = liveBuckets()
     assert(split1.exists(_ >= 4), s"no bucket split: $split1")
     val trie1 = BucketTrie.load(spark, s"$statePath/index", p.indexBuckets)
@@ -199,6 +200,59 @@ class BucketTrieSpec extends AnyFunSuite {
       "verified inference was not stamped")
     assert(BucketTrie.load(spark, path, 4).depths ==
       BucketTrie.initial(4).depths)
+  }
+
+  test("split size floor: an over-threshold bucket whose children " +
+      "would undershoot minBucketBytes does not split") {
+    import spark.implicits._
+    val p = IncrementalNearDup.Params(indexBuckets = 4)
+    val statePath = Files.createTempDirectory("graft-trie-floor").toString
+    def docText(id: Long): String = {
+      val g = id / 3
+      val base = (0 until 20).map(j => s"g${g}t$j").mkString(" ")
+      if (id % 3 == 0) base else s"$base m$id"
+    }
+    (0 until 2).foreach(b => IncrementalNearDup.processBatch(
+      (0 until 120).map { i =>
+        val id = b.toLong * 120 + i; (id, docText(id)) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text", statePath, p))
+    // over-threshold everywhere (1 byte), but the default 4 MB child
+    // floor gates every split at this toy size: layout must stay the
+    // initial 4-bucket cover — the system can never split itself into
+    // the per-file-constant regime
+    IncrementalNearDup.compact(spark, statePath, splitBytes = 1L)
+    val trie = BucketTrie.load(spark, s"$statePath/index", p.indexBuckets)
+    assert(trie.depths == BucketTrie.initial(4).depths,
+      s"floored sweep still split: ${trie.depths}")
+  }
+
+  test("retireAged keeps the superseded version inside the grace " +
+      "window and retires it after") {
+    import spark.implicits._
+    val p = IncrementalNearDup.Params(indexBuckets = 4)
+    val statePath = Files.createTempDirectory("graft-trie-retire").toString
+    def docs(b: Int) = (0 until 60).map { i =>
+      val id = b.toLong * 60 + i; (id, s"tok${id % 7} u$id w${id % 5}") }
+      .toDF("doc_id", "text")
+    (0 until 2).foreach(b => IncrementalNearDup.processBatch(
+      docs(b), "doc_id", "text", statePath, p))
+    IncrementalNearDup.compact(spark, statePath) // v0 -> v1
+    IncrementalNearDup.processBatch(docs(2), "doc_id", "text", statePath, p)
+    IncrementalNearDup.compact(spark, statePath) // v1 -> v2
+    def nVersions: Int = new java.io.File(s"$statePath/index")
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("v"))
+    assert(nVersions >= 2, s"expected >=2 versions, got $nVersions")
+    // inside the grace window: keep=2 semantics
+    IncrementalNearDup.vacuum(spark, statePath,
+      readerGraceMs = Some(60L * 60 * 1000))
+    assert(nVersions == 2, "grace window did not preserve the " +
+      "superseded generation")
+    // grace elapsed (0 ms): superseded generation retires (keep=1)
+    IncrementalNearDup.vacuum(spark, statePath, readerGraceMs = Some(0L))
+    assert(nVersions == 1, "aged retirement did not drop to keep=1")
+    // the store still reads fine afterwards
+    assert(IncrementalNearDup.bandIndex(spark, statePath).get.count() > 0)
   }
 
   test("embedding-dedup refuses to probe an unverified bucketed store") {
