@@ -126,10 +126,19 @@ object IncrementalEmbeddingDedup {
       val touchedVb = deltaVecs.select("vb").distinct()
         .collect().map(_.getInt(0)).toIndexedSeq
 
+      // Key-level probe narrowing (the IncrementalNearDup pattern):
+      // every consumer of the pruned key read matches only rows whose
+      // tk the delta touches, so the read drops to colliding rows via
+      // a broadcast semi-join on the Δ-sized key set and persists
+      // across its consumers (replay anti-join + both candidate
+      // sides) instead of re-scanning the touched buckets each time.
+      val touchedTk = deltaKeys.select("tk").distinct()
       val oldKeys = IndexDirs.readWithL0(spark, bandsPath(statePath))
         .map(_.filter(col("pk").isin(touchedPk: _*))
           .select("__id", "tk", "pk"))
         .getOrElse(deltaKeys.limit(0))
+        .join(broadcast(touchedTk), Seq("tk"), "left_semi")
+        .persist()
       val oldVecsAll = IndexDirs
         .readWithL0(spark, vectorsPath(statePath))
         .getOrElse(deltaVecs.limit(0))
@@ -147,9 +156,10 @@ object IncrementalEmbeddingDedup {
       // — exactly the batch bucket collisions that involve a delta
       // vector; cross-OLD pairs are already in the labeling. Δ-scoped
       // skew cap first, duplicates collapsed before the verify.
+      // (allKeys is already Δ-key-scoped: oldKeys was semi-joined on
+      // touchedTk and newKeys ARE delta rows — no re-join needed)
       val allKeys = oldKeys.unionByName(newKeys)
-      val touched = deltaKeys.select("tk").distinct()
-      val surviving = allKeys.join(touched, Seq("tk"))
+      val surviving = allKeys
         .groupBy("tk").agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= params.maxBucket)
         .select("tk")
@@ -199,6 +209,7 @@ object IncrementalEmbeddingDedup {
       if (!newVecRows.isEmpty)
         IndexDirs.appendL0(spark, vectorsPath(statePath), newVecRows)
       cand.unpersist()
+      oldKeys.unpersist()
       ()
     } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
   }

@@ -150,11 +150,24 @@ object IncrementalNearDup {
     val touchedPb = deltaBands.select("pb").distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
 
-    val oldPruned: DataFrame = bandIndex(spark, statePath) match {
+    // Key-level probe narrowing: every consumer of the pruned read
+    // (the replay anti-join, the skew-cap sizes, candidate
+    // generation) can only ever match index rows whose (band, key)
+    // the delta touches — so the probe drops to the COLLIDING rows
+    // right at the read via a broadcast semi-join on the Δ-sized key
+    // set, and the surviving (collision-sized) frame persists across
+    // its three consumers instead of the whole touched-bucket scan
+    // re-running per consumer. At 64 initial buckets a 500-doc delta
+    // touches every bucket, so without this the fold re-scanned the
+    // entire accumulated store three times (measured: the r13 soak's
+    // fold-wall growth with flat file counts).
+    val touchedKeys = deltaBands.select("band", "key").distinct()
+    val oldPruned: DataFrame = (bandIndex(spark, statePath) match {
       case Some(idx) => prunedIndex(idx, touchedPb)
         .select("__id", "__shh", "band", "key", "pb")
       case None => deltaBands.limit(0)
-    }
+    }).join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
+      .persist()
 
     // replay / partial-append idempotency: any delta row the index
     // already holds (same doc, same band key — signatures are pure
@@ -178,8 +191,9 @@ object IncrementalNearDup {
     // witnesses — the streaming ≡ batch spec runs under caps that
     // never trip, and a tripping cap is a deliberate recall trade in
     // both forms.)
-    val touched = deltaBands.select("band", "key").distinct()
-    val sizes = allBands.join(touched, Seq("band", "key"))
+    // (allBands is already Δ-key-scoped: oldPruned was semi-joined on
+    // touchedKeys and newRows ARE delta rows — no re-join needed)
+    val sizes = allBands
       .groupBy("band", "key").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= params.maxBucket)
       .select("band", "key")
@@ -226,6 +240,7 @@ object IncrementalNearDup {
       // listing) — [[IndexDirs.appendL0]]; the sweep merges L0 into
       // the pb= bucket directories
       IndexDirs.appendL0(spark, indexPath(statePath), newRows)
+    oldPruned.unpersist()
     deltaBands.unpersist()
     ()
   }
