@@ -131,16 +131,43 @@ object ConnectedComponents {
     * discipline (deltas touch Δ-sized state) applied to the dedup
     * pipeline. Incremental ≡ full recompute is property-tested.
     *
+    * The iteration is additionally SCOPED to the components the delta
+    * touches: a new edge can only change the component of nodes
+    * reachable from one of its endpoints, and under a star forest
+    * that closure is exactly "the components containing a delta
+    * endpoint". Untouched components pass through untouched (their
+    * min-id label cannot change — membership didn't), so the
+    * star/small-star rounds, their per-round localCheckpoints, and
+    * the convergence signatures all run over a Δ-sized edge set
+    * instead of the full accumulated forest. Without the scoping,
+    * every fold of a 200-batch soak re-contracted the ENTIRE
+    * labeling: fold walls grew linearly with corpus even though the
+    * probe and append sides were Δ-sized (measured, r13). The
+    * touched-endpoint and touched-component frames are micro-batch-
+    * sized by the maintainers' contract, hence the broadcast hints.
+    *
     * `labels` is (node, component) as returned by
     * [[connectedComponents]] (or a previous `addEdges`). Returns the
     * updated labeling covering every node in `labels` or `newEdges`. */
   def addEdges(labels: DataFrame, newEdges: DataFrame,
                srcCol: String, dstCol: String): DataFrame = {
-    val starEdges = labels
-      .select(col("component").as("__s"), col("node").as("__d"))
     val delta = newEdges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
-    connectedComponents(starEdges.union(delta), "__s", "__d")
+    val endpoints = delta
+      .select(explode(array(col("__s"), col("__d"))).as("node"))
+      .distinct()
+    val touchedComp = labels
+      .join(broadcast(endpoints), Seq("node"), "left_semi")
+      .select("component").distinct()
+    val affected = labels
+      .join(broadcast(touchedComp), Seq("component"), "left_semi")
+    val untouched = labels
+      .join(broadcast(touchedComp), Seq("component"), "left_anti")
+    val rec = connectedComponents(
+      affected.select(col("component").as("__s"), col("node").as("__d"))
+        .union(delta),
+      "__s", "__d")
+    untouched.select("node", "component").unionByName(rec)
   }
 
   /** Cluster assignment for a document table: every id in `docs` gets
