@@ -167,7 +167,13 @@ object ConnectedComponents {
       affected.select(col("component").as("__s"), col("node").as("__d"))
         .union(delta),
       "__s", "__d")
-    untouched.select("node", "component").unionByName(rec)
+    // rec rides out of the iteration on a checkpointed 32-partition
+    // RDD; written as-is it would bloat every labeling version by ~30
+    // near-empty files (and the labeling is scanned three times per
+    // fold). It is Δ-sized by construction — collapse it to one
+    // partition (upstream is the tiny checkpointed scan, so this
+    // coalesce shrinks no parallel work).
+    untouched.select("node", "component").unionByName(rec.coalesce(1))
   }
 
   /** Cluster assignment for a document table: every id in `docs` gets
