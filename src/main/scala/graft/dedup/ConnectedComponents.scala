@@ -151,8 +151,13 @@ object ConnectedComponents {
     * updated labeling covering every node in `labels` or `newEdges`. */
   def addEdges(labels: DataFrame, newEdges: DataFrame,
                srcCol: String, dstCol: String): DataFrame = {
+    // Materialize the Δ once: its lineage (in the maintainers, the
+    // whole candidate-generation + verify pipeline) otherwise re-runs
+    // for the endpoints broadcast AND inside the iteration's first
+    // checkpoint. Eager, Δ-sized, lineage-cut.
     val delta = newEdges
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .localCheckpoint()
     val endpoints = delta
       .select(explode(array(col("__s"), col("__d"))).as("node"))
       .distinct()
