@@ -148,8 +148,14 @@ object IncrementalEmbeddingDedup {
       // collides entirely inside the pruned read)
       val newKeys = deltaKeys.join(oldKeys.select("__id", "tk"),
         Seq("__id", "tk"), "left_anti")
+      // the replay guard only needs old ids that ARE delta ids — the
+      // bucket-pruned id scan narrows to that Δ-sized set via a
+      // broadcast semi-join, so the anti-join below broadcasts instead
+      // of shuffling the accumulated vectors table every batch
+      val deltaIds = deltaVecs.select("__id").distinct()
       val newVecRows = deltaVecs.join(
-        oldVecsAll.filter(col("vb").isin(touchedVb: _*)).select("__id"),
+        oldVecsAll.filter(col("vb").isin(touchedVb: _*)).select("__id")
+          .join(broadcast(deltaIds), Seq("__id"), "left_semi"),
         Seq("__id"), "left_anti")
 
       // candidates: delta keys × (pruned index ∪ new delta keys) on tk
@@ -179,11 +185,18 @@ object IncrementalEmbeddingDedup {
       // collected Δ-sized) — without this, every batch would re-scan
       // the whole accumulated vectors table just to verify a Δ-sized
       // candidate set.
-      val candVb = cand
-        .select(explode(array(col("a"), col("b"))).as("__cid"))
-        .select(vtrie.bucketCol(xxhash64(col("__cid"))).as("vb"))
+      val candIds = cand
+        .select(explode(array(col("a"), col("b"))).as("__id"))
+        .distinct()
+      val candVb = candIds
+        .select(vtrie.bucketCol(xxhash64(col("__id"))).as("vb"))
         .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      // ... and within those buckets, to the candidate IDS themselves
+      // (broadcast semi on the Δ-sized id set): the verify join then
+      // runs over Δ rows on both sides instead of shuffling every
+      // stored vector that shares a bucket with a candidate
       val vecs = oldVecsAll.filter(col("vb").isin(candVb: _*))
+        .join(broadcast(candIds), Seq("__id"), "left_semi")
         .select("__id", "__v")
         .unionByName(newVecRows.select("__id", "__v"))
       val xa = vecs.select(col("__id").as("a"), col("__v").as("__vx"),
