@@ -98,6 +98,11 @@ object ConnectedComponents {
         .localCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized — drop them now instead of waiting for
+      // a driver GC (on a long-lived driver the leaked rounds were
+      // measured in the GB after ~100 incremental folds)
+      org.apache.spark.sql.graft.CheckpointRelease.release(cur)
       cur = next
       sig = nextSig
       iter += 1

@@ -309,7 +309,20 @@ object SoakBench {
       .map(_ * 1000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // Long-lived-driver hygiene (what a production streaming driver
+      // sets): the in-memory status store retains execution/task
+      // wrappers even with the UI off (measured: 1.6M SQLPlanMetric
+      // objects after ~500 folds), and ContextCleaner only reclaims
+      // dead broadcasts/checkpoints when a driver GC happens — with a
+      // 32 GB heap that can be never. Cap the store and force the
+      // cleaner's periodic GC down from its 30 min default.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.cleaner.periodicGC.interval", "3min")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     if (which == "neardup" || which == "all")
