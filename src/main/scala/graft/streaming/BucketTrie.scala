@@ -316,7 +316,7 @@ private[graft] object BucketTrie {
       val bucketedSrc =
         if (rewriteIds.nonEmpty)
           Some(spark.read.parquet(cur)
-            .filter(col(partCol).isin(rewriteIds.toSeq: _*)))
+            .filter(col(partCol).isin(rewriteIds.toSeq.sorted: _*)))
         else None
       val src = (bucketedSrc, l0) match {
         case (Some(b), Some(d)) => b.unionByName(d)

@@ -84,7 +84,7 @@ object IncrementalAnnIndex {
       // Δ-sized driver hop: touched directory ids drive the pruned
       // replay-guard read (≤ indexBuckets ints)
       val touched = delta.select("pb").distinct()
-        .collect().map(_.getInt(0)).toIndexedSeq
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
       val existing = index(spark, statePath) match {
         case Some(idx) => idx.filter(col("pb").isin(touched: _*))
           .select(col(idCol), col("tb"))

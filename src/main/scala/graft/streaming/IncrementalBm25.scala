@@ -123,7 +123,7 @@ object IncrementalBm25 {
     // postings append, replay-idempotent: probe ONLY the batch terms'
     // buckets for rows of the batch's own docs
     val tbs = post.select("tb").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val postProbe = postings(spark, statePath) match {
       case Some(s) => s.filter(col("tb").isin(tbs: _*))
         .join(lens.select("doc_id"), "doc_id")
@@ -137,7 +137,7 @@ object IncrementalBm25 {
 
     // doclen append, same discipline on the doc buckets
     val dbs = lens.select("db").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val lenProbe = docLengths(spark, statePath) match {
       case Some(s) => s.filter(col("db").isin(dbs: _*))
         .select("doc_id").join(lens.select("doc_id"), "doc_id")
@@ -197,7 +197,7 @@ object IncrementalBm25 {
     val dfreq = post.groupBy("term")
       .agg(count(lit(1)).cast("double").as("__df"))
     val matchDbs = post.select(dbOf(col("doc_id"), params).as("db"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     val lens = docLengths(spark, statePath).get
       .filter(col("db").isin(matchDbs: _*))
       .select(col("doc_id"), col("dl").cast("double").as("__dl"))

@@ -140,7 +140,7 @@ object IncrementalContainment {
 
     // Δ-sized driver hop: the postings buckets the delta touches
     val touchedPb = deltaPost.select("pb").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val oldPost = IndexDirs.readIfExists(spark, postingsPath(statePath))
       .map(_.filter(col("pb").isin(touchedPb: _*))
         .select("r", "__id", "n", "isp", "pb"))
@@ -180,7 +180,7 @@ object IncrementalContainment {
     val touchedDb = candIds
       .select(pmod(xxhash64(col("__id")), lit(params.docBuckets))
         .cast("int").as("db"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     val oldDocs = IndexDirs.readIfExists(spark, docsPath(statePath))
       .map(_.filter(col("db").isin(touchedDb: _*))
         .select("__id", "n", "__w", "db"))
@@ -204,7 +204,7 @@ object IncrementalContainment {
 
     val oldPairs = IndexDirs.readIfExists(spark, pairsPath(statePath))
     val touchedPp = verified.select("pp").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val newPairs = (oldPairs match {
       case Some(p) => verified.join(
         p.filter(col("pp").isin(touchedPp: _*)).select("a", "b"),
@@ -217,7 +217,7 @@ object IncrementalContainment {
     // postings anti-join emptied the candidates would see an EMPTY
     // oldDocs there and re-append the whole delta
     val deltaDb = delta.select("db").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val guardDocs = IndexDirs.readIfExists(spark, docsPath(statePath))
       .map(_.filter(col("db").isin(deltaDb: _*)).select("__id"))
       .getOrElse(delta.limit(0).select("__id"))

@@ -109,7 +109,7 @@ object IncrementalCrossDocGrams {
 
     // Δ-sized driver hop: touched buckets drive the pruned probe
     val touched = g.select("gb").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     // stored holders of batch grams — pinned PRE-append (the store
     // grows below, and this frame decides what the append adds)
     val probe = (grams(spark, statePath) match {
@@ -160,7 +160,7 @@ object IncrementalCrossDocGrams {
     val gbsNeeded = affected
       .select(pmod(xxhash64(col("__g")), lit(params.gramBuckets))
         .cast("int").as("gb"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     val freq = prunedGrams(grams(spark, statePath).get, gbsNeeded)
       .join(affected.select("__g").distinct(), "__g")
       .groupBy("__g").agg(count(lit(1)).as("__nd"))

@@ -153,7 +153,7 @@ object IncrementalDsir {
 
     // Δ-sized driver hop: touched doc buckets bound both replay guards
     val touchedDb = ftok.select("db").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     // docs FIRST (claims-before-results), replay-idempotent: stored
     // ids pinned PRE-append decide what the append adds
     val storedIds = (docsStore(spark, statePath) match {
@@ -194,7 +194,7 @@ object IncrementalDsir {
         val toScore = raw.join(scored, Seq(idCol), "left_anti")
         if (!toScore.isEmpty) {
           val touchedFb = toScore.select(fbOf(col("__f"), params).as("fb"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
+            .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
           val w = weightsWithFb(spark, statePath).get
             .filter(col("fb").isin(touchedFb: _*)).select("__f", "__m")
           Mixture.scoreFeatureRows(toScore, idCol, w, m.oovWeight)

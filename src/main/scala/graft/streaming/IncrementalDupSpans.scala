@@ -103,7 +103,7 @@ object IncrementalDupSpans {
     // Δ-sized driver hop: touched buckets drive the pruned probe;
     // stored holders pinned PRE-append (the store grows below).
     val touched = g.select("gb").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
     val probe = (grams(spark, statePath) match {
       case Some(s) if touched.nonEmpty =>
         IncrementalCrossDocGrams.prunedGrams(s, touched)
@@ -160,7 +160,7 @@ object IncrementalDupSpans {
     val gbsNeeded = occRows
       .select(pmod(xxhash64(col("__g")), lit(params.gramBuckets))
         .cast("int").as("gb"))
-      .distinct().collect().map(_.getInt(0)).toIndexedSeq
+      .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
     val freq = (grams(spark, statePath) match {
       case Some(s) if gbsNeeded.nonEmpty =>
         IncrementalCrossDocGrams.prunedGrams(s, gbsNeeded)

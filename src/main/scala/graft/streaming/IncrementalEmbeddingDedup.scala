@@ -122,9 +122,9 @@ object IncrementalEmbeddingDedup {
     try {
       // Δ-sized driver hops: touched key directories and vector buckets
       val touchedPk = deltaKeys.select("pk").distinct()
-        .collect().map(_.getInt(0)).toIndexedSeq
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
       val touchedVb = deltaVecs.select("vb").distinct()
-        .collect().map(_.getInt(0)).toIndexedSeq
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
 
       // Key-level probe narrowing (the IncrementalNearDup pattern):
       // every consumer of the pruned key read matches only rows whose
@@ -190,7 +190,7 @@ object IncrementalEmbeddingDedup {
         .distinct()
       val candVb = candIds
         .select(vtrie.bucketCol(xxhash64(col("__id"))).as("vb"))
-        .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        .distinct().collect().map(_.getInt(0)).sorted.toIndexedSeq
       // ... and within those buckets, to the candidate IDS themselves
       // (broadcast semi on the Δ-sized id set): the verify join then
       // runs over Δ rows on both sides instead of shuffling every

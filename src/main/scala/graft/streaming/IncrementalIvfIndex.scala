@@ -97,7 +97,7 @@ object IncrementalIvfIndex {
       // replay-guard read (a vector has ONE list, and a replayed row's
       // assignment is identical — frozen quantizer)
       val touched = delta.select("ivf_list").distinct()
-        .collect().map(_.getInt(0)).toIndexedSeq
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
       val existing = index(spark, statePath) match {
         case Some(idx) => idx.filter(col("ivf_list").isin(touched: _*))
           .select(col(idCol))

@@ -114,7 +114,7 @@ object IncrementalIvfPqIndex {
       // Δ-sized driver hop: touched lists bound the pruned replay-guard
       // read (assignment is frozen, so a replayed row lands identically)
       val touched = delta.select("ivf_list").distinct()
-        .collect().map(_.getInt(0)).toIndexedSeq
+        .collect().map(_.getInt(0)).sorted.toIndexedSeq
       val existing = index(spark, statePath) match {
         case Some(idx) => idx.filter(col("ivf_list").isin(touched: _*))
           .select(col(idCol))

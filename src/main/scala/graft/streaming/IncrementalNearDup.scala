@@ -148,7 +148,7 @@ object IncrementalNearDup {
     // Δ-sized driver hop: the touched bucket ids (≤ indexBuckets ints)
     // drive the partition-pruned probe read below
     val touchedPb = deltaBands.select("pb").distinct()
-      .collect().map(_.getInt(0)).toIndexedSeq
+      .collect().map(_.getInt(0)).sorted.toIndexedSeq
 
     // Key-level probe narrowing: every consumer of the pruned read
     // (the replay anti-join, the skew-cap sizes, candidate
