@@ -42,6 +42,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // ~150 catalog queries x repeats span far more than 100 distinct
+      // codegen stages: at the default cache size every repeat
+      // re-compiles its generated classes (Janino + fresh JIT) instead
+      // of hitting the cache
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

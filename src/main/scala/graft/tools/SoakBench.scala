@@ -322,6 +322,12 @@ object SoakBench {
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
       .config("spark.cleaner.periodicGC.interval", "3min")
+      // an embdedup fold spans ~120 codegen stages; the 100-entry
+      // default Janino cache thrashes, so EVERY fold re-compiles and
+      // re-loads every generated class and the JIT never converges
+      // (measured: compile-id 119k and still climbing at batch 130,
+      // fold CPU doubling while state stayed at 6 MB)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
