@@ -241,8 +241,19 @@ object SoakBench {
                    compactEvery: Int, splitBytes: Long,
                    minBucketBytes: Long, graceMs: Option[Long]): Unit = {
     import spark.implicits._
+    // Key space sized to the corpus the soak accumulates (the standard
+    // LSH deployment rule: 2^planes ≳ corpus / target bucket size —
+    // planes grow with log(n) exactly like IVF's nlist). At the old
+    // 8-plane/4-table geometry the whole run shares 1,024 distinct
+    // keys, every vector collides with a constant FRACTION of the
+    // accumulated corpus, and per-fold candidate volume grows
+    // linearly by construction — a key-space saturation stress, not
+    // an operating point (the one-shot batch pipeline pays the same
+    // term, so equivalence holds either way). Planted duplicates are
+    // IDENTICAL vectors, which share home keys at any plane count, so
+    // recall is unaffected by the sizing.
     val p = IncrementalEmbeddingDedup.Params(
-      threshold = 0.9, numPlanes = 8, tables = 4, seed = 42L,
+      threshold = 0.9, numPlanes = 14, tables = 4, seed = 42L,
       maxBucket = 4000, indexBuckets = 64)
     val statePath = Files.createTempDirectory("graft-soak-emb").toString
     def batch(b: Int) = (0 until batchSize)
