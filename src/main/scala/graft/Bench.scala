@@ -99,8 +99,12 @@ object Bench {
       // drop the query's registered caches (containment bucket frames)
       // OUTSIDE the timed region, after its repeats: repeats still see
       // the warm cache, and the 150-query loop no longer accumulates
-      // persisted blocks until GC
-      graft.dedup.Dedup.releaseCaches()
+      // persisted blocks until GC. KEEP_CACHES=1 restores the r12
+      // accumulate-until-GC behavior — the A/B switch for adjudicating
+      // whether async block-drop churn lands in later queries' timed
+      // windows (the r13 s01–s05 wall-cluster question).
+      if (sys.env.get("SPARK_GRAFT_BENCH_KEEP_CACHES").isEmpty)
+        graft.dedup.Dedup.releaseCaches()
       name -> times
     }
     val allResults = timings.map { case (k, ts) => k -> ts(ts.length / 2)._1 }

@@ -288,9 +288,14 @@ r AS (
            + COUNT(*) OVER (PARTITION BY source, mi) - 1 AS r2
   FROM s)"""
 
-  /** Full t19 report SQL — shared verbatim by `t19_classifier_eval`
-    * (control) and `t19c_eval_v2` (fresh key, round-13 bisect). */
-  private def classifierEvalSql: String =
+  /** The |sources|-row aggregate CTE `a` — every t19 metric's
+    * numerator and denominator. NOTE: DuckDB SUM over INTEGER returns
+    * HUGEINT (int128); any column of `a` that reaches a final SELECT
+    * must be CAST to BIGINT there, or the driver materializes it as
+    * float64 and the value hash diverges from Spark's int64 on
+    * representation alone (the four-round t19 red — see the t19d–t19j
+    * catalog comments in Queries.scala). */
+  private def classifierAggSql: String =
     classifierScoredSql + classifierRankSql + """,
 a AS (
   SELECT source, COUNT(*) AS n_docs,
@@ -300,8 +305,15 @@ a AS (
          SUM(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS fp,
          SUM(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS fn,
          SUM(CASE WHEN label THEN r2 END) AS rp2
-  FROM r GROUP BY source)
-SELECT source, n_docs, n_pos,
+  FROM r GROUP BY source)"""
+
+  /** Full t19 report SQL — shared verbatim by `t19_classifier_eval`
+    * (control) and `t19c_eval_v2` (fresh key, round-13 bisect).
+    * Round-14 fix: n_docs/n_pos CAST to BIGINT (see classifierAggSql). */
+  private def classifierEvalSql: String =
+    classifierAggSql + """
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
        CAST((20000 * n_correct + n_docs) // (2 * n_docs)
             AS BIGINT) AS accuracy_e4,
        CASE WHEN tp + fp > 0
@@ -2617,6 +2629,63 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM r GROUP BY source ORDER BY source"""),
 
     "t19c_eval_v2" -> classifierEvalSql,
+
+    // Round-14 per-metric bisect keys over the SAME shared `a` CTE —
+    // see the t19d–t19j catalog comments in Queries.scala for the
+    // outcome decoding and the HUGEINT root cause.
+    "t19d_numden" -> (classifierAggSql + """
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_correct AS BIGINT) AS n_correct,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(rp2 AS BIGINT) AS rp2,
+       CAST(2*tp + fp + fn AS BIGINT) AS f1_den,
+       CAST(rp2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+       CAST(2 * n_pos * (n_docs - n_pos) AS BIGINT) AS auc_den
+FROM a ORDER BY source"""),
+
+    "t19e_acc" -> (classifierAggSql + """
+SELECT source, CAST((20000 * n_correct + n_docs) // (2 * n_docs)
+            AS BIGINT) AS accuracy_e4
+FROM a ORDER BY source"""),
+
+    "t19f_prec" -> (classifierAggSql + """
+SELECT source,
+       CASE WHEN tp + fp > 0
+            THEN CAST((20000 * tp + tp + fp) // (2 * (tp + fp)) AS BIGINT)
+       END AS prec_e4
+FROM a ORDER BY source"""),
+
+    "t19g_rec" -> (classifierAggSql + """
+SELECT source,
+       CASE WHEN n_pos > 0
+            THEN CAST((20000 * tp + n_pos) // (2 * n_pos) AS BIGINT)
+       END AS recall_e4
+FROM a ORDER BY source"""),
+
+    "t19h_f1" -> (classifierAggSql + """
+SELECT source,
+       CASE WHEN 2*tp + fp + fn > 0
+            THEN CAST((20000 * 2 * tp + (2*tp + fp + fn))
+                      // (2 * (2*tp + fp + fn)) AS BIGINT)
+       END AS f1_e4
+FROM a ORDER BY source"""),
+
+    "t19i_auc" -> (classifierAggSql + """
+SELECT source,
+       CASE WHEN n_pos > 0 AND n_pos < n_docs
+            THEN CAST((20000 * (rp2 - n_pos * (n_pos + 1))
+                       + 2 * n_pos * (n_docs - n_pos))
+                      // (4 * n_pos * (n_docs - n_pos)) AS BIGINT)
+       END AS auc_e4
+FROM a ORDER BY source"""),
+
+    // Mechanism probe: the HUGEINT sum left bare ON PURPOSE (the only
+    // one in the catalog) vs Spark's DOUBLE — green ⟺ the t19 red was
+    // the int64-vs-float64 representation, not the values.
+    "t19j_hugeint_repr" -> (classifierAggSql + """
+SELECT source, n_pos AS n_pos_f
+FROM a ORDER BY source"""),
 
     // Temperature mixing: shares/budgets on the exact integer grid
     // (sqrt is correctly rounded IEEE; the budget is one integer

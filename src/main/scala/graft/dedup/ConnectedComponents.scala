@@ -177,13 +177,16 @@ object ConnectedComponents {
       affected.select(col("component").as("__s"), col("node").as("__d"))
         .union(delta),
       "__s", "__d")
-    // rec rides out of the iteration on a checkpointed 32-partition
-    // RDD; written as-is it would bloat every labeling version by ~30
-    // near-empty files (and the labeling is scanned three times per
-    // fold). It is Δ-sized by construction — collapse it to one
-    // partition (upstream is the tiny checkpointed scan, so this
-    // coalesce shrinks no parallel work).
-    untouched.select("node", "component").unionByName(rec.coalesce(1))
+    // rec is Δ-sized by construction but its plan TAIL is not the
+    // checkpointed iteration state: the final mentioned-join/groupBy
+    // runs over every touched component, and dedup graphs routinely
+    // grow one giant component (boilerplate/empty docs) that nearly
+    // every batch touches. coalesce(1) would collapse that whole
+    // upstream stage to ONE task (the IndexDirs.appendL0 hazard,
+    // measured 3× fold-wall drift) — repartition(1) keeps the
+    // upstream parallel and pays one delta-sized exchange to shrink
+    // the output to a single file.
+    untouched.select("node", "component").unionByName(rec.repartition(1))
   }
 
   /** Cluster assignment for a document table: every id in `docs` gets

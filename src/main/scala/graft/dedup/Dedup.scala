@@ -33,19 +33,50 @@ object Dedup {
     * unpersist deterministically itself — without a hook, reclamation
     * waits on GC + ContextCleaner, and a long-lived driver running
     * many dedup queries (soak/bench loops, streaming maintainers)
-    * accumulates cached blocks. Entries are kept weakly-reachable-
-    * equivalent: [[releaseCaches]] unpersists and clears. */
+    * accumulates cached blocks. The frame is held WEAKLY (a driver
+    * that never calls [[releaseCaches]] must not accumulate frames
+    * through this registry) alongside its session + logical plan,
+    * which is what actually owns the cache: CacheManager pins every
+    * persisted plan strongly until an explicit uncache, so a frame
+    * GC'd while registered would otherwise leak its blocks for the
+    * session's lifetime with no handle left. Dead entries are
+    * uncached BY PLAN and dropped on every register/release sweep,
+    * so the registry is bounded by the live frames plus the handful
+    * collected since the last dedup query. */
+  private final case class Registered(
+      ref: java.lang.ref.WeakReference[DataFrame],
+      session: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   private val persistedFrames =
-    new scala.collection.mutable.ArrayBuffer[DataFrame]
-  private def registerPersisted(df: DataFrame): DataFrame =
-    persistedFrames.synchronized { persistedFrames += df; df }
+    new scala.collection.mutable.ArrayBuffer[Registered]
+  private[graft] def registerPersisted(df: DataFrame): DataFrame =
+    persistedFrames.synchronized {
+      persistedFrames.filterInPlace { r =>
+        val alive = r.ref.get != null
+        if (!alive)
+          org.apache.spark.sql.graft.UncacheByPlan.uncache(r.session, r.plan)
+        alive
+      }
+      // the ANALYZED plan: CacheManager keys its entries on analyzed/
+      // normalized plans (Dataset.unpersist passes the same), so an
+      // unresolved logical plan would never match at uncache time
+      persistedFrames += Registered(new java.lang.ref.WeakReference(df),
+        df.sparkSession, df.queryExecution.analyzed)
+      df
+    }
 
   /** Unpersist every cached frame registered by past dedup queries.
     * Call between iterations of a long-lived loop once the previous
     * query's output is fully consumed; blocking=false, so the actual
     * block drop is asynchronous and cheap to request. */
   def releaseCaches(): Unit = persistedFrames.synchronized {
-    persistedFrames.foreach(_.unpersist(blocking = false))
+    persistedFrames.foreach { r =>
+      Option(r.ref.get) match {
+        case Some(df) => df.unpersist(blocking = false)
+        case None =>
+          org.apache.spark.sql.graft.UncacheByPlan.uncache(r.session, r.plan)
+      }
+    }
     persistedFrames.clear()
   }
 

@@ -119,6 +119,12 @@ object IncrementalEmbeddingDedup {
         col(vecCol).as("__v"))
       .withColumn("vb", vtrie.bucketCol(xxhash64(col("__id"))))
       .cache()
+    // every frame persisted for this batch unpersists in the finally —
+    // an exception between a persist and the batch tail (failed
+    // append, LabelStore commit) must not leak blocks across the
+    // batch loop (the r13 soak-leak class)
+    val batchCached =
+      scala.collection.mutable.ArrayBuffer[DataFrame](deltaKeys, deltaVecs)
     try {
       // Δ-sized driver hops: touched key directories and vector buckets
       val touchedPk = deltaKeys.select("pk").distinct()
@@ -139,6 +145,7 @@ object IncrementalEmbeddingDedup {
         .getOrElse(deltaKeys.limit(0))
         .join(broadcast(touchedTk), Seq("tk"), "left_semi")
         .persist()
+      batchCached += oldKeys
       val oldVecsAll = IndexDirs
         .readWithL0(spark, vectorsPath(statePath))
         .getOrElse(deltaVecs.limit(0))
@@ -178,6 +185,7 @@ object IncrementalEmbeddingDedup {
           greatest(col("__da"), col("__db")).as("b"))
         .distinct()
         .cache()
+      batchCached += cand
 
       // exact verification on the stored vectors, same 4dp-rounded
       // cosine as the batch join. The vectors read is PRUNED to the
@@ -221,10 +229,8 @@ object IncrementalEmbeddingDedup {
           sortCols = Seq("tk"))
       if (!newVecRows.isEmpty)
         IndexDirs.appendL0(spark, vectorsPath(statePath), newVecRows)
-      cand.unpersist()
-      oldKeys.unpersist()
       ()
-    } finally { deltaKeys.unpersist(); deltaVecs.unpersist(); () }
+    } finally { batchCached.foreach(_.unpersist(blocking = false)); () }
   }
 
   /** Default per-bucket split threshold (see

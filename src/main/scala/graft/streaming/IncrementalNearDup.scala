@@ -144,6 +144,13 @@ object IncrementalNearDup {
     val trie = BucketTrie.load(spark, indexPath(statePath),
       params.indexBuckets)
     val deltaBands = bandRows(newDocs, idCol, textCol, params, trie).cache()
+    // every frame persisted for this batch releases in the finally —
+    // an exception anywhere between a persist and the batch tail
+    // (probe collect, failed append, label commit) must not leak
+    // blocks across the batch loop (the r13 soak-leak class)
+    val batchCached =
+      scala.collection.mutable.ArrayBuffer[DataFrame](deltaBands)
+    try {
 
     // Δ-sized driver hop: the touched bucket ids (≤ indexBuckets ints)
     // drive the partition-pruned probe read below
@@ -168,6 +175,7 @@ object IncrementalNearDup {
       case None => deltaBands.limit(0)
     }).join(broadcast(touchedKeys), Seq("band", "key"), "left_semi")
       .persist()
+    batchCached += oldPruned
 
     // replay / partial-append idempotency: any delta row the index
     // already holds (same doc, same band key — signatures are pure
@@ -240,8 +248,7 @@ object IncrementalNearDup {
       // listing) — [[IndexDirs.appendL0]]; the sweep merges L0 into
       // the pb= bucket directories
       IndexDirs.appendL0(spark, indexPath(statePath), newRows)
-    oldPruned.unpersist()
-    deltaBands.unpersist()
+    } finally { batchCached.foreach(_.unpersist(blocking = false)); () }
     ()
   }
 

@@ -27,6 +27,11 @@ object SoloBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Mirror Bench's raised Janino cache (f0f3fe6): without it a
+      // codegen-heavy query isolated here pays re-compilation the
+      // full bench no longer pays — skewing exactly the drift
+      // adjudications this tool exists to settle.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,20 +49,30 @@ object SoloBench {
     })
     args.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      val times = Seq.fill(math.max(1, repeats)) {
+      val attempts = Seq.fill(math.max(1, repeats)) {
         val c0 = cpuNs.get
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case e: Throwable => println(s"[solo] $name FAILED: $e") }
-        ((System.nanoTime() - t0) / 1e9, (cpuNs.get - c0) / 1e9)
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case e: Throwable =>
+            println(s"[solo] $name FAILED: $e"); false }
+        ((System.nanoTime() - t0) / 1e9, (cpuNs.get - c0) / 1e9, ok)
       }
-      graft.dedup.Dedup.releaseCaches()
-      val w = times.map(_._1).sorted
-      val c = times.map(_._2).sorted
-      println(f"[solo] $name wall med=${w(w.length / 2)}%.3f " +
-        f"min=${w.head}%.3f max=${w.last}%.3f " +
-        f"cpu med=${c(c.length / 2)}%.3f " +
-        f"all=${times.map(t => f"${t._1}%.2f").mkString(",")}")
+      if (sys.env.get("SPARK_GRAFT_BENCH_KEEP_CACHES").isEmpty)
+        graft.dedup.Dedup.releaseCaches()
+      // failed repeats are excluded from the stats (their wall time
+      // measures the failure, not the query); all= marks them with !
+      val times = attempts.filter(_._3)
+      if (times.isEmpty) println(s"[solo] $name: all $repeats repeats FAILED")
+      else {
+        val w = times.map(_._1).sorted
+        val c = times.map(_._2).sorted
+        println(f"[solo] $name wall med=${w(w.length / 2)}%.3f " +
+          f"min=${w.head}%.3f max=${w.last}%.3f " +
+          f"cpu med=${c(c.length / 2)}%.3f " +
+          f"all=${attempts.map(t =>
+            f"${t._1}%.2f${if (t._3) "" else "!"}").mkString(",")}")
+      }
     }
     spark.stop()
   }
