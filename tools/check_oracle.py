@@ -17,6 +17,26 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def repr_mismatch(e, g):
+    """True when one side is a float dtype and the other an integer
+    dtype. The numeric compare below treats 2660.0 == 2660 as a match,
+    but the DRIVER hashes rendered values, so an int-vs-float dtype
+    split is a board-red even with equal values — this is exactly how
+    a bare DuckDB SUM over INTEGER (HUGEINT → pandas float64) against
+    Spark's int64 stayed locally green and driver-red for four rounds
+    (the t19 episode, fixed r14: CAST every integer-sum output to
+    BIGINT in the oracle SQL)."""
+    import pandas.api.types as pt
+    def kind(s):
+        if pt.is_float_dtype(s):
+            return "float"
+        if pt.is_integer_dtype(s):
+            return "int"
+        return None
+    ke, kg = kind(e), kind(g)
+    return ke is not None and kg is not None and ke != kg
+
+
 def col_equal(name, e, g):
     if len(e) == 0:
         return True
@@ -95,6 +115,16 @@ def main():
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            fails.append(name)
+            continue
+        reprbad = [c for c in exp.columns if repr_mismatch(exp[c], got[c])]
+        if reprbad:
+            for c in reprbad:
+                print(f"FAIL {name}: column {c} REPRESENTATION mismatch "
+                      f"(exp dtype {exp[c].dtype}, got {got[c].dtype}) — "
+                      f"values may be equal but the driver hashes "
+                      f"renderings; CAST integer sums to BIGINT in the "
+                      f"oracle SQL")
             fails.append(name)
             continue
         bad = [c for c in exp.columns if not col_equal(name, exp[c], got[c])]
