@@ -2547,9 +2547,14 @@ object Queries {
     //   t19e — accuracy only (the one division-no-CASE metric);
     //   t19f/g/h/i — one CASE-guarded metric each;
     //   t19j — the mechanism probe: Spark emits n_pos as DOUBLE while
-    //          the oracle leaves the HUGEINT sum bare — green ⟺ the
-    //          four-round red was int64-vs-float64 representation,
-    //          not values.
+    //          the oracle leaves the HUGEINT sum bare. Green ⟺ the
+    //          driver renders HUGEINT as a float (the pandas fetchdf
+    //          behavior our local stand-in shows); red-with-t19-green
+    //          ⟺ the driver renders it some third way — either board
+    //          outcome confirms the divergence was the HUGEINT
+    //          column's representation, never the values (the replay
+    //          in BENCH_NOTES: pre-fix SQL = one repr-mismatched
+    //          column, zero value mismatches).
     "t19d_numden" -> ((s, d) =>
       classifierAgg(s, d).select(col("source"), col("n_docs"),
           col("n_pos"), col("n_correct"), col("tp"), col("fp"),
