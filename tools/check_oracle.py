@@ -71,6 +71,11 @@ def version_report(out=None):
             "SELECT CAST(8231 AS DECIMAL(5,0)) * 0.0001").fetchone()[0]),
         "round_half": str(con.execute("SELECT ROUND(2.5, 0)").fetchone()[0]),
         "double_fmt": str(con.execute("SELECT 0.1 + 0.2").fetchone()[0]),
+        # SUM over INTEGER is HUGEINT; how this engine+pandas pair
+        # materializes it decides whether a bare integer-sum output
+        # column hash-matches Spark's int64 (the t19 episode — r14)
+        "sum_int_dtype": str(con.execute(
+            "SELECT SUM(x) AS s FROM (SELECT 1 AS x)").fetchdf()["s"].dtype),
     }
     blob = json.dumps(probes, indent=2)
     print(blob)
