@@ -2687,6 +2687,10 @@ FROM a ORDER BY source"""),
 SELECT source, n_pos AS n_pos_f
 FROM a ORDER BY source"""),
 
+    // The histogram formulation computes the IDENTICAL report, so it
+    // shares t19's oracle verbatim — one oracle, two Spark plans.
+    "t25_eval_histogram" -> classifierEvalSql,
+
     // Temperature mixing: shares/budgets on the exact integer grid
     // (sqrt is correctly rounded IEEE; the budget is one integer
     // multiply + integer divide, so both engines agree bit-for-bit).

@@ -338,16 +338,20 @@ object Queries {
         .cache()
     })
 
-  /** [[classifierScored]] + the ×2-grid average tie rank
-    * r2 = 2·rank + ties − 1 (exact BIGINT) used by the Mann–Whitney
-    * AUC — the one per-source window in the t19 family. */
-  private def classifierRanked(s: SparkSession, d: String): DataFrame = {
+  /** A scored frame (source, label, pred, score_micro) + the ×2-grid
+    * average tie rank r2 = 2·rank + ties − 1 (exact BIGINT) used by
+    * the Mann–Whitney AUC — the one per-source full-row window in the
+    * t19 family. */
+  private[graft] def rankedOf(scored: DataFrame): DataFrame = {
     val byScore = Window.partitionBy("source").orderBy("score_micro")
     val ties = Window.partitionBy("source", "score_micro")
-    classifierScored(s, d).withColumn("r2",
+    scored.withColumn("r2",
       rank().over(byScore).cast("long") * lit(2L) +
         count(lit(1)).over(ties) - lit(1L))
   }
+
+  private def classifierRanked(s: SparkSession, d: String): DataFrame =
+    rankedOf(classifierScored(s, d))
 
   /** Exact half-up num/den → 1e4-grid BIGINT: floor((2·10⁴·num+den)/(2·den)).
     * `div` keeps the whole computation in int64 — the one type no
@@ -360,8 +364,8 @@ object Queries {
     * counts plus the positive-class rank sum — every t19 metric's
     * numerator and denominator, pre-division. Shared by the full
     * report and the round-14 per-metric bisect keys (t19d–t19j). */
-  private def classifierAgg(s: SparkSession, d: String): DataFrame =
-    classifierRanked(s, d).groupBy("source").agg(
+  private[graft] def aggOf(ranked: DataFrame): DataFrame =
+    ranked.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(col("pred") === col("label"), 1L).otherwise(0L))
@@ -371,12 +375,16 @@ object Queries {
         sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
         sum(when(col("label"), col("r2"))).as("rp2"))
 
-  /** Full per-source classifier evaluation report; shared verbatim by
-    * `t19_classifier_eval` (the control key) and `t19c_eval_v2` (the
-    * fresh key). See the catalog comments on those entries. */
-  private def classifierEval(s: SparkSession, d: String): DataFrame =
-    classifierAgg(s, d)
-      .select(col("source"), col("n_docs"), col("n_pos"),
+  private def classifierAgg(s: SparkSession, d: String): DataFrame =
+    aggOf(classifierRanked(s, d))
+
+  /** The metric layer of the eval report: num/den aggregate frame in
+    * ([[classifierAgg]] column names) → the 8-column report. Shared
+    * verbatim by the window formulation ([[classifierEval]]) and the
+    * scale-shaped histogram formulation ([[classifierEvalHist]]), so
+    * the two differ ONLY in how the aggregate is produced. */
+  private def evalReport(agg: DataFrame): DataFrame =
+    agg.select(col("source"), col("n_docs"), col("n_pos"),
         metricGrid4("n_correct", "n_docs").as("accuracy_e4"),
         when(col("tp") + col("fp") > 0,
           metricGrid4("tp", "tp + fp")).as("prec_e4"),
@@ -389,6 +397,66 @@ object Queries {
           metricGrid4("rp2 - n_pos * (n_pos + 1)",
                 "2 * n_pos * (n_docs - n_pos)")).as("auc_e4"))
       .orderBy("source")
+
+  /** Full per-source classifier evaluation report; shared verbatim by
+    * `t19_classifier_eval` (the control key) and `t19c_eval_v2` (the
+    * fresh key). See the catalog comments on those entries. */
+  private def classifierEval(s: SparkSession, d: String): DataFrame =
+    evalReport(classifierAgg(s, d))
+
+  /** The SAME report computed WITHOUT a full-row rank window — the
+    * 100 TB shape. [[classifierRanked]]'s window partitions by
+    * `source`, and a corpus has ~tens of sources: at billions of docs
+    * that is tens of single-task sorts over the whole corpus — the
+    * one skew hazard in the t19 family. This formulation aggregates
+    * the scored rows to a (source, score) HISTOGRAM first (map-side
+    * partial combine; the exchange carries distinct scores, not
+    * rows), then derives every row's average-tie ×2-grid rank from
+    * the histogram's running count: rows at score v all share
+    * r2 = 2·S(v) + c(v) + 1 where S is the count of strictly-smaller
+    * scores, so the positives' rank sum is Σ_v p(v)·(2·S(v)+c(v)+1) —
+    * exactly [[classifierAgg]]'s rp2 (spec-pinned bit-for-bit, and
+    * both keys share one oracle SQL). The rank window still exists
+    * but runs over the histogram: its sort and exchange are
+    * |distinct scores|-sized, corpus-size-independent under a fixed
+    * score grid. Confusion counts never needed ranks and come from
+    * the same histogram pass. */
+  private[graft] def histAggOf(scored: DataFrame): DataFrame = {
+    val hist = scored
+      .groupBy(col("source"), col("score_micro"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("corr"),
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"))
+    val smaller = Window.partitionBy("source").orderBy("score_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("__S", coalesce(sum(col("c")).over(smaller), lit(0L)))
+      .groupBy("source").agg(
+        sum(col("c")).as("n_docs"),
+        sum(col("p")).as("n_pos"),
+        sum(col("corr")).as("n_correct"),
+        sum(col("tp")).as("tp"),
+        sum(col("fp")).as("fp"),
+        sum(col("fn")).as("fn"),
+        sum(col("p") * (lit(2L) * col("__S") + col("c") + lit(1L)))
+          .as("rp2"))
+  }
+
+  /** Report via the window formulation, over any scored frame —
+    * test surface for the window ≡ histogram equivalence spec. */
+  private[graft] def evalWindowOf(scored: DataFrame): DataFrame =
+    evalReport(aggOf(rankedOf(scored)))
+
+  /** Report via the histogram formulation, over any scored frame. */
+  private[graft] def evalHistOf(scored: DataFrame): DataFrame =
+    evalReport(histAggOf(scored))
+
+  private def classifierEvalHist(s: SparkSession, d: String): DataFrame =
+    evalHistOf(classifierScored(s, d))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.3 J1-J3 + §2.2 P1/P2: the flagship 4-way star join.
@@ -2600,6 +2668,14 @@ object Queries {
       classifierAgg(s, d).select(col("source"),
           col("n_pos").cast("double").as("n_pos_f"))
         .orderBy("source")),
+
+    // The t19 report in its 100 TB formulation: rank sums derived
+    // from a (source, score) histogram instead of a full-row rank
+    // window (see [[classifierEvalHist]] — the window/sort becomes
+    // |distinct scores|-sized, retiring the per-source single-task
+    // sort skew at billions of rows). Same oracle SQL as t19,
+    // bit-for-bit (ClassifierEvalSpec pins the equivalence).
+    "t25_eval_histogram" -> ((s, d) => classifierEvalHist(s, d)),
 
     // Corpus bigram language model with add-1 smoothing, scoring each
     // doc by the mean negative log-likelihood of its bigram
