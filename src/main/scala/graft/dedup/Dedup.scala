@@ -406,7 +406,7 @@ object Dedup {
                       partitionCols: Seq[String] = Nil,
                       minSize: Int = 1,
                       bucketCap: Int = 2000,
-                      sketchK: Int = 24): DataFrame =
+                      sketchK: Int = DefaultSketchK): DataFrame =
     containmentPairs(docs.withColumn("__side", lit(0)), idCol, tokensCol,
       threshold, partitionCols, cross = false, minSize, bucketCap, sketchK)
 
@@ -423,7 +423,7 @@ object Dedup {
                             idCol: String, tokensCol: String,
                             threshold: Double, minSize: Int = 1,
                             bucketCap: Int = 2000,
-                            sketchK: Int = 24): DataFrame = {
+                            sketchK: Int = DefaultSketchK): DataFrame = {
     val l = left.select(col(idCol), col(tokensCol))
       .withColumn("__side", lit(0))
     val r = right.select(col(idCol), col(tokensCol))
@@ -431,6 +431,23 @@ object Dedup {
     containmentPairs(l.unionByName(r), idCol, tokensCol, threshold, Nil,
       cross = true, minSize, bucketCap, sketchK)
   }
+
+  /** Default bottom-k sketch size for the containment join. The sketch
+    * is the in-bucket prefilter AND, when it covers a whole set, the
+    * fast-path exact verifier (no pair-dedup exchange, no token-array
+    * re-join — see the fast/slow split in [[containmentPairs]]), so k
+    * should cover the SHORT side of the pairs the join targets:
+    * benchmark items, excerpts, quoted passages — the ≤32-token sets
+    * that containment dedup exists to catch inside longer docs. At 24
+    * (the r10 value, chosen for the prefilter alone before the fast
+    * path existed) the catalog's decontamination corpus routed 98.7%
+    * of its 1.25M qualifying pairs through the slow path — a 27 MB
+    * pair-dedup exchange plus two array re-joins that the fast path
+    * skips; at 32 every such pair verifies in-bucket (measured r14:
+    * d16 pair CPU −66%, identical output). Cost at scale: +8 ints per
+    * INDEX row of shuffle (128 B packed per row, still constant);
+    * sets wider than k keep the identical slow-path plan. */
+  val DefaultSketchK: Int = 32
 
   /** Candidate generation carries (id, side, n) plus a CONSTANT-size
     * bottom-k sketch — never the token arrays: the index side posts
@@ -453,7 +470,7 @@ object Dedup {
                                partitionCols: Seq[String], cross: Boolean,
                                minSize: Int,
                                bucketCap: Int,
-                               sketchK: Int = 24): DataFrame = {
+                               sketchK: Int = DefaultSketchK): DataFrame = {
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")

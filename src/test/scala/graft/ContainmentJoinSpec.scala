@@ -62,6 +62,28 @@ class ContainmentJoinSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("sketchK routes fast vs slow path without changing the pair set") {
+    // the r14 default (32) sends whole-set sketches down the in-bucket
+    // fast path; this pins BOTH extremes to brute force on one corpus:
+    // k=4 truncates every sketch (all pairs slow-path: dedup exchange +
+    // array re-join), k=64 covers every set (all pairs fast-path)
+    val docs = ((0 until 80).map { i =>
+      val n = 5 + (i % 7) * 7 // 5..47 tokens: straddles any practical k
+      (i.toLong, s"src${i % 2}",
+        (0 until n).map(j => s"w${(i % 11 + j) % 60}").distinct)
+    }).toDF("doc_id", "source", "w").cache()
+    val t = 0.8
+    val expect = brute(docs, t, partitioned = false)
+    for (k <- Seq(4, 64)) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "w", t, Nil, sketchK = k)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expect,
+        s"k=$k: missed ${(expect -- got).size}, extra ${(got -- expect).size}")
+    }
+    assert(expect.nonEmpty, "degenerate corpus")
+    docs.unpersist()
+  }
+
   test("finds the excerpt pairs jaccard provably misses") {
     // 6-token excerpt of a 60-token doc: containment 1.0, jaccard 0.1
     val long = (0 until 60).map(j => s"tok$j")
