@@ -53,13 +53,45 @@ object Queries {
       TestData.events(spark, dir).cache())
 
   /** Documents table, cached once per (session, SF dir) — twelve
-    * dedup/text queries share the scan. */
+    * dedup/text queries share the scan. Deliberately cached at the
+    * scan's own layout (ONE partition at this SF — single-row-group
+    * parquet): a cache-wide fanOut was measured a net LOSS (r14) —
+    * the multi-exchange dedup pipelines pay per-task × per-partition
+    * shuffle-block constants at every stage and gain nothing (their
+    * heavy work already lives post-shuffle), while only the
+    * single-pass kernel queries win. Those few queries fan out at
+    * their use site instead (see kernelDocs). */
   private val docsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def documents(spark: SparkSession, dir: String): DataFrame =
     docsCache.getOrElseUpdate((spark, dir),
       TestData.table(spark, dir, "documents").cache())
+
+  /** The documents frame fanned out to the session's cores — for the
+    * SINGLE-PASS kernel queries (quality/langid/BPE/repetition/bigram
+    * regex) whose cost is row-local CPU over an unsplittable one-
+    * partition scan: one 0.6 MB round-robin exchange buys the kernel
+    * the whole machine (measured r14: t02 1.11→0.51 s, t08 0.77→0.49,
+    * t15 0.81→0.62, t03 0.66→0.49 at sf0.1/local[32]). Multi-exchange
+    * pipelines must NOT use this — see the docsCache comment. */
+  private def kernelDocs(spark: SparkSession, dir: String): DataFrame =
+    TestData.fanOut(documents(spark, dir))
+
+  /** Embeddings table, cached once per (session, SF dir) — the ANN /
+    * exact-cosine / semantic-dedup entries share the scan. Cached at
+    * the scan's own layout for the same reason as docsCache (a
+    * cache-wide fanOut regressed the multi-stage e03–e06 pipelines by
+    * ~1 s each — per-task constants at every stage); the O(n²) exact
+    * baselines e01/e02, whose verify is pure per-row CPU, fan out at
+    * their use site instead (measured r14: e01 4.61→0.68 s,
+    * e02 5.10→0.48 s at sf0.1/local[32]). */
+  private val embCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    embCache.getOrElseUpdate((spark, dir),
+      TestData.table(spark, dir, "embeddings").cache())
 
   private def spending(df: DataFrame): DataFrame =
     Dashboard.calculateCustomerSpending(df, SpendLow, SpendHigh)
@@ -99,7 +131,7 @@ object Queries {
   private def lshCosinePairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsCache.getOrElseUpdate((spark, dir),
       Similarity.cosineNearDuplicatesMulti(
-        TestData.table(spark, dir, "embeddings"), "vec_id", "embedding",
+        embeddings(spark, dir), "vec_id", "embedding",
         threshold = Similarity.PairThreshold,
         tables = Similarity.PairTables).cache())
 
@@ -113,7 +145,7 @@ object Queries {
   private def embClusters(spark: SparkSession, dir: String): DataFrame =
     embClustersCache.getOrElseUpdate((spark, dir),
       ConnectedComponents.dupClusters(
-        TestData.table(spark, dir, "embeddings").select("vec_id"), "vec_id",
+        embeddings(spark, dir).select("vec_id"), "vec_id",
         lshCosinePairs(spark, dir).select(col("a"), col("b")), "a", "b")
         .cache())
 
@@ -296,7 +328,7 @@ object Queries {
                                 qId: Long = 0L, idBase: Long = 1000000L)
       : (DataFrame, Seq[Float]) =
     plantedCache.getOrElseUpdate((s, d, qId), {
-      val emb = TestData.table(s, d, "embeddings")
+      val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === qId)
         .select("embedding").head().getSeq[Float](0)
       val base = emb.filter(col("vec_id") =!= qId)
@@ -1187,7 +1219,7 @@ object Queries {
 
     // Quality scoring (length/punctuation/stopword heuristics).
     "t02_quality_scores" -> ((s, d) =>
-      documents(s, d).select(
+      kernelDocs(s, d).select(
         col("doc_id"),
         TextFunctions.punctRatio(col("text")).as("punct_ratio"),
         TextFunctions.stopwordRatio(col("text"),
@@ -1197,7 +1229,7 @@ object Queries {
 
     // Language ID: marker-token argmax heuristic.
     "t03_langid" -> ((s, d) =>
-      documents(s, d).select(
+      kernelDocs(s, d).select(
         col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
@@ -1211,7 +1243,7 @@ object Queries {
 
     // Brute-force cosine top-k against vec_id 0 (the exact baseline).
     "s01_cosine_topk" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
+      val emb = embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       Similarity.bruteForceTopK(
@@ -1353,7 +1385,7 @@ object Queries {
     // dedup primitive; brute-force baseline of the LSH-bucketed form.
     "e01_self_knn" -> ((s, d) =>
       Similarity.selfNearestNeighbor(
-        TestData.table(s, d, "embeddings"), "vec_id", "embedding")
+        TestData.fanOut(embeddings(s, d)), "vec_id", "embedding")
         .orderBy("id")),
 
     // Exact embedding-cosine near-duplicate pairs — the brute-force
@@ -1362,7 +1394,7 @@ object Queries {
     // near-random embeddings actually produce pairs.
     "e02_cosine_pairs" -> ((s, d) =>
       Similarity.exactCosinePairs(
-        TestData.table(s, d, "embeddings"), "vec_id", "embedding", 0.4)
+        TestData.fanOut(embeddings(s, d)), "vec_id", "embedding", 0.4)
         .orderBy("a", "b")),
 
     // The LSH-bucketed SCALE form of e02: identical contract (exact
@@ -1728,7 +1760,7 @@ object Queries {
       val nGrams = when(nt < 3, 0).otherwise(nt - 2)
       val nDistinct = when(nt < 3, 0)
         .otherwise(size(TextFunctions.shingles(col("text"), 3)))
-      documents(s, d).select(
+      kernelDocs(s, d).select(
         col("doc_id"),
         nGrams.cast("int").as("n_grams"),
         when(nGrams === 0, 0.0)
@@ -1950,7 +1982,7 @@ object Queries {
     // benchmark side is small and probes; the corpus never
     // self-joins. Brute-force cross-cosine SQL is the full oracle.
     "d13_embed_decontaminate" -> ((s, d) => {
-      val emb = TestData.table(s, d, "embeddings")
+      val emb = embeddings(s, d)
       val pairs = Similarity.cosineJoinMulti(
         emb.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id",
         emb.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id",
@@ -2759,7 +2791,7 @@ object Queries {
     // encoding, not just the count. Training the table is `Bpe.train`
     // (vocabulary-side Sennrich), spec-covered in BpeSpec.
     "t15_bpe_encode" -> ((s, d) =>
-      documents(s, d)
+      kernelDocs(s, d)
         .select(col("doc_id"), Bpe.normalize(col("text")).as("__n"),
           Bpe.encodeKernel(col("text")).as("__e"))
         .select(col("doc_id"),

@@ -34,6 +34,26 @@ object TestData {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive scan-parallelism floor for UNSPLITTABLE inputs
+    * (optimization guide §2.5 "input skew: one huge unsplittable
+    * file... repartition immediately after the read"). The testdata
+    * ships each table as ONE single-row-group parquet file, which
+    * Spark cannot split — every scan, and every scan-local derivation
+    * above it (shingling, signatures, regex kernels), runs as ONE
+    * task regardless of core count (measured: t20's bigram pass
+    * 6.75 CPU-s in a single task on a 32-core box). A round-robin
+    * repartition after the read spreads that work; the gate makes it
+    * scale-correct: a production corpus scans as thousands of splits
+    * (≥ cores), so no operator is added and the plan is unchanged —
+    * this only fires when the scan under-parallelizes the session.
+    * Use on frames whose DOWNSTREAM per-row work is heavy (the cached
+    * documents/events/embeddings tables); raw dimension scans feeding
+    * broadcasts gain nothing and keep the bare scan. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** The events stream table, normalized so `ts` is ALWAYS
     * nanos-since-epoch `LongType` — the engine-wide contract every
     * event-time operator ([[graft.streaming.EventAnalytics]]) and
