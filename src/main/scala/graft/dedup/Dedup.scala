@@ -227,8 +227,13 @@ object Dedup {
     // stay exactly what the multi-band emission gave. The size
     // aggregation is map-side-combinable and the join is on the same
     // (band, key) the bucketing shuffles anyway.
-    val sizes = bandKeys.groupBy("band", "key").agg(count(lit(1)).as("__n"))
-    val masked = bandKeys.join(sizes, Seq("band", "key"))
+    // ONE count window over the band rows instead of a groupBy-plus-
+    // self-join (the containmentPairs discipline): the window and the
+    // bucket groupBy below share the same (band, key) exchange, so the
+    // per-key size costs no extra shuffle and no join stage.
+    val sizedKeys = bandKeys.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy("band", "key")))
+    val masked = sizedKeys
       .groupBy(idCol)
       .agg(first(col("__shh")).as("__shh"), first(col("__bk")).as("__bk"),
            sort_array(collect_list(struct(col("band"),
@@ -284,8 +289,7 @@ object Dedup {
     // scan. Verification stays exact, so the pair gates (⊆ exact,
     // identical jaccard) are unaffected; pairs found by both paths
     // collapse in the output-sized dropDuplicates.
-    val overKeys = sizes.filter(col("__n") > maxBucket).select("band", "key")
-    val anchors = bandKeys.join(overKeys, Seq("band", "key"))
+    val anchors = sizedKeys.filter(col("__n") > maxBucket)
       .groupBy("band", "key").agg(min(col(idCol)).as("__mid"))
     val anchorSets = anchors.join(
       withBk.select(col(idCol).as("__mid"), col("__shh").as("__msh")), "__mid")
@@ -727,13 +731,13 @@ object Dedup {
     // candidate work spreads over nc² tasks. Replication cost is nc
     // copies of (id, side, w) PER OVER-CAP BUCKET row only; nc is
     // bounded so the worst case stays a constant-factor shuffle.
-    val sizes = pref.groupBy(pc :+ col("__pt"): _*)
-      .agg(count(lit(1)).as("__bn"))
-    val nc = least(ceil(col("__bn") / lit(bucketCap)), lit(128))
-      .cast("int").as("__nc")
+    // bucket sizes from ONE count window over the prefix rows (the
+    // containmentPairs discipline) — no groupBy-plus-self-join stage
+    val nc = least(ceil(count(lit(1))
+        .over(Window.partitionBy(pc :+ col("__pt"): _*)) / lit(bucketCap)),
+      lit(128)).cast("int").as("__nc")
     val withChunk = pref
-      .join(sizes.select((pc :+ col("__pt") :+ nc): _*),
-            partitionCols :+ "__pt")
+      .withColumn("__nc", nc)
       .withColumn("__c",
         pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
           .cast("int"))
@@ -1105,18 +1109,29 @@ object Dedup {
     // shuffles were ~half the wall). A pair sharing several keys is
     // verified once per shared key (≤3 cheap levenshteins) and
     // deduped AFTER the dist filter, when only true pairs remain.
+    // Pairs enumerate as TWO Generates + a fused Filter (the d02/d03
+    // bucket-pair shape) instead of nested transform(...) lambdas:
+    // higher-order functions are CodegenFallback, so the B² candidate
+    // loop — and the levenshtein inside it — ran interpreted, one
+    // struct allocation per candidate (measured r14: the j02 verify
+    // stage was the query's whole CPU budget; the Generate form keeps
+    // enumeration + levenshtein + dist-filter in one codegen stage).
     val m = col("__m")
     keyed.groupBy("__key")
       .agg(collect_list(struct(col("__id").as("i"), col("__s").as("s")))
         .as("__m"))
       .filter(size(m) > 1)
-      .select(explode(flatten(transform(m, (x, i) =>
-        transform(slice(m, i + 2, size(m)), y => struct(
-          when(x("i") < y("i"), x("i")).otherwise(y("i")).as("a"),
-          when(x("i") < y("i"), y("i")).otherwise(x("i")).as("b"),
-          levenshtein(x("s"), y("s")).as("dist")))))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
-      .filter(col("dist") <= 1)
+      .select(m, explode(m).as("x"))
+      .select(col("x"), explode(m).as("y"))
+      .filter(col("x.i") < col("y.i"))
+      // banded verify: levenshtein's threshold form walks an O(len)
+      // diagonal band and early-exits at > max (returns -1) instead of
+      // filling the O(len²) DP table — the verify IS the per-candidate
+      // hot loop here, and only dist ≤ 1 survives anyway. Values in
+      // the kept range are identical to the unbanded distance.
+      .withColumn("dist", levenshtein(col("x.s"), col("y.s"), 1))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+      .select(col("x.i").as("a"), col("y.i").as("b"), col("dist"))
       .distinct()
       .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
   }
