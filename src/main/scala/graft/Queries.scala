@@ -2843,9 +2843,10 @@ object Queries {
     "d11_fuzzy_decontaminate" -> ((s, d) => {
       val t = documents(s, d).select(col("doc_id"), col("source"),
         array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      // tagged single-frame form: the two-frame union planned the
+      // cached docs scan + tokenize four times (r15 plan audit)
       val isBench = col("source").isin("src0", "src1")
-      Dedup.jaccardJoinAcross(
-        t.filter(!isBench), t.filter(isBench), "doc_id", "w", 0.9)
+      Dedup.jaccardJoinAcrossTagged(t, "doc_id", "w", isBench, 0.9)
         .groupBy(col("a").as("doc_id"))
         .agg(count(lit(1)).as("n_bench_matches"),
              max(col("jaccard")).as("max_jaccard"))
@@ -2862,9 +2863,9 @@ object Queries {
     "d16_containment_decontaminate" -> ((s, d) => {
       val t = documents(s, d).select(col("doc_id"), col("source"),
         array_distinct(TextFunctions.tokens(col("text"))).as("w"))
+      // tagged single-frame form — see d11
       val isBench = col("source").isin("src0", "src1")
-      Dedup.containmentJoinAcross(
-        t.filter(!isBench), t.filter(isBench), "doc_id", "w", 0.9)
+      Dedup.containmentJoinAcrossTagged(t, "doc_id", "w", isBench, 0.9)
         .groupBy(col("a").as("doc_id"))
         .agg(count(lit(1)).as("n_bench_matches"),
              max(col("containment")).as("max_containment"))

@@ -368,6 +368,23 @@ object Dedup {
       cross = true, bucketCap)
   }
 
+  /** [[jaccardJoinAcross]] when both corpora live in ONE frame split by
+    * a predicate (the decontamination shape: bench rows are a `source`
+    * subset of the same table). Identical output; the two-frame form
+    * plans the corpus scan + tokenize TWICE (a filtered scan per union
+    * leg, and again inside the vocabulary subtree — four scans of the
+    * same table), this one plans it once per consumer (guide §2.4:
+    * remove duplicate passes). `rightSide` true ⇒ right corpus (the
+    * `b` output column); null counts as left. */
+  def jaccardJoinAcrossTagged(docs: DataFrame, idCol: String,
+                              tokensCol: String, rightSide: Column,
+                              threshold: Double,
+                              bucketCap: Int = 2000): DataFrame =
+    ppjoinPairs(
+      docs.select(col(idCol), col(tokensCol),
+        when(rightSide, 1).otherwise(0).as("__side")),
+      idCol, tokensCol, threshold, Nil, cross = true, bucketCap)
+
   /** EXACT all-pairs set-CONTAINMENT self-join: every pair with
     * overlap coefficient |x∩y| / min(|x|,|y|) ≥ `threshold` — the
     * ASYMMETRIC dedup axis. A short doc fully embedded in a long one
@@ -436,6 +453,21 @@ object Dedup {
       cross = true, minSize, bucketCap, sketchK)
   }
 
+  /** [[containmentJoinAcross]] over ONE frame split by a predicate —
+    * see [[jaccardJoinAcrossTagged]] for why (identical output, half
+    * the corpus scans). `rightSide` true ⇒ right corpus (`b` column);
+    * null counts as left. */
+  def containmentJoinAcrossTagged(docs: DataFrame, idCol: String,
+                                  tokensCol: String, rightSide: Column,
+                                  threshold: Double, minSize: Int = 1,
+                                  bucketCap: Int = 2000,
+                                  sketchK: Int = DefaultSketchK): DataFrame =
+    containmentPairs(
+      docs.select(col(idCol), col(tokensCol),
+        when(rightSide, 1).otherwise(0).as("__side")),
+      idCol, tokensCol, threshold, Nil, cross = true, minSize, bucketCap,
+      sketchK)
+
   /** Default bottom-k sketch size for the containment join. The sketch
     * is the in-bucket prefilter AND, when it covers a whole set, the
     * fast-path exact verifier (no pair-dedup exchange, no token-array
@@ -452,6 +484,80 @@ object Dedup {
     * INDEX row of shuffle (128 B packed per row, still constant);
     * sets wider than k keep the identical slow-path plan. */
   val DefaultSketchK: Int = 32
+
+  /** Partition count pinned onto the set-join bucket exchanges. The
+    * bucket pipelines' shuffles are BYTE-small but CPU-dense (the
+    * in-bucket pair enumeration + verify is the whole cost of the
+    * join), so AQE's byte-based coalescing collapsed them onto 2-4
+    * tasks at bench scale (measured r14: j02/d16 verify — 5.9 CPU-s
+    * riding a 3.8 MB exchange). An explicit numPartitions repartition
+    * on the SAME keys replaces the planner's ENSURE_REQUIREMENTS
+    * exchange one-for-one (no extra shuffle — the window/agg above it
+    * reuse the pinned partitioning) and is exempt from AQE coalescing
+    * by origin (REPARTITION_BY_NUM). Scale-adaptive, not a local
+    * constant: max of the session's shuffle partitions (the cluster's
+    * tuned width) and defaultParallelism (total cores). */
+  private def pinnedShufflePartitions(df: DataFrame): Int =
+    math.max(df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Collapse documents sharing an identical (partition, side, token
+    * SET) into one representative row before pair enumeration — guide
+    * §2.3 "shuffle fewer bytes": every downstream stage (vocab rank,
+    * prefix explode, bucket shuffle, in-bucket quadratic verify) sees
+    * distinct sets only, and the quadratic candidate work shrinks with
+    * the square of the duplication factor. Exact by expansion: members
+    * of a group have similarity 1.0 with each other and the SAME
+    * similarity as their representative to every partner (set
+    * equality), so the pair output is reconstructed losslessly by
+    * [[expandSetGroups]]. Output: (pc…, __side, tokensCol = sorted set,
+    * idCol = min member id, __gids = all member ids). */
+  private def groupIdenticalSets(docs: DataFrame, idCol: String,
+                                 tokensCol: String,
+                                 partitionCols: Seq[String]): DataFrame =
+    docs.groupBy((partitionCols.map(col) :+ col("__side")) :+
+        array_sort(col(tokensCol)).as(tokensCol): _*)
+      .agg(min(col(idCol)).as(idCol),
+           collect_list(col(idCol)).as("__gids"))
+
+  /** Re-expand representative pairs `(a, b, simCol)` to the full member
+    * pair set, plus the within-group pairs (identical sets — similarity
+    * exactly 1.0) that representative enumeration no longer sees. In
+    * cross mode groups are side-pure: `a` expands against left groups,
+    * `b` against right groups, orientation is preserved, and
+    * within-group (same-side) pairs are correctly absent. In self mode
+    * ids are globally unique, expanded pairs re-order by id, and every
+    * group of k ≥ 2 docs contributes its C(k,2) pairs at 1.0. */
+  private def expandSetGroups(repPairs: DataFrame, groups: DataFrame,
+                              idCol: String, tokensCol: String,
+                              cross: Boolean, simCol: String): DataFrame = {
+    val la = (if (cross) groups.filter(col("__side") === 0) else groups)
+      .select(col(idCol).as("a"), col("__gids").as("__ga"))
+    val rb = (if (cross) groups.filter(col("__side") === 1) else groups)
+      .select(col(idCol).as("b"), col("__gids").as("__gb"))
+    val expanded = repPairs.join(la, "a").join(rb, "b")
+      .select(col(simCol), explode(col("__ga")).as("__ma"), col("__gb"))
+      .select(col(simCol), col("__ma"), explode(col("__gb")).as("__mb"))
+      .select(
+        (if (cross) col("__ma") else least(col("__ma"), col("__mb"))).as("a"),
+        (if (cross) col("__mb") else greatest(col("__ma"), col("__mb"))).as("b"),
+        col(simCol))
+    if (cross) expanded
+    else {
+      // empty sets never pair (no tokens to share — the brute-force
+      // 0/0 similarity is NaN and fails any threshold), so they are
+      // excluded from the 1.0 within-group leg too
+      val within = groups
+        .filter(size(col("__gids")) >= 2 && size(col(tokensCol)) >= 1)
+        .select(col("__gids"))
+        .select(explode(col("__gids")).as("__ma"), col("__gids"))
+        .select(col("__ma"), explode(col("__gids")).as("__mb"))
+        .filter(col("__ma") < col("__mb"))
+        .select(col("__ma").as("a"), col("__mb").as("b"),
+          lit(1.0).as(simCol))
+      expanded.unionByName(within)
+    }
+  }
 
   /** Candidate generation carries (id, side, n) plus a CONSTANT-size
     * bottom-k sketch — never the token arrays: the index side posts
@@ -483,9 +589,19 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
-    val base = rankedSets(
+    // SET-LEVEL dedup before enumeration (r15, guide §2.3): identical
+    // token sets collapse to one representative; pairs re-expand after
+    // verify (exact — see groupIdenticalSets/expandSetGroups). The
+    // group frame feeds the rep pipeline AND both expansion sides, so
+    // it persists like the bucket frame below.
+    val groups = groupIdenticalSets(
       docs.filter(size(col(tokensCol)) >= minSize),
-      idCol, tokensCol, partitionCols)
+      idCol, tokensCol, partitionCols).persist()
+    registerPersisted(groups)
+    val reps = groups.select(
+      (pc :+ col(idCol) :+ col("__side")) :+ col(tokensCol): _*)
+
+    val base = rankedSets(reps, idCol, tokensCol, partitionCols)
       .withColumn("__n", size(col("__w")))
       // bottom-k sketch: first k RANKED tokens (already sorted
       // rare-first), compressed 8→4 bytes by a MONOTONE saturating
@@ -520,7 +636,10 @@ object Dedup {
     // replicate probes across the chunks. A pair generates only in
     // its index member's chunk.
     val w = Window.partitionBy(pc :+ col("__pt"): _*)
+    // pinned-width bucket exchange: replaces (not adds to) the window's
+    // planner exchange — see pinnedShufflePartitions
     val chunked = probe.unionByName(index)
+      .repartition(pinnedShufflePartitions(docs), pc :+ col("__pt"): _*)
       .withColumn("__nc", greatest(lit(1),
         least(ceil(sum(when(col("__role") === 1, 1L).otherwise(0L)).over(w)
           / lit(bucketCap)), lit(128))).cast("int"))
@@ -652,7 +771,8 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("a"), col("b"),
         round(col("containment"), 4).as("containment"))
-    fast.unionByName(slow)
+    expandSetGroups(fast.unionByName(slow), groups, idCol, tokensCol,
+      cross, "containment")
   }
 
   /** MONOTONE saturating 8→4-byte compression of a rankedSets token
@@ -708,7 +828,16 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
-    val sorted = rankedSets(docs, idCol, tokensCol, partitionCols)
+    // SET-LEVEL dedup before enumeration (r15, guide §2.3) — the
+    // containmentPairs discipline: identical token sets collapse to
+    // one representative, pairs re-expand exactly after verify.
+    val groups = groupIdenticalSets(docs, idCol, tokensCol, partitionCols)
+      .persist()
+    registerPersisted(groups)
+    val reps = groups.select(
+      (pc :+ col(idCol) :+ col("__side")) :+ col(tokensCol): _*)
+
+    val sorted = rankedSets(reps, idCol, tokensCol, partitionCols)
 
     val pref = sorted.select(
       (pc :+ col("__id") :+ col("__side") :+ col("__w")) :+
@@ -736,7 +865,10 @@ object Dedup {
     val nc = least(ceil(count(lit(1))
         .over(Window.partitionBy(pc :+ col("__pt"): _*)) / lit(bucketCap)),
       lit(128)).cast("int").as("__nc")
+    // pinned-width bucket exchange: replaces (not adds to) the window's
+    // planner exchange — see pinnedShufflePartitions
     val withChunk = pref
+      .repartition(pinnedShufflePartitions(docs), pc :+ col("__pt"): _*)
       .withColumn("__nc", nc)
       .withColumn("__c",
         pmod(xxhash64(col("__id"), lit(17)), greatest(col("__nc"), lit(1)))
@@ -755,7 +887,7 @@ object Dedup {
       .filter(size(col("__ms")) >= 2)
 
     val nx = size(col("x.__w")); val ny = size(col("y.__w"))
-    buckets
+    val pairs = buckets
       .select(col("__ms"), col("__pt"), col("__ij"), explode(col("__ms")).as("x"))
       .select(col("__pt"), col("__ij"), col("x"), explode(col("__ms")).as("y"))
       // self mode pairs by id order; cross mode pairs LEFT members with
@@ -786,6 +918,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
               round(col("jaccard"), 4).as("jaccard"))
+    expandSetGroups(pairs, groups, idCol, tokensCol, cross, "jaccard")
   }
 
   /** Decontamination: per-corpus-doc count of word n-grams that also
@@ -1117,7 +1250,12 @@ object Dedup {
     // stage was the query's whole CPU budget; the Generate form keeps
     // enumeration + levenshtein + dist-filter in one codegen stage).
     val m = col("__m")
-    keyed.groupBy("__key")
+    // pinned-width bucket exchange (r15): the deletion-key shuffle is
+    // byte-small but the in-bucket levenshtein verify is the query's
+    // whole CPU — AQE coalesced it onto 2-4 tasks. See
+    // pinnedShufflePartitions.
+    keyed.repartition(pinnedShufflePartitions(df), col("__key"))
+      .groupBy("__key")
       .agg(collect_list(struct(col("__id").as("i"), col("__s").as("s")))
         .as("__m"))
       .filter(size(m) > 1)

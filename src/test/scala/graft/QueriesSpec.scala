@@ -125,9 +125,15 @@ class QueriesSpec extends AnyFunSuite {
   test("t20: model side is checkpointed — one corpus regex in the scoring plan") {
     // ReuseExchange sharing of the bigram-count subplan is best-effort;
     // when it failed to hold under load the regex extraction re-ran
-    // 4-5× (the r11 driver capture's 92.6 s / 62 CPU-s repeat). The
-    // eager localCheckpoint bounds the worst case by construction:
-    // the scoring plan may contain the corpus extraction EXACTLY once,
+    // 4-5× (the r11 driver capture's 92.6 s / 62 CPU-s repeat; root
+    // cause isolated r15: consumers of the shared docs CACHE get
+    // re-aliased InMemoryRelation instances whose canonical forms keep
+    // distinct exprIds, so the extraction exchanges never match and
+    // AQE's stage cache misses — a one-extraction shared-exchange t20
+    // was built, measured 10× the CPU in repeated above-exchange
+    // consumer work, and reverted; OPTIMIZATION_r15.md). The eager
+    // localCheckpoint bounds the worst case by construction: the
+    // scoring plan may contain the corpus extraction EXACTLY once,
     // and the model side must read checkpoint blocks, not the corpus.
     val p = Queries.all("t20_kneser_ney")(spark, sf)
       .queryExecution.executedPlan.toString
