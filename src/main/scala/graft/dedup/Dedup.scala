@@ -589,13 +589,17 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
+    // NULL partition keys never pair (the brute-force/oracle ===-join
+    // semantics; the bucketing window would otherwise group NULLs
+    // together — ADVICE r14)
+    val nn = partitionCols.foldLeft(docs)((d, c) => d.filter(col(c).isNotNull))
     // SET-LEVEL dedup before enumeration (r15, guide §2.3): identical
     // token sets collapse to one representative; pairs re-expand after
     // verify (exact — see groupIdenticalSets/expandSetGroups). The
     // group frame feeds the rep pipeline AND both expansion sides, so
     // it persists like the bucket frame below.
     val groups = groupIdenticalSets(
-      docs.filter(size(col(tokensCol)) >= minSize),
+      nn.filter(size(col(tokensCol)) >= minSize),
       idCol, tokensCol, partitionCols).persist()
     registerPersisted(groups)
     val reps = groups.select(
@@ -828,10 +832,12 @@ object Dedup {
     def plen(n: Column): Column =
       (n - ceil(lit(threshold) * n) + 1).cast("int")
 
-    // SET-LEVEL dedup before enumeration (r15, guide §2.3) — the
-    // containmentPairs discipline: identical token sets collapse to
-    // one representative, pairs re-expand exactly after verify.
-    val groups = groupIdenticalSets(docs, idCol, tokensCol, partitionCols)
+    // NULL partition keys never pair (===-join semantics — see
+    // containmentPairs); SET-LEVEL dedup before enumeration (r15,
+    // guide §2.3) — identical token sets collapse to one
+    // representative, pairs re-expand exactly after verify.
+    val nn = partitionCols.foldLeft(docs)((d, c) => d.filter(col(c).isNotNull))
+    val groups = groupIdenticalSets(nn, idCol, tokensCol, partitionCols)
       .persist()
     registerPersisted(groups)
     val reps = groups.select(

@@ -48,7 +48,14 @@ object TestData {
     * this only fires when the scan under-parallelizes the session.
     * Use on frames whose DOWNSTREAM per-row work is heavy (the cached
     * documents/events/embeddings tables); raw dimension scans feeding
-    * broadcasts gain nothing and keep the bare scan. */
+    * broadcasts gain nothing and keep the bare scan.
+    *
+    * SCAN-ONLY BY CONTRACT: the gate reads `df.rdd.getNumPartitions`,
+    * which builds the RDD lineage (physical planning) on every call —
+    * cheap for the cached scans this is meant for, but on a frame with
+    * upstream shuffles under AQE it would both pay planning on a hot
+    * construction path and read a pre-execution partition count that
+    * AQE later changes. Keep call sites on (cached) scans. */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
